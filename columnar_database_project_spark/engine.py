@@ -1,0 +1,118 @@
+"""MicroBlockEngine — the engine façade.
+
+Spark-first restatement of the reference's ``StorageEngineV5``
+(reference query_enginev5.py:18-305). The reference's query lifecycle
+is parse → zone-map prune → log access → cache probe → read row groups
+→ concat → register → delegate SQL to DuckDB. On Spark, stages
+parse/prune/read/execute are Catalyst + the vectorized Parquet reader
+(filter pushdown does row-group pruning natively); what remains OURS is
+the observability + caching + prefetch layer:
+
+- ``MicroBlockIndex``: explicit per-(block × column) zone-map metadata
+  (reference microblock_index.py:107-171) used to *predict* pruning and
+  to drive the cache/prefetch subsystems.
+- ``AccessLogger`` + ``GlobalHistory``: which blocks each query touched
+  (reference access_logger.py:29-58) — the training-data tap.
+- ``BlockCache``: LRU of persisted per-block DataFrames (reference
+  block_cache.py:5-44).
+- ``PrefetchService``: background predictor loop (reference
+  prefetch_service.py:35-96).
+
+All components are optional — the plain SQL surface works with none of
+them attached.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+
+from columnar_database_project_spark.catalog import register_dir
+
+if TYPE_CHECKING:  # pragma: no cover
+    from columnar_database_project_spark.sources.index import MicroBlockIndex
+    from columnar_database_project_spark.storage.access_logger import (
+        AccessLogger,
+        GlobalHistory,
+    )
+    from columnar_database_project_spark.storage.block_cache import BlockCache
+
+
+class MicroBlockEngine:
+    """Catalog + SQL surface + storage-optimization hooks.
+
+    Parameters
+    ----------
+    spark : the session.
+    table_dir : directory of ``<name>.parquet`` tables to register.
+    index : optional MicroBlockIndex for pruning prediction / logging.
+    cache : optional BlockCache (LRU over persisted block DataFrames).
+    logger : optional AccessLogger (JSONL access log).
+    history : optional GlobalHistory (rolling deque of block ids).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_dir: str | None = None,
+        index: "MicroBlockIndex | None" = None,
+        cache: "BlockCache | None" = None,
+        logger: "AccessLogger | None" = None,
+        history: "GlobalHistory | None" = None,
+    ) -> None:
+        self.spark = spark
+        self.tables: dict[str, DataFrame] = {}
+        self.index = index
+        self.cache = cache
+        self.logger = logger
+        self.history = history
+        if table_dir:
+            self.tables = register_dir(spark, table_dir)
+
+    # ------------------------------------------------------------- catalog
+    def register(self, name: str, df: DataFrame) -> None:
+        df.createOrReplaceTempView(name)
+        self.tables[name] = df
+
+    def table(self, name: str) -> DataFrame:
+        return self.tables[name]
+
+    # ------------------------------------------------------------- queries
+    def query(self, sql: str) -> DataFrame:
+        """Run SQL against the registered catalog.
+
+        Catalyst does everything the reference hand-rolled (parse:
+        query_enginev5.py:74-85, prune: :87-95, execute via DuckDB:
+        :302-305). Our added value is the observation hook: when an
+        index is attached we predict the touched blocks from the WHERE
+        clause and feed the access log / history / prefetch stack —
+        exactly the reference's stage-3 side effects
+        (query_enginev5.py:251-261), but append-only and locked.
+        """
+        df = self.spark.sql(sql)
+        self._observe(sql)
+        return df
+
+    def _observe(self, sql: str) -> None:
+        if self.index is None and self.logger is None and self.history is None:
+            return
+        query_id = uuid.uuid4().hex[:12]
+        blocks: list[int] = []
+        if self.index is not None:
+            try:
+                blocks = self.index.predict_blocks_for_sql(sql)
+            except Exception:
+                blocks = []
+        if not blocks:
+            return
+        ts = time.time()
+        if self.logger is not None:
+            self.logger.log(blocks, ts=ts, query_id=query_id)
+        if self.history is not None:
+            self.history.record_many(blocks)
+        if self.cache is not None:
+            for b in blocks:
+                self.cache.touch(b)

@@ -1,0 +1,177 @@
+"""Event-stream operators (batch form over the ``events`` table).
+
+The reference has no data stream at all — its only "streaming" is the
+prefetch daemon loop (reference prefetch_service.py:35-80). We treat
+the ``events`` table as the batch view of a stream and implement the
+standard streaming shapes (tumbling window, sessionization, JSON
+payload extraction, dedup-by-key) so the same logic runs under
+Structured Streaming (see ``columnar_database_project_spark.streaming``
+which reuses these transformations on a ``readStream`` source).
+
+Scale notes: tumbling windows group on (bucket, type) — low
+cardinality, map-side combine; sessionization is one shuffle on
+user_id then pure window functions; at 100 TB you'd partition the sink
+by window date.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from columnar_database_project_spark.catalog import load_table
+
+
+def q_events_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (batch equivalent of
+    ``F.window(ts, '1 hour')`` — date_trunc keeps the oracle exact)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity gap): classic
+    lag → gap flag → cumulative session id. Streaming twin: session
+    window / applyInPandasWithState."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    with_flag = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    with_sid = with_flag.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return (
+        with_sid.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+    )
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload extraction: props is a JSON string column."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_events_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key dedup (CDC upsert shape): last event per
+    (user_id, event_type) by time. Streaming twin: dropDuplicates
+    within watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", F.round("value", 4).alias("value"))
+    )
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel: users who viewed then later purchased (min-ts compare)."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("first_view")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.max("ts").alias("last_buy")
+    )
+    return (
+        views.join(buys, "user_id")
+        .filter(F.col("last_buy") > F.col("first_view"))
+        .select("user_id")
+    )
+
+
+QUERIES = {
+    "events_tumbling_hour": q_events_tumbling_hour,
+    "events_sessionize": q_events_sessionize,
+    "events_json_props": q_events_json_props,
+    "events_dedup_latest": q_events_dedup_latest,
+    "events_funnel": q_events_funnel,
+}
+
+ORACLES = {
+    "events_tumbling_hour": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               count(*) AS n_events,
+               ROUND(sum(value), 4) AS total_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1, 2
+    """,
+    "events_sessionize": """
+        WITH flagged AS (
+            SELECT user_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR CAST(floor(epoch(ts)) AS BIGINT)
+                                - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                        THEN 1 ELSE 0 END AS new_session,
+                   ts, event_id
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessioned AS (
+            SELECT user_id, value,
+                   CAST(sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               ROUND(sum(value), 4) AS session_value
+        FROM sessioned GROUP BY user_id, session_id
+    """,
+    "events_json_props": """
+        SELECT event_type,
+               ROUND(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+               max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type
+    """,
+    "events_dedup_latest": """
+        SELECT user_id, event_type, event_id, ROUND(value, 4) AS value
+        FROM (
+            SELECT user_id, event_type, event_id, value,
+                   row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "events_funnel": """
+        SELECT v.user_id
+        FROM (SELECT user_id, min(ts) AS first_view FROM events
+              WHERE event_type = 'view' GROUP BY user_id) v
+        JOIN (SELECT user_id, max(ts) AS last_buy FROM events
+              WHERE event_type = 'purchase' GROUP BY user_id) b
+          ON v.user_id = b.user_id
+        WHERE b.last_buy > v.first_view
+    """,
+}

@@ -1,0 +1,184 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Training-data pipeline surface (beyond the reference, which has no
+text functions at all): token statistics, BPE-ish token counting,
+quality scoring, language-ID heuristic, document fingerprinting. All
+pure ``pyspark.sql.functions`` — JVM-side, codegen'd, no Python UDFs —
+so they run at full scan speed on a 100 TB corpus; the only shuffle is
+the final (tiny) aggregation where one exists.
+
+Tokenization contract (shared with the DuckDB oracles): tokens =
+regexp-split of trimmed text on ``\\s+``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from columnar_database_project_spark.catalog import load_table
+
+# Tiny English-marker list used by the language-ID heuristic. The score
+# is a deterministic formula so the oracle reproduces it exactly.
+EN_MARKERS = ("the", "a", "of", "and", "to", "in", "is")
+
+# BPE-ish tokenizer: runs of letters, runs of digits, or a single
+# non-space symbol — a public approximation of byte-pair pretokenizers.
+BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def tokens_col(col: str = "text"):
+    """Whitespace tokens of trimmed text (shared contract w/ oracle)."""
+    return F.split(F.trim(F.col(col)), "\\s+")
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics — the token-counting operator."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length(F.trim(F.col("text"))).alias("n_chars_trim"),
+        F.round(
+            (F.length(F.trim(F.col("text"))) - F.size(toks) + 1)
+            / F.size(toks).cast("double"),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def q_text_bpe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting via regexp match count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(BPE_PATTERN)).alias("n_bpe_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[0-9]+")).alias("n_number_runs"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, mean-token-length and stopword-ratio
+    signals combined into one deterministic score, plus a keep flag —
+    the classic pretraining-corpus filter shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    markers = F.array(*[F.lit(m) for m in EN_MARKERS])
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(
+        F.filter(toks, lambda t: F.array_contains(markers, t))
+    ) / n_tokens.cast("double")
+    len_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    score = F.round(0.6 * len_score + 0.4 * stop_ratio, 6)
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        score.alias("quality_score"),
+        (score >= 0.3).alias("keep"),
+    )
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: English-marker token ratio → is_en flag.
+    (A real n-gram model would be a broadcast lookup table + the same
+    ratio aggregation — identical plan shape.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    markers = F.array(*[F.lit(m) for m in EN_MARKERS])
+    ratio = F.size(
+        F.filter(toks, lambda t: F.array_contains(markers, t))
+    ) / F.size(toks).cast("double")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(ratio, 6).alias("en_marker_ratio"),
+        (ratio > 0.05).alias("pred_en"),
+    )
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of normalized text (lowercase, collapsed
+    whitespace) — the exact-dedup key."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.substring(F.md5(norm), 1, 8).alias("fingerprint_short"),
+    )
+
+
+QUERIES = {
+    "text_token_stats": q_text_token_stats,
+    "text_bpe_count": q_text_bpe_count,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+}
+
+_MARKERS_SQL = ", ".join(f"'{m}'" for m in EN_MARKERS)
+
+ORACLES = {
+    "text_token_stats": """
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks,
+                   length(trim(text)) AS n_chars_trim
+            FROM documents
+        )
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_distinct_tokens,
+               n_chars_trim,
+               ROUND((n_chars_trim - len(toks) + 1) / CAST(len(toks) AS DOUBLE), 4)
+                   AS avg_token_len
+        FROM t
+    """,
+    "text_bpe_count": f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS INT) AS n_bpe_tokens,
+               CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_number_runs
+        FROM documents
+    """,
+    "text_quality": f"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   len(list_filter(toks, x -> x IN ({_MARKERS_SQL})))
+                       / CAST(len(toks) AS DOUBLE) AS stop_ratio_raw,
+                   least(len(toks) / 100.0, 1.0) AS len_score
+            FROM t
+        )
+        SELECT doc_id, n_tokens,
+               ROUND(stop_ratio_raw, 6) AS stop_ratio,
+               ROUND(0.6 * len_score + 0.4 * stop_ratio_raw, 6) AS quality_score,
+               ROUND(0.6 * len_score + 0.4 * stop_ratio_raw, 6) >= 0.3 AS keep
+        FROM s
+    """,
+    "text_langid": f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               ROUND(len(list_filter(toks, x -> x IN ({_MARKERS_SQL})))
+                     / CAST(len(toks) AS DOUBLE), 6) AS en_marker_ratio,
+               len(list_filter(toks, x -> x IN ({_MARKERS_SQL})))
+                     / CAST(len(toks) AS DOUBLE) > 0.05 AS pred_en
+        FROM t
+    """,
+    "text_fingerprint": """
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+               substring(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 8)
+                   AS fingerprint_short
+        FROM documents
+    """,
+}

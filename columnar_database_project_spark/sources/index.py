@@ -1,0 +1,264 @@
+"""MicroBlockIndex — explicit zone-map metadata over Parquet blocks.
+
+Spark prunes row groups natively via parquet footer min/max
+(``spark.sql.parquet.filterPushdown``); this index re-materializes the
+same footer statistics driver-side — as the reference does with
+pyarrow (reference microblock_index.py:107-171) — for three purposes
+Spark doesn't cover:
+
+1. *Prediction*: which blocks SHOULD a query touch (drives the access
+   log, cache and prefetch subsystems — block identity is the unit of
+   the reference's whole storage layer).
+2. *Verification*: assert Spark's pushdown skipped exactly the blocks
+   the zone maps allow (tests/plans.verify).
+3. *Observability*: the index is exposed as a Spark DataFrame (one row
+   per block × column, with usage counters) — queryable metadata, like
+   the reference's ``save_metadata.py`` dumps but as a real table.
+
+Block identity: (file_path, row_group_id). For single-file tables the
+reference's block_id == row_group ordinal (reference
+block_id_mapper.py:8-28); for multi-file tables ids are assigned by
+sorted file order, then row group — deterministic and stable.
+
+BlockMetadata field parity with reference microblock_index.py:63-104:
+table_id, column_name, column_id, file_path, row_group_id, row_start,
+row_end, byte_offset, byte_length, min/max/null_count statistics,
+compression_info, and usage counters (access_count, last_access_ts,
+ewma_usage with α=0.2).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyarrow.parquet as pq
+
+from columnar_database_project_spark.plans.predicate import ColumnStats, Pred
+from columnar_database_project_spark.plans.sql_where import extract_where
+
+EWMA_ALPHA = 0.2  # reference microblock_index.py:100-104
+
+
+@dataclass
+class BlockMetadata:
+    """Per-(block × column) metadata record."""
+
+    table_id: str
+    column_name: str
+    column_id: int
+    file_path: str
+    block_id: int
+    row_group_id: int
+    row_start: int
+    row_end: int
+    byte_offset: int
+    byte_length: int
+    stat_min: Any
+    stat_max: Any
+    null_count: int | None
+    num_values: int
+    compression: str
+    access_count: int = 0
+    last_access_ts: float | None = None
+    ewma_usage: float = 0.0
+
+    def mark_access(self, ts: float | None = None) -> None:
+        """EWMA usage update: ewma = α·1 + (1-α)·ewma (reference
+        microblock_index.py:100-104)."""
+        self.access_count += 1
+        self.last_access_ts = ts if ts is not None else time.time()
+        self.ewma_usage = EWMA_ALPHA * 1.0 + (1 - EWMA_ALPHA) * self.ewma_usage
+
+    def decay(self) -> None:
+        """EWMA decay tick for blocks NOT accessed."""
+        self.ewma_usage = (1 - EWMA_ALPHA) * self.ewma_usage
+
+
+def _normalize_stat(v: Any) -> Any:
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return v
+    return v
+
+
+class MicroBlockIndex:
+    """Zone-map index built from parquet footers (driver-side pyarrow,
+    the same API surface the reference uses)."""
+
+    def __init__(self, table_id: str = "t1") -> None:
+        self.table_id = table_id
+        self.blocks: list[BlockMetadata] = []
+        self.by_column: dict[str, list[BlockMetadata]] = {}
+        self.by_block: dict[int, dict[str, BlockMetadata]] = {}
+        self._block_rows: dict[int, tuple[str, int, int, int]] = {}
+        self._lock = threading.Lock()
+
+    # ------------------------------------------------------------- build
+    @classmethod
+    def build(cls, path: str, table_id: str = "t1") -> "MicroBlockIndex":
+        """Scan footer metadata of a parquet file / directory of parts.
+
+        Driver-side only — reads footers, never data pages. For a
+        100 TB table this is one metadata pass (or a read of the
+        ``_metadata`` summary file when present).
+        """
+        idx = cls(table_id=table_id)
+        files = sorted(glob.glob(os.path.join(path, "*.parquet"))) if os.path.isdir(
+            path
+        ) else [path]
+        if os.path.isdir(path) and not files:
+            # spark-written directory: part-*.parquet (no extension filter miss)
+            files = sorted(
+                p
+                for p in glob.glob(os.path.join(path, "part-*"))
+                if not p.endswith((".crc", "_SUCCESS"))
+            )
+        block_id = 0
+        row_cursor = 0
+        for f in files:
+            meta = pq.ParquetFile(f).metadata
+            for rg in range(meta.num_row_groups):
+                rg_meta = meta.row_group(rg)
+                n_rows = rg_meta.num_rows
+                for ci in range(rg_meta.num_columns):
+                    col = rg_meta.column(ci)
+                    stats = col.statistics
+                    bm = BlockMetadata(
+                        table_id=table_id,
+                        column_name=col.path_in_schema,
+                        column_id=ci,
+                        file_path=f,
+                        block_id=block_id,
+                        row_group_id=rg,
+                        row_start=row_cursor,
+                        row_end=row_cursor + n_rows - 1,
+                        byte_offset=col.file_offset,
+                        byte_length=col.total_compressed_size,
+                        stat_min=_normalize_stat(stats.min) if stats and stats.has_min_max else None,
+                        stat_max=_normalize_stat(stats.max) if stats and stats.has_min_max else None,
+                        null_count=stats.null_count if stats and stats.has_null_count else None,
+                        num_values=col.num_values,
+                        compression=col.compression,
+                    )
+                    idx.blocks.append(bm)
+                    idx.by_column.setdefault(bm.column_name, []).append(bm)
+                    idx.by_block.setdefault(block_id, {})[bm.column_name] = bm
+                idx._block_rows[block_id] = (f, rg, row_cursor, row_cursor + n_rows - 1)
+                row_cursor += n_rows
+                block_id += 1
+        return idx
+
+    # ------------------------------------------------------------ access
+    @property
+    def num_blocks(self) -> int:
+        return len(self.by_block)
+
+    def stats_for_block(self, block_id: int) -> dict[str, ColumnStats]:
+        """Zone maps of one block: column → ColumnStats (reference
+        microblock_index.py:173-182)."""
+        out = {}
+        for col, bm in self.by_block.get(block_id, {}).items():
+            out[col] = ColumnStats(
+                min=bm.stat_min,
+                max=bm.stat_max,
+                null_count=bm.null_count,
+                num_values=bm.num_values,
+            )
+        return out
+
+    def block_file(self, block_id: int) -> str:
+        return self._block_rows[block_id][0]
+
+    def block_row_range(self, block_id: int) -> tuple[int, int]:
+        _, _, lo, hi = self._block_rows[block_id]
+        return lo, hi
+
+    # ----------------------------------------------------------- pruning
+    def candidate_blocks(self, pred: Pred) -> list[int]:
+        """Three-valued zone-map evaluation per block → candidates.
+
+        Adopts v3 semantics for the empty case — an empty candidate
+        list means a provably-empty result, NOT scan-everything
+        (reference v5 regressed this: query_enginev5.py:93-95 vs
+        query_enginev3.py:212-213; SURVEY §2.5.2).
+        """
+        return [
+            bid
+            for bid in sorted(self.by_block)
+            if pred.may_match(self.stats_for_block(bid))
+        ]
+
+    def predict_blocks_for_sql(self, sql: str) -> list[int]:
+        """WHERE-clause extraction + pruning prediction for a SQL text
+        (reference stage-2 of the query lifecycle)."""
+        return self.candidate_blocks(extract_where(sql))
+
+    # ------------------------------------------------------ usage stats
+    def mark_access(self, block_ids: list[int], ts: float | None = None) -> None:
+        with self._lock:
+            touched = set(block_ids)
+            for bid, cols in self.by_block.items():
+                if bid in touched:
+                    for bm in cols.values():
+                        bm.mark_access(ts)
+
+    # ------------------------------------------------------ spark export
+    def to_rows(self) -> list[dict]:
+        return [
+            {
+                "table_id": b.table_id,
+                "column_name": b.column_name,
+                "column_id": b.column_id,
+                "file_path": b.file_path,
+                "block_id": b.block_id,
+                "row_group_id": b.row_group_id,
+                "row_start": b.row_start,
+                "row_end": b.row_end,
+                "byte_offset": b.byte_offset,
+                "byte_length": b.byte_length,
+                "stat_min": str(b.stat_min) if b.stat_min is not None else None,
+                "stat_max": str(b.stat_max) if b.stat_max is not None else None,
+                "null_count": b.null_count,
+                "num_values": b.num_values,
+                "compression": b.compression,
+                "access_count": b.access_count,
+                "last_access_ts": b.last_access_ts,
+                "ewma_usage": b.ewma_usage,
+            }
+            for b in self.blocks
+        ]
+
+    def to_spark(self, spark):
+        """Index as a queryable DataFrame (observability surface)."""
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("table_id", T.StringType()),
+                T.StructField("column_name", T.StringType()),
+                T.StructField("column_id", T.IntegerType()),
+                T.StructField("file_path", T.StringType()),
+                T.StructField("block_id", T.IntegerType()),
+                T.StructField("row_group_id", T.IntegerType()),
+                T.StructField("row_start", T.LongType()),
+                T.StructField("row_end", T.LongType()),
+                T.StructField("byte_offset", T.LongType()),
+                T.StructField("byte_length", T.LongType()),
+                T.StructField("stat_min", T.StringType()),
+                T.StructField("stat_max", T.StringType()),
+                T.StructField("null_count", T.LongType()),
+                T.StructField("num_values", T.LongType()),
+                T.StructField("compression", T.StringType()),
+                T.StructField("access_count", T.LongType()),
+                T.StructField("last_access_ts", T.DoubleType()),
+                T.StructField("ewma_usage", T.DoubleType()),
+            ]
+        )
+        return spark.createDataFrame(self.to_rows(), schema=schema)
