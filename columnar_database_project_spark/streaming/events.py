@@ -1,0 +1,88 @@
+"""Structured Streaming twins of the event-stream operators.
+
+The reference has no data-plane streaming (SURVEY §2.3) — this module
+is part of the beyond-reference surface: the batch shapes in
+``operators/events.py`` re-expressed as streams, sharing the same
+transformation logic, so one definition serves both execution modes.
+
+Local tests drive these with a file source + memory sink; at scale the
+source becomes Kafka/cloud storage and the sink a partitioned table —
+the transformations are identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source event stream (parquet files dropped into ``path``)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window aggregation with a watermark for late data.
+
+    Works on both a batch and a streaming DataFrame (same Catalyst
+    plan shape; in streaming mode the watermark bounds state)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact-dedup on event_id within the watermark horizon —
+    the streaming twin of keep-one-per-key dedup."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def high_value_alerts(events: DataFrame, threshold: float = 180.0) -> DataFrame:
+    """Stateless filter stream (alerting shape)."""
+    return events.filter(F.col("value") >= threshold).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> "object":
+    """Drive a streaming DataFrame into an in-memory table and process
+    everything currently available (test/demo harness)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    return q

@@ -1,0 +1,92 @@
+"""Fast operator smoke checks against DuckDB inline (the FULL oracle
+sweep is tools/verify_oracle.py — these are the cheap representatives
+kept in pytest so `pytest -x -q` stays quick and self-contained)."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from columnar_database_project_spark.catalog import TESTDATA_TABLES
+from columnar_database_project_spark.operators.multimodal import (
+    decode_image,
+    q_mm_fake_features,
+)
+
+FAST_QUERIES = [
+    "filter_between",
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "topk",
+    "join_broadcast",
+    "window_rank",
+    "text_token_stats",
+    "dedup_exact_survivors",
+    "sim_hyperplane_signatures",
+    "events_json_props",
+]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _canon(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif "float" in str(df[c].dtype):
+            df[c] = df[c].round(6)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", FAST_QUERIES)
+def test_query_matches_oracle(spark, sf_dir, duck, name):
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    sdf = qs[name](spark, sf_dir).toPandas()
+    odf = duck.execute(oracles[name]).fetchdf()
+    assert len(sdf) == len(odf)
+    sdf.columns = [c.lower() for c in sdf.columns]
+    odf.columns = [c.lower() for c in odf.columns]
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    a, b = _canon(sdf), _canon(odf)
+    # numeric-tolerant frame compare
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        a, b, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-6
+    )
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "sum_qty" in df.columns
+
+
+def test_registry_consistency():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 55
+
+
+def test_multimodal_stub_and_plumbing(spark, sf_dir):
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
+    feats = q_mm_fake_features(spark, sf_dir).limit(5).collect()
+    assert len(feats) == 5
+    r = feats[0]
+    assert r["n_bytes"] > 0 and 0 <= r["first_byte"] < 256 and r["byte_mean"] > 0
