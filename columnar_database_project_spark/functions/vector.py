@@ -1,0 +1,30 @@
+"""Vector math kernels for embedding columns.
+
+Spark's higher-order functions (``zip_with`` + ``aggregate``) are
+interpreted, not codegen'd — measured ~30-200× slower than DuckDB's
+native list kernels on 64-d float arrays. These Arrow-batched numpy
+kernels (matmul per record batch) close that gap; this is the
+documented exception where a vectorized Pandas UDF beats built-ins
+(UDF guidance: Arrow batch + numpy ≫ per-element interpretation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def stack_embeddings(series: pd.Series, dim: int | None = None) -> np.ndarray:
+    """pd.Series of float arrays → (n, d) float64 matrix."""
+    return np.stack([np.asarray(v, dtype=np.float64) for v in series])
+
+
+def normalize_rows(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def cosine_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(n, d) × (m, d) → (n, m) cosine similarities (float64)."""
+    return normalize_rows(a) @ normalize_rows(b).T

@@ -109,12 +109,55 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (time-series point-in-time lookup): for each purchase,
+    the value of the user's latest view at-or-before the purchase time.
+
+    Spark lacks a native ASOF join; the scalable composition is the
+    union-and-carry trick: union both sides, sort within user by time
+    (views before purchases on ties), and carry the last non-null view
+    value forward with ``last(..., ignorenulls)``. One shuffle on
+    user_id — same cost as a regular join, no range explosion.
+    DuckDB's native ``ASOF LEFT JOIN`` is the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("view_value"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("double").alias("view_value"),
+        F.lit(1).alias("kind"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        views.unionByName(purchases)
+        .withColumn("asof_view_value", F.last("view_value", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select(
+            "user_id",
+            "purchase_id",
+            F.round("asof_view_value", 4).alias("asof_view_value"),
+        )
+    )
+
+
 QUERIES = {
     "events_tumbling_hour": q_events_tumbling_hour,
     "events_sessionize": q_events_sessionize,
     "events_json_props": q_events_json_props,
     "events_dedup_latest": q_events_dedup_latest,
     "events_funnel": q_events_funnel,
+    "events_asof_join": q_events_asof_join,
 }
 
 ORACLES = {
@@ -173,5 +216,17 @@ ORACLES = {
               WHERE event_type = 'purchase' GROUP BY user_id) b
           ON v.user_id = b.user_id
         WHERE b.last_buy > v.first_view
+    """,
+    "events_asof_join": """
+        WITH v AS (
+            SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+        ),
+        p AS (
+            SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.user_id, p.event_id AS purchase_id,
+               ROUND(v.value, 4) AS asof_view_value
+        FROM p ASOF LEFT JOIN v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
     """,
 }

@@ -567,6 +567,36 @@ def q_cte_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sampled_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-sampling: a stable md5-based 10% sample of
+    orders, aggregated. Unlike TABLESAMPLE (engine-specific RNG), the
+    hash-mod filter selects the SAME rows on every engine — the
+    reproducible-sampling pattern for 100 TB pipeline debugging."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 10
+    return (
+        orders.filter(bucket == 0)
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct counts (no oracle — Spark's
+    HLL++ and DuckDB's approx sketch differ by design; the driver
+    records the weaker rows-only check). At 100 TB this replaces the
+    exact two-stage distinct with a constant-memory sketch."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -607,6 +637,8 @@ QUERIES = {
     "scalar_subquery": q_scalar_subquery,
     "in_subquery": q_in_subquery,
     "cte_top_supplier": q_cte_top_supplier,
+    "sampled_agg": q_sampled_agg,
+    "approx_distinct": q_approx_distinct,
 }
 
 ORACLES = {
@@ -864,6 +896,11 @@ ORACLES = {
             SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
         )
         GROUP BY l_returnflag
+    """,
+    "sampled_agg": """
+        SELECT count(*) AS n_sampled, ROUND(avg(o_totalprice), 4) AS avg_price
+        FROM orders
+        WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 10 = 0
     """,
     "cte_top_supplier": """
         WITH revenue AS (

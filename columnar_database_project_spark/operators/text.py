@@ -111,12 +111,48 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by tf-idf (idf = ln((N+1)/(df+1))).
+
+    Two shuffles (term-frequency groupBy + document-frequency groupBy,
+    df broadcast back); ranking is a window per doc. Score is rounded
+    to 9 decimals BEFORE ranking so cross-engine libm noise can't flip
+    the order; term is the deterministic tiebreak."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = tokens_col()
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 9
+            ),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"), "rank")
+    )
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_bpe_count": q_text_bpe_count,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
+    "text_tfidf_top_terms": q_text_tfidf_top_terms,
 }
 
 _MARKERS_SQL = ", ".join(f"'{m}'" for m in EN_MARKERS)
@@ -180,5 +216,30 @@ ORACLES = {
                substring(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 8)
                    AS fingerprint_short
         FROM documents
+    """,
+    "text_tfidf_top_terms": """
+        WITH tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+                FROM documents
+            ) GROUP BY doc_id, term
+        ),
+        dfreq AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   ROUND(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 9) AS tfidf
+            FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+        )
+        SELECT doc_id, term, ROUND(tfidf, 6) AS tfidf, rank FROM (
+            SELECT doc_id, term, tfidf,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY tfidf DESC, term
+                   ) AS rank
+            FROM scored
+        ) WHERE rank <= 3
     """,
 }
