@@ -116,3 +116,53 @@ class MicroBlockEngine:
         if self.cache is not None:
             for b in blocks:
                 self.cache.touch(b)
+
+
+def build_full_stack(
+    spark: SparkSession,
+    block_table_path: str,
+    table_name: str = "mytable",
+    log_path: str = "access_log.jsonl",
+    cache_capacity: int = 128,
+    history_len: int = 500,
+    prefetch_interval: float = 60.0,
+    scheduler=None,
+):
+    """Wire the complete engine the way the reference's working entry
+    point does (run_with_prefetch_loop.py:12-44): cache(128) +
+    history(500) + logger + index + engine, plus — when a trained
+    scheduler is supplied — the background PrefetchService.
+
+    Returns (engine, service); ``service`` is None without a scheduler
+    and is NOT started — call ``service.start()`` to launch the loop.
+    """
+    from columnar_database_project_spark.ml.prefetch import (
+        Prefetcher,
+        PrefetchService,
+    )
+    from columnar_database_project_spark.sources.index import MicroBlockIndex
+    from columnar_database_project_spark.storage.access_logger import (
+        AccessLogger,
+        GlobalHistory,
+    )
+    from columnar_database_project_spark.storage.block_cache import BlockCache
+
+    index = MicroBlockIndex.build(block_table_path, table_id=table_name)
+    cache = BlockCache(capacity=cache_capacity)
+    logger = AccessLogger(log_path)
+    history = GlobalHistory(maxlen=history_len)
+    engine = MicroBlockEngine(
+        spark, index=index, cache=cache, logger=logger, history=history
+    )
+    engine.register(table_name, spark.read.parquet(block_table_path))
+    service = None
+    if scheduler is not None:
+        service = PrefetchService(
+            scheduler,
+            Prefetcher(spark, index, cache),
+            history,
+            cache,
+            interval=prefetch_interval,
+            history_len=min(history_len, 100),
+        )
+    return engine, service

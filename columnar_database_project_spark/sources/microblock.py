@@ -20,12 +20,14 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from columnar_database_project_spark.sources.index import MicroBlockIndex
 
 REFERENCE_BLOCK_ROWS = 16_384    # reference microblock_writer.py:5
 DEFAULT_BLOCK_ROWS = 131_072     # reference benchmark2.py:242-243 guidance
+ROW_ID_COL = "_rid"
 
 
 class MicroBlockWriter:
@@ -72,6 +74,45 @@ def read_block(spark: SparkSession, index: MicroBlockIndex, block_id: int) -> Da
     makes this a single-file scan — the Spark analog of
     ``pf.read_row_group`` in reference query_enginev5.py:278-282)."""
     return spark.read.parquet(index.block_file(block_id))
+
+
+def write_with_row_ids(
+    df: DataFrame,
+    path: str,
+    order_by: list[str],
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+    mode: str = "overwrite",
+) -> None:
+    """Write a microblock layout with an explicit global row-id column
+    (0-based, dense, ordered by ``order_by``).
+
+    This makes the reference's row-range scan (S8 —
+    ``MicroBlockReader.scan_range``, broken in the reference:
+    microblock_reader.py:8-19 calls methods that never existed) a
+    first-class, *pruned* operation: the row id is a physically sorted
+    column, so a BETWEEN filter on it prunes to exactly the covering
+    blocks via ordinary zone maps.
+
+    The global row_number is a single total-order window — fine for
+    bounded reindex jobs; for petabyte appends you'd derive ids from
+    (partition offset + local index) instead.
+    """
+    w = Window.orderBy(*[F.col(c) for c in order_by])
+    with_rid = df.withColumn(ROW_ID_COL, F.row_number().over(w) - 1)
+    MicroBlockWriter(block_rows=block_rows).write(
+        with_rid.repartition(1).sortWithinPartitions(ROW_ID_COL), path, mode=mode
+    )
+
+
+def scan_range(
+    spark: SparkSession, path: str, row_start: int, row_end: int
+) -> DataFrame:
+    """Rows with row_start <= _rid <= row_end (inclusive), reference
+    S8 semantics. The filter reaches the parquet scan, so only blocks
+    whose _rid zone maps intersect the range are read."""
+    return spark.read.parquet(path).filter(
+        F.col(ROW_ID_COL).between(row_start, row_end)
+    )
 
 
 def block_count(path: str) -> int:

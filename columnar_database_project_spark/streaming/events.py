@@ -74,6 +74,64 @@ def high_value_alerts(events: DataFrame, threshold: float = 180.0) -> DataFrame:
     )
 
 
+SESSION_STATE_SCHEMA = "last_ts long, session_id long, n_events long, total double"
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_id long, n_events long, session_value double"
+)
+SESSION_GAP_S = 1800
+
+
+def _session_fn(key, pdfs, state):
+    """applyInPandasWithState update function: per-user gap-based
+    sessionization with incremental state (last_ts, session counter,
+    running aggregates). Emits one row per (user, session) per batch —
+    the custom-stateful-operator shape Spark exposes for semantics its
+    built-in session windows can't cover."""
+    import pandas as pd
+
+    (user_id,) = key
+    if state.exists:
+        last_ts, session_id, n_events, total = state.get
+    else:
+        last_ts, session_id, n_events, total = None, 0, 0, 0.0
+    out_rows = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts, value in zip(pdf["ts"], pdf["value"]):
+            epoch = int(ts.timestamp())
+            if last_ts is not None and epoch - last_ts > SESSION_GAP_S:
+                out_rows.append((user_id, session_id, n_events, round(total, 4)))
+                session_id += 1
+                n_events, total = 0, 0.0
+            last_ts = epoch
+            n_events += 1
+            total += float(value)
+    state.update((last_ts, session_id, n_events, total))
+    # emit the in-progress session too (update-mode semantics)
+    out_rows.append((user_id, session_id, n_events, round(total, 4)))
+    yield pd.DataFrame(
+        out_rows, columns=["user_id", "session_id", "n_events", "session_value"]
+    )
+
+
+def sessionize_stateful(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful sessionization via applyInPandasWithState —
+    the streaming twin of operators/events.q_events_sessionize."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> "object":
     """Drive a streaming DataFrame into an in-memory table and process
     everything currently available (test/demo harness)."""

@@ -1,0 +1,105 @@
+"""Row-range scan (reference S8, fixed) + full-stack engine wiring +
+stateful streaming sessionization."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from columnar_database_project_spark.catalog import load_table
+from columnar_database_project_spark.engine import build_full_stack
+from columnar_database_project_spark.plans.verify import pushed_filters
+from columnar_database_project_spark.sources.index import MicroBlockIndex
+from columnar_database_project_spark.sources.microblock import (
+    ROW_ID_COL,
+    scan_range,
+    write_with_row_ids,
+)
+
+
+@pytest.fixture(scope="module")
+def rid_layout(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("rid") / "lineitem_rid")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_with_row_ids(li, out, order_by=["l_orderkey", "l_linenumber"],
+                       block_rows=500)
+    return out
+
+
+class TestScanRange:
+    def test_exact_rows(self, spark, rid_layout):
+        df = scan_range(spark, rid_layout, 100, 199)
+        rows = df.select(ROW_ID_COL).collect()
+        got = sorted(r[ROW_ID_COL] for r in rows)
+        assert got == list(range(100, 200))
+
+    def test_filter_pushed_to_scan(self, spark, rid_layout):
+        df = scan_range(spark, rid_layout, 100, 199)
+        assert any(ROW_ID_COL in f for f in pushed_filters(df))
+
+    def test_range_prunes_blocks(self, spark, rid_layout):
+        idx = MicroBlockIndex.build(rid_layout, "rid")
+        from columnar_database_project_spark.plans.predicate import Between
+
+        candidates = idx.candidate_blocks(Between(ROW_ID_COL, 100, 199))
+        assert len(candidates) == 1          # 500-row blocks: one covers it
+        assert idx.num_blocks >= 10
+
+    def test_cross_block_range(self, spark, rid_layout):
+        df = scan_range(spark, rid_layout, 450, 549)   # spans two blocks
+        assert df.count() == 100
+
+
+class TestFullStack:
+    def test_wiring_mirrors_reference_entry_point(
+        self, spark, rid_layout, tmp_path
+    ):
+        engine, service = build_full_stack(
+            spark,
+            rid_layout,
+            table_name="mytable",
+            log_path=str(tmp_path / "log.jsonl"),
+        )
+        assert service is None   # no scheduler supplied
+        out = engine.query(
+            "SELECT count(*) AS c FROM mytable WHERE l_quantity BETWEEN 18 AND 24"
+        ).collect()
+        assert out[0]["c"] > 0
+        assert engine.logger.block_sequence()
+        assert len(engine.history) > 0
+
+
+class TestStatefulStreaming:
+    def test_sessionize_stateful_counts(self, spark, sf_dir, tmp_path_factory):
+        from columnar_database_project_spark.streaming.events import (
+            read_event_stream,
+            run_to_memory,
+            sessionize_stateful,
+        )
+
+        out = str(tmp_path_factory.mktemp("ss") / "events")
+        ev = load_table(spark, sf_dir, "events")
+        # single file → single batch → final emitted sessions comparable
+        ev.repartition(1).write.parquet(out)
+        stream = read_event_stream(spark, out)
+        q = run_to_memory(
+            sessionize_stateful(stream, watermark="365 days"), "t_sess", "update"
+        )
+        try:
+            got = spark.sql(
+                "SELECT sum(n_events) AS total FROM t_sess"
+            ).collect()[0]["total"]
+            # every event lands in exactly one session
+            assert got == ev.count()
+            n_sessions = spark.sql(
+                "SELECT count(*) AS c FROM (SELECT DISTINCT user_id, session_id FROM t_sess)"
+            ).collect()[0]["c"]
+            # matches the batch sessionizer's session count
+            from columnar_database_project_spark.operators.events import (
+                q_events_sessionize,
+            )
+
+            batch_sessions = q_events_sessionize(spark, sf_dir).count()
+            assert n_sessions == batch_sessions
+        finally:
+            q.stop()
