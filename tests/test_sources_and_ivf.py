@@ -1,0 +1,89 @@
+"""CSV/JSONL readers, Arrow handoff, format converter, and IVF ANN
+recall against brute force."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from columnar_database_project_spark.catalog import load_table
+from columnar_database_project_spark.sources.readers import (
+    convert_to_microblocks,
+    from_arrow,
+    read_csv,
+    read_jsonl,
+    to_arrow,
+)
+
+
+class TestReaders:
+    @pytest.fixture(scope="class")
+    def csv_path(self, spark, sf_dir, tmp_path_factory):
+        out = str(tmp_path_factory.mktemp("csv") / "nation")
+        load_table(spark, sf_dir, "nation").write.option("header", True).csv(out)
+        return out
+
+    def test_csv_roundtrip(self, spark, sf_dir, csv_path):
+        schema = "n_nationkey long, n_name string, n_regionkey long"
+        df = read_csv(spark, csv_path, schema)
+        orig = load_table(spark, sf_dir, "nation")
+        assert df.count() == orig.count()
+        assert set(r["n_name"] for r in df.collect()) == set(
+            r["n_name"] for r in orig.collect()
+        )
+
+    def test_jsonl_roundtrip(self, spark, sf_dir, tmp_path_factory):
+        out = str(tmp_path_factory.mktemp("jsonl") / "region")
+        load_table(spark, sf_dir, "region").write.json(out)
+        df = read_jsonl(spark, out, "r_regionkey long, r_name string")
+        assert df.count() == load_table(spark, sf_dir, "region").count()
+
+    def test_arrow_handoff(self, spark, sf_dir):
+        orig = load_table(spark, sf_dir, "region")
+        tbl = to_arrow(orig)          # S11/S9: engine → Arrow
+        back = from_arrow(spark, tbl)  # S9: Arrow → engine
+        assert back.count() == orig.count()
+        assert set(back.columns) == set(orig.columns)
+
+    def test_convert_csv_to_microblocks(self, spark, csv_path, tmp_path_factory):
+        dst = str(tmp_path_factory.mktemp("conv") / "nation_mb")
+        schema = "n_nationkey long, n_name string, n_regionkey long"
+        convert_to_microblocks(
+            spark, csv_path, dst, fmt="csv", schema=schema, block_rows=10
+        )
+        df = spark.read.parquet(dst)
+        assert df.count() == 25
+
+    def test_unknown_format_raises(self, spark):
+        with pytest.raises(ValueError):
+            convert_to_microblocks(spark, "/x", "/y", fmt="avro")
+
+
+class TestIVF:
+    def test_recall_vs_bruteforce(self, spark, sf_dir):
+        from columnar_database_project_spark.operators.similarity import (
+            q_sim_ivf_topk,
+            q_sim_topk_bruteforce,
+        )
+
+        exact = {
+            (r["q_id"], r["neighbor_id"])
+            for r in q_sim_topk_bruteforce(spark, sf_dir).collect()
+        }
+        approx = {
+            (r["q_id"], r["neighbor_id"])
+            for r in q_sim_ivf_topk(spark, sf_dir).collect()
+        }
+        assert approx, "IVF returned nothing"
+        recall = len(exact & approx) / len(exact)
+        # probing 3/16 cells: near-duplicate neighbors should still be found
+        assert recall >= 0.5, f"recall {recall}"
+        # and every IVF hit must be a real vector with sane rank ordering
+        rows = q_sim_ivf_topk(spark, sf_dir).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["q_id"], []).append((r["rank"], r["cosine"]))
+        for q, pairs in by_q.items():
+            pairs.sort()
+            cosines = [c for _, c in pairs]
+            assert cosines == sorted(cosines, reverse=True)
