@@ -151,6 +151,29 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (inequality) join: classify each event's value into tier
+    buckets via v >= lo AND v < hi. The tier table is tiny → Spark
+    plans a broadcast nested-loop, which is the right physical choice:
+    the large side streams once, no shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 100.0), ("mid", 100.0, 180.0), ("high", 180.0, 10_000.0)],
+        "tier string, lo double, hi double",
+    )
+    return (
+        ev.join(
+            F.broadcast(tiers),
+            (ev.value >= tiers.lo) & (ev.value < tiers.hi),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
 QUERIES = {
     "events_tumbling_hour": q_events_tumbling_hour,
     "events_sessionize": q_events_sessionize,
@@ -158,6 +181,7 @@ QUERIES = {
     "events_dedup_latest": q_events_dedup_latest,
     "events_funnel": q_events_funnel,
     "events_asof_join": q_events_asof_join,
+    "events_range_join": q_events_range_join,
 }
 
 ORACLES = {
@@ -216,6 +240,16 @@ ORACLES = {
               WHERE event_type = 'purchase' GROUP BY user_id) b
           ON v.user_id = b.user_id
         WHERE b.last_buy > v.first_view
+    """,
+    "events_range_join": """
+        WITH tiers AS (
+            SELECT 'low' AS tier, 0.0 AS lo, 100.0 AS hi UNION ALL
+            SELECT 'mid', 100.0, 180.0 UNION ALL
+            SELECT 'high', 180.0, 10000.0
+        )
+        SELECT tier, count(*) AS n_events, ROUND(avg(value), 4) AS avg_value
+        FROM events JOIN tiers ON value >= lo AND value < hi
+        GROUP BY tier
     """,
     "events_asof_join": """
         WITH v AS (

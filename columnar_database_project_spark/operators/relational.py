@@ -597,6 +597,53 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer than rollup/cube): totals by
+    returnflag and separately by linestatus in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(sum(l_quantity), 4) AS sum_qty
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide per-flag sums back to long (metric, value)
+    rows — the inverse of pivot, via the native unpivot operator."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 4).alias("qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("price"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty", "price"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation + array functions: per nation the sorted list
+    of supplier names, its size, and first element — arrays rendered
+    to strings so the oracle hash is layout-independent."""
+    supp = load_table(spark, sf_dir, "supplier")
+    arr = F.array_sort(F.collect_list("s_name"))
+    return (
+        supp.groupBy("s_nationkey")
+        .agg(
+            F.array_join(arr, "|").alias("suppliers"),
+            F.size(arr).alias("n_suppliers"),
+            F.element_at(arr, 1).alias("first_supplier"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -639,6 +686,9 @@ QUERIES = {
     "cte_top_supplier": q_cte_top_supplier,
     "sampled_agg": q_sampled_agg,
     "approx_distinct": q_approx_distinct,
+    "grouping_sets": q_grouping_sets,
+    "unpivot": q_unpivot,
+    "array_agg": q_array_agg,
 }
 
 ORACLES = {
@@ -896,6 +946,29 @@ ORACLES = {
             SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
         )
         GROUP BY l_returnflag
+    """,
+    "grouping_sets": """
+        SELECT l_returnflag, l_linestatus, ROUND(sum(l_quantity), 4) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    "unpivot": """
+        WITH wide AS (
+            SELECT l_returnflag,
+                   ROUND(sum(l_quantity), 4) AS qty,
+                   ROUND(sum(l_extendedprice), 4) AS price
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, 'qty' AS metric, qty AS val FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'price' AS metric, price AS val FROM wide
+    """,
+    "array_agg": """
+        SELECT s_nationkey,
+               array_to_string(list_sort(list(s_name)), '|') AS suppliers,
+               CAST(len(list(s_name)) AS INT) AS n_suppliers,
+               list_sort(list(s_name))[1] AS first_supplier
+        FROM supplier GROUP BY s_nationkey
     """,
     "sampled_agg": """
         SELECT count(*) AS n_sampled, ROUND(avg(o_totalprice), 4) AS avg_price
