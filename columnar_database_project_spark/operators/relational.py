@@ -599,16 +599,14 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (finer than rollup/cube): totals by
-    returnflag and separately by linestatus in one pass."""
+    returnflag and separately by linestatus in one pass — the native
+    DataFrame groupingSets API (Spark 4)."""
     li = load_table(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("_gs_lineitem")
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus,
-               ROUND(sum(l_quantity), 4) AS sum_qty
-        FROM _gs_lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-        """
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+        )
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
     )
 
 
