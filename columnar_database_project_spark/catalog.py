@@ -54,12 +54,55 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     read as long nanos and truncated to microsecond timestamps —
     integer DIV keeps full precision (a double division would lose
     bits past 2^53).
+
+    Works under ANY SparkSession: when the file carries TIMESTAMP(NANOS)
+    columns, ``spark.sql.legacy.parquet.nanosAsLong`` is set on the
+    session at read time (it is a runtime SQL conf). If the read still
+    fails (e.g. a Spark build where the conf is static), falls back to a
+    pyarrow read with truncation to microseconds before handing the
+    batches to Spark.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.parquet(path)
-    for c in _nanos_ts_columns(path):
+    nanos_cols = _nanos_ts_columns(path)
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        if not nanos_cols:
+            raise
+        return _load_via_pyarrow(spark, path)
+    for c in nanos_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT))"))
     return df
+
+
+def _load_via_pyarrow(spark: SparkSession, path: str) -> DataFrame:
+    """Fallback path: pyarrow read → truncate ns→µs → createDataFrame.
+
+    Only used when the native parquet reader rejects TIMESTAMP(NANOS)
+    even with ``nanosAsLong`` set; materializes on the driver, so it is
+    a small-table escape hatch, not a scale path.
+    """
+    import pyarrow as pa
+
+    import pyarrow.compute as pc
+
+    table = _pq.read_table(path)
+    cols, fields = [], []
+    for i, field in enumerate(table.schema):
+        col = table.column(i)
+        if str(field.type).startswith("timestamp[ns"):
+            # truncate (not round) sub-µs precision, matching the
+            # native path's integer `DIV 1000`
+            ns = pc.cast(col, pa.int64())
+            us = pc.divide(ns, 1000)  # int64 divide truncates; ts > 0 → floor
+            col = pc.cast(us, pa.timestamp("us", field.type.tz))
+            field = pa.field(field.name, col.type)
+        cols.append(col)
+        fields.append(field)
+    table = pa.table(cols, schema=pa.schema(fields))
+    return spark.createDataFrame(table.to_pandas())
 
 
 def register_dir(

@@ -20,7 +20,11 @@ def all_queries():
 
     q: dict = {}
     o: dict = {}
-    for mod in (relational, events, text, dedup, similarity, multimodal):
+    # Order matters: the driver's correctness run checks entries in
+    # registry order and may truncate on a time budget — put the
+    # modules with the fewest proven-green rows first so every query
+    # earns a hard-signal row before the long-proven relational tail.
+    for mod in (dedup, similarity, multimodal, text, events, relational):
         dupes = set(q) & set(mod.QUERIES)
         if dupes:
             raise ValueError(f"duplicate query names: {dupes}")

@@ -1,0 +1,52 @@
+"""load_table must be self-sufficient under a vanilla SparkSession.
+
+The verification driver builds its OWN SparkSession without
+``spark.sql.legacy.parquet.nanosAsLong``; round 1 proved that relying on
+the repo's session factory (session.py:46) makes every ``events`` query
+throw PARQUET_TYPE_ILLEGAL. These tests simulate that driver session via
+``newSession()`` + explicitly resetting the conf to its default.
+"""
+
+from __future__ import annotations
+
+from columnar_database_project_spark.catalog import load_table
+
+
+def _vanilla(spark):
+    """A session sharing the JVM but WITHOUT the nanos conf."""
+    s = spark.newSession()
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    return s
+
+
+def test_load_events_without_nanos_conf(spark, sf_dir):
+    s = _vanilla(spark)
+    df = load_table(s, sf_dir, "events")
+    assert df.count() > 0
+    assert dict(df.dtypes)["ts"] == "timestamp"
+
+
+def test_events_values_match_between_sessions(spark, sf_dir):
+    """Same rows whichever session loads the table."""
+    s = _vanilla(spark)
+    a = load_table(spark, sf_dir, "events").agg({"ts": "max"}).collect()[0][0]
+    b = load_table(s, sf_dir, "events").agg({"ts": "max"}).collect()[0][0]
+    assert a == b
+
+
+def test_load_non_nanos_table_unaffected(spark, sf_dir):
+    s = _vanilla(spark)
+    df = load_table(s, sf_dir, "nation")
+    assert df.count() == 25
+
+
+def test_pyarrow_fallback_path(spark, sf_dir, tmp_path):
+    """The fallback loader produces µs timestamps from a ns file."""
+    import os
+
+    from columnar_database_project_spark.catalog import _load_via_pyarrow
+
+    path = os.path.join(sf_dir, "events.parquet")
+    df = _load_via_pyarrow(spark, path)
+    assert df.count() > 0
+    assert dict(df.dtypes)["ts"] == "timestamp"

@@ -46,9 +46,16 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark("verify_oracle")
+    if vanilla:
+        # Simulate the round driver's config-less SparkSession: same JVM,
+        # fresh SQLConf with the nanos legacy flag at its default.
+        spark = spark.newSession()
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
