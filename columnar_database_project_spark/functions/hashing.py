@@ -49,15 +49,30 @@ def shingles(text: str, w: int = SHINGLE_W) -> set[str]:
 
 
 def base_hash32(s: str) -> int:
-    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+    # first 8 hex chars == first 4 digest bytes big-endian; bytes path
+    # skips the hexdigest format + int parse (~2x faster, same value)
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:4], "big")
 
 
-def minhash_signature(text: str) -> np.ndarray:
+def minhash_signature(text: str, _memo: dict[str, int] | None = None) -> np.ndarray:
     """(N_MINHASH,) int64 signature — min over shingles of the affine
-    family applied to the 32-bit md5 base hash."""
-    hs = np.fromiter(
-        (base_hash32(s) for s in shingles(text)), dtype=np.int64
-    )
+    family applied to the 32-bit md5 base hash.
+
+    ``_memo`` (optional) caches shingle→hash across calls: dedup
+    corpora repeat boilerplate shingles heavily, and md5 is the hot
+    loop, so batch-level memoization cuts most of the hashing cost.
+    """
+    if _memo is None:
+        hs = np.fromiter((base_hash32(s) for s in shingles(text)), dtype=np.int64)
+    else:
+        vals = []
+        for s in shingles(text):
+            h = _memo.get(s)
+            if h is None:
+                h = base_hash32(s)
+                _memo[s] = h
+            vals.append(h)
+        hs = np.array(vals, dtype=np.int64)
     # (n_shingles, n_seeds): A*h + B mod P; A,B < 2^28, h < 2^32 → < 2^61
     vals = (hs[:, None] * MINHASH_A[None, :] + MINHASH_B[None, :]) % MERSENNE_P
     return vals.min(axis=0)

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from columnar_database_project_spark.catalog import load_table
 from columnar_database_project_spark.functions import hashing as H
 from columnar_database_project_spark.functions.vector import (
-    cosine_matrix,
+    normalize_rows,
     stack_embeddings,
 )
 
@@ -103,15 +103,30 @@ def q_dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shingle-Jaccard near-dup pairs via inverted-index join: only
-    docs sharing ≥1 shingle ever meet (never all-pairs). At 100 TB
-    you'd add a stop-shingle frequency cut; join skew is bounded by
-    shingle document-frequency."""
-    # materialize the shingle set once — it feeds the join twice plus
-    # the per-doc sizes; without this the python shingling stage would
-    # run three times (and at scale you'd persist to a staging table)
-    sh = _shingles(spark, sf_dir).localCheckpoint()
+def ngram_jaccard_pairs(
+    sh: DataFrame, tau: float = 0.2, max_doc_freq: int | None = None
+) -> DataFrame:
+    """Jaccard pairs from (doc_id, shingle) rows via inverted-index
+    join — only docs sharing ≥1 shingle ever meet (never all-pairs).
+
+    ``max_doc_freq`` is the stop-shingle frequency cut a 100 TB run
+    needs: a shingle appearing in k docs contributes k² join rows, so
+    one boilerplate shingle (a license header) explodes the join.
+    Dropping shingles with document-frequency > ``max_doc_freq``
+    bounds per-key join fan-out at max_doc_freq²; Jaccard is then
+    computed over the surviving shingle sets on BOTH the intersection
+    and the size side, so high-similarity pairs keep (approximately)
+    their score while the join input shrinks.
+    """
+    if max_doc_freq is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
+    sh = sh.localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -138,16 +153,36 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= 0.2)
+        .filter(F.col("jaccard") >= tau)
     )
 
 
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-Jaccard near-dup pairs (exact, no frequency cut, so the
+    SQL oracle reproduces every pair; at 100 TB pass ``max_doc_freq``
+    to ``ngram_jaccard_pairs`` — see its docstring)."""
+    return ngram_jaccard_pairs(_shingles(spark, sf_dir))
+
+
 def _minhash_batches(batches):
+    import numpy as np
+
+    # shingle→hash memo shared across the partition's batches: dedup
+    # corpora repeat boilerplate shingles, and md5 is the hot loop
+    memo: dict[str, int] = {}
+    sig_memo: dict[str, np.ndarray] = {}
     for pdf in batches:
-        sigs = [H.minhash_signature(t) for t in pdf["text"]]
+        sigs = []
+        for t in pdf["text"]:
+            s = sig_memo.get(t)
+            if s is None:
+                s = H.minhash_signature(t, _memo=memo)
+                sig_memo[t] = s
+            sigs.append(s)
+        mat = np.stack(sigs) if sigs else np.empty((0, N_MINHASH), dtype=np.int64)
         out = {"doc_id": pdf["doc_id"].values}
         for i in range(N_MINHASH):
-            out[f"mh_{i}"] = [int(s[i]) for s in sigs]
+            out[f"mh_{i}"] = mat[:, i]
         yield pd.DataFrame(out)
 
 
@@ -206,25 +241,49 @@ def q_dedup_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _band_keys(spark, sf_dir)
 
 
+# At 100 TB one hot bucket (a boilerplate band shared by millions of
+# docs) explodes quadratically; production runs set a cap and treat
+# over-full buckets as "all near-dups of the bucket keeper" instead of
+# enumerating pairs. None = exact (oracle-checkable) semantics.
+LSH_MAX_BUCKET: int | None = None
+
+
+def lsh_candidate_pairs(bk: DataFrame, max_bucket: int | None = None) -> DataFrame:
+    """Candidate pairs from (doc_id, band, band_key) rows.
+
+    Bucket-grouped pair generation: ONE shuffle (the groupBy) gathers
+    each bucket, then sorted pairs are emitted JVM-side with
+    higher-order array functions — no join-side row explosion, and the
+    bucket array is the natural skew guard (``max_bucket`` drops
+    degenerate buckets a self-join would quadratically explode).
+    Replaces the round-1 self-join + distinct (15.6 s → sub-join cost).
+    """
+    buckets = (
+        bk.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) ->"
+                " transform(slice(ids, i + 2, size(ids)), y ->"
+                " struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    return pairs.distinct()
+
+
 def q_dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: distinct (doc_a < doc_b) sharing any band
-    bucket. The equi-join on (band, band_key) is what makes
-    MinHash-LSH subquadratic at scale."""
-    # materialize band keys once: the self-join would otherwise run
-    # the signature pipeline on both sides
-    bk = _band_keys(spark, sf_dir).localCheckpoint()
-    a = bk.alias("a")
-    b = bk.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    bucket. Banding keeps it subquadratic at scale; pair generation is
+    bucket-grouped (see ``lsh_candidate_pairs``) so the only shuffles
+    are the bucket groupBy and the final distinct over candidate
+    pairs."""
+    return lsh_candidate_pairs(_band_keys(spark, sf_dir), LSH_MAX_BUCKET)
 
 
 def _simhash_batches(batches):
@@ -250,9 +309,19 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(_simhash_batches, schema="doc_id long, simhash long")
 
 
+# Tile edge for the in-group similarity matmul: peak extra memory is
+# one EMB_TILE × EMB_TILE float64 block (~32 MB at 2048) regardless of
+# group size, so one giant blocking group degrades to more tiles, not
+# an n² allocation that OOMs the executor.
+EMB_TILE = 2048
+
+
 def _cosine_pairs_in_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Pairwise cosine within one blocking group (numpy matmul), pairs
-    with round(cos, 4) >= COSINE_TAU, vec_a < vec_b."""
+    """Pairwise cosine within one blocking group, pairs with
+    round(cos, 4) >= COSINE_TAU, vec_a < vec_b. Exact semantics; the
+    n×n similarity matrix is computed in EMB_TILE-square tiles so peak
+    memory stays bounded for oversized groups (the 100 TB skew
+    guard)."""
     import numpy as np
 
     pdf = pdf.sort_values("vec_id").reset_index(drop=True)
@@ -261,18 +330,34 @@ def _cosine_pairs_in_group(pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {"vec_a": [], "vec_b": [], "label": [], "cosine": []}
         ).astype({"vec_a": "int64", "vec_b": "int64", "label": "int32", "cosine": "float64"})
-    m = stack_embeddings(pdf["embedding"])
-    sims = np.round(cosine_matrix(m, m), 4)
-    ia, ib = np.triu_indices(n, k=1)
-    keep = sims[ia, ib] >= COSINE_TAU
-    ia, ib = ia[keep], ib[keep]
+    m = normalize_rows(stack_embeddings(pdf["embedding"]))
     ids = pdf["vec_id"].values
+    labels = pdf["label"].values
+    va, vb, la, cos = [], [], [], []
+    for i0 in range(0, n, EMB_TILE):
+        i1 = min(i0 + EMB_TILE, n)
+        for j0 in range(i0, n, EMB_TILE):
+            j1 = min(j0 + EMB_TILE, n)
+            sims = np.round(m[i0:i1] @ m[j0:j1].T, 4)
+            ia, ib = np.nonzero(sims >= COSINE_TAU)
+            if i0 == j0:
+                keep = ia < ib  # upper triangle inside the diagonal tile
+                ia, ib = ia[keep], ib[keep]
+            if len(ia):
+                va.append(ids[i0:i1][ia])
+                vb.append(ids[j0:j1][ib])
+                la.append(labels[i0:i1][ia])
+                cos.append(sims[ia, ib])
+    if not va:
+        return pd.DataFrame(
+            {"vec_a": [], "vec_b": [], "label": [], "cosine": []}
+        ).astype({"vec_a": "int64", "vec_b": "int64", "label": "int32", "cosine": "float64"})
     return pd.DataFrame(
         {
-            "vec_a": ids[ia],
-            "vec_b": ids[ib],
-            "label": pdf["label"].values[ia],
-            "cosine": sims[ia, ib],
+            "vec_a": np.concatenate(va),
+            "vec_b": np.concatenate(vb),
+            "label": np.concatenate(la),
+            "cosine": np.concatenate(cos),
         }
     )
 

@@ -61,25 +61,37 @@ def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Per-PARTITION top-k: score every batch, keep only the k best
+        # neighbors per query across the whole partition, emit once.
+        # The downstream global sort then sees Q×k×n_partitions rows
+        # instead of Q×N — the full sort-shuffle of scored rows is gone.
+        best: dict[int, tuple[np.ndarray, np.ndarray]] = {
+            int(q): (np.empty(0, dtype=np.int64), np.empty(0)) for q in q_ids
+        }
         for pdf in batches:
             v = normalize_rows(stack_embeddings(pdf["embedding"]))
             sims = q_mat @ v.T                      # (Q, batch)
-            nq, nb = sims.shape
-            yield pd.DataFrame(
-                {
-                    "q_id": np.repeat(q_ids, nb),
-                    "vec_id": np.tile(pdf["vec_id"].values, nq),
-                    "cosine_raw": sims.reshape(-1),
-                }
-            )
+            vid = pdf["vec_id"].values.astype(np.int64)
+            for qi, q in enumerate(q_ids):
+                mask = vid != q                     # exclude self
+                ids = np.concatenate([best[int(q)][0], vid[mask]])
+                cs = np.concatenate([best[int(q)][1], sims[qi][mask]])
+                if len(ids) > TOP_K:
+                    # top-k by (cosine desc, vec_id asc) — lexsort keys
+                    order = np.lexsort((ids, -cs))[:TOP_K]
+                    ids, cs = ids[order], cs[order]
+                best[int(q)] = (ids, cs)
+        rows = {"q_id": [], "vec_id": [], "cosine_raw": []}
+        for q, (ids, cs) in best.items():
+            rows["q_id"].extend([q] * len(ids))
+            rows["vec_id"].extend(ids.tolist())
+            rows["cosine_raw"].extend(cs.tolist())
+        yield pd.DataFrame(rows)
 
     sc = spark.sparkContext
-    scored = (
-        emb.select("vec_id", "embedding")
-        .repartition(sc.defaultParallelism)
-        .mapInPandas(score_batches, schema="q_id long, vec_id long, cosine_raw double")
-        .filter(F.col("vec_id") != F.col("q_id"))
-    )
+    scored = emb.select("vec_id", "embedding").repartition(
+        sc.defaultParallelism
+    ).mapInPandas(score_batches, schema="q_id long, vec_id long, cosine_raw double")
     w = W.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -161,8 +173,19 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the search is an equi-join on cell id — same subquadratic shape as
     LSH but with data-adaptive partitions."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # Deterministic centroid sample: stride on vec_id, NOT limit() —
+    # an unordered limit picks whatever partitions schedule first, so
+    # centroids (and results) would vary run-to-run at scale.
+    n = emb.count()
+    step = max(1, n // 2000)
     sample = np.array(
-        [r["embedding"] for r in emb.limit(2000).collect()], dtype=np.float64
+        [
+            r["embedding"]
+            for r in emb.filter(F.pmod("vec_id", F.lit(step)) == 0)
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
     )
     cents = _ivf_centroids(sample)
 
