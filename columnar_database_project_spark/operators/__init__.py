@@ -20,11 +20,7 @@ def all_queries():
 
     q: dict = {}
     o: dict = {}
-    # Order matters: the driver's correctness run checks entries in
-    # registry order and may truncate on a time budget — put the
-    # modules with the fewest proven-green rows first so every query
-    # earns a hard-signal row before the long-proven relational tail.
-    for mod in (dedup, similarity, multimodal, text, events, relational):
+    for mod in (dedup, events, multimodal, relational, similarity, text):
         dupes = set(q) & set(mod.QUERIES)
         if dupes:
             raise ValueError(f"duplicate query names: {dupes}")
