@@ -53,23 +53,28 @@ class BlockCache:
             return None
 
     def put(self, block_id: int, value: Any) -> None:
-        """Insert; evict LRU at capacity (reference block_cache.py:27-44)."""
-        evicted: Any | None = None
+        """Insert or replace; evict LRU at capacity (reference
+        block_cache.py:27-44). Replacing an existing block unpersists
+        the displaced DataFrame and persists the replacement, so a
+        re-put never leaks BlockManager storage or leaves the cached
+        entry silently unpersisted."""
+        displaced: Any | None = None
         with self._lock:
             if block_id in self._entries:
+                displaced = self._entries[block_id]
                 self._entries.move_to_end(block_id)
                 self._entries[block_id] = value
-                return
-            if len(self._entries) >= self.capacity:
-                _, evicted = self._entries.popitem(last=False)
-                self.evictions += 1
-            self._entries[block_id] = value
-        if isinstance(value, DataFrame):
+            else:
+                if len(self._entries) >= self.capacity:
+                    _, displaced = self._entries.popitem(last=False)
+                    self.evictions += 1
+                self._entries[block_id] = value
+        if isinstance(value, DataFrame) and value is not displaced:
             value.persist(StorageLevel.MEMORY_AND_DISK)
             if self.materialize:
                 value.count()  # force materialization into the block manager
-        if isinstance(evicted, DataFrame):
-            evicted.unpersist()
+        if isinstance(displaced, DataFrame) and displaced is not value:
+            displaced.unpersist()
 
     def touch(self, block_id: int) -> None:
         """Promote without insert (engine observation hook)."""

@@ -32,6 +32,26 @@ class TestBlockCache:
         assert c.get(1) == "a2"
         assert c.evictions == 0
 
+    def test_reput_swaps_persistence(self, spark, sf_dir):
+        # Replace path (reference C2 semantics, block_cache.py:27-44):
+        # the displaced DataFrame must be unpersisted and the
+        # replacement persisted+materialized, so re-put neither leaks
+        # BlockManager storage nor leaves an unpersisted "hit".
+        c = BlockCache(capacity=2)
+        old = spark.read.parquet(f"{sf_dir}/region.parquet")
+        new = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        c.put(1, old)
+        assert old.storageLevel.useMemory
+        c.put(1, new)
+        assert not old.storageLevel.useMemory      # displaced: unpersisted
+        assert new.storageLevel.useMemory          # replacement: persisted
+        assert c.get(1) is new
+        # re-putting the SAME DataFrame must not unpersist it
+        c.put(1, new)
+        assert new.storageLevel.useMemory
+        c.remove(1)
+        assert not new.storageLevel.useMemory
+
     def test_stats_surface(self):
         c = BlockCache(capacity=4)
         c.put(1, "x")
