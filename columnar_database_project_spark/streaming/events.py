@@ -81,49 +81,71 @@ SESSION_OUT_SCHEMA = (
 SESSION_GAP_S = 1800
 
 
-def _session_fn(key, pdfs, state):
-    """applyInPandasWithState update function: per-user gap-based
-    sessionization with incremental state (last_ts, session counter,
-    running aggregates). Emits one row per (user, session) per batch —
-    the custom-stateful-operator shape Spark exposes for semantics its
-    built-in session windows can't cover."""
-    import pandas as pd
+def _make_session_fn(emit_open: bool):
+    """Build the applyInPandasWithState update function: per-user
+    gap-based sessionization with incremental state (last_ts, session
+    counter, running aggregates) — the custom-stateful-operator shape
+    Spark exposes for semantics its built-in session windows can't
+    cover.
 
-    (user_id,) = key
-    if state.exists:
-        last_ts, session_id, n_events, total = state.get
-    else:
-        last_ts, session_id, n_events, total = None, 0, 0, 0.0
-    out_rows = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for ts, value in zip(pdf["ts"], pdf["value"]):
-            epoch = int(ts.timestamp())
-            if last_ts is not None and epoch - last_ts > SESSION_GAP_S:
-                out_rows.append((user_id, session_id, n_events, round(total, 4)))
-                session_id += 1
-                n_events, total = 0, 0.0
-            last_ts = epoch
-            n_events += 1
-            total += float(value)
-    state.update((last_ts, session_id, n_events, total))
-    # emit the in-progress session too (update-mode semantics)
-    out_rows.append((user_id, session_id, n_events, round(total, 4)))
-    yield pd.DataFrame(
-        out_rows, columns=["user_id", "session_id", "n_events", "session_value"]
-    )
+    Emits a (user, session) row exactly once, when the session CLOSES
+    (a later event arrives past the gap); the open session rides in
+    state across micro-batches, so a multi-batch run never leaves
+    partial duplicate rows in an update-mode sink. ``emit_open=True``
+    additionally emits the current in-progress session each batch
+    (dashboard-style running view — downstream must then key on
+    (user_id, session_id) and keep the latest row).
+
+    Session ids start at 1, matching the batch twin
+    ``operators/events.q_events_sessionize`` (cumulative-sum ids).
+    """
+
+    def _session_fn(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            last_ts, session_id, n_events, total = state.get
+        else:
+            last_ts, session_id, n_events, total = None, 1, 0, 0.0
+        out_rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                epoch = int(ts.timestamp())
+                if last_ts is not None and epoch - last_ts > SESSION_GAP_S:
+                    out_rows.append(
+                        (user_id, session_id, n_events, round(total, 4))
+                    )
+                    session_id += 1
+                    n_events, total = 0, 0.0
+                last_ts = epoch
+                n_events += 1
+                total += float(value)
+        state.update((last_ts, session_id, n_events, total))
+        if emit_open and n_events:
+            out_rows.append((user_id, session_id, n_events, round(total, 4)))
+        yield pd.DataFrame(
+            out_rows,
+            columns=["user_id", "session_id", "n_events", "session_value"],
+        )
+
+    return _session_fn
 
 
-def sessionize_stateful(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+def sessionize_stateful(
+    events: DataFrame, watermark: str = "2 hours", emit_open: bool = False
+) -> DataFrame:
     """Custom stateful sessionization via applyInPandasWithState —
-    the streaming twin of operators/events.q_events_sessionize."""
+    the streaming twin of operators/events.q_events_sessionize.
+    Closed sessions only by default (see ``_make_session_fn``)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
-            _session_fn,
+            _make_session_fn(emit_open),
             outputStructType=SESSION_OUT_SCHEMA,
             stateStructType=SESSION_STATE_SCHEMA,
             outputMode="update",

@@ -10,11 +10,13 @@ import pytest
 from pyspark.sql import functions as F
 
 from columnar_database_project_spark.catalog import load_table
+from columnar_database_project_spark.operators.events import q_events_sessionize
 from columnar_database_project_spark.streaming.events import (
     dedup_stream,
     high_value_alerts,
     read_event_stream,
     run_to_memory,
+    sessionize_stateful,
     tumbling_counts,
 )
 
@@ -26,6 +28,37 @@ def stream_dir(spark, sf_dir, tmp_path_factory):
     ev = load_table(spark, sf_dir, "events")
     ev.repartition(3).write.parquet(out)
     return out
+
+
+@pytest.fixture(scope="module")
+def ordered_stream_dir(spark, sf_dir, tmp_path_factory):
+    """Events as 3 contiguous time slices with increasing mtimes, so
+    maxFilesPerTrigger=1 replays them as in-time-order micro-batches
+    (the arrival pattern gap-based stateful sessionization assumes)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = tmp_path_factory.mktemp("ordered_stream") / "events"
+    out.mkdir()
+    pdf = (
+        load_table(spark, sf_dir, "events")
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    n = len(pdf)
+    bounds = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        chunk = pdf.iloc[bounds[i] : bounds[i + 1]]
+        path = out / f"slice{i}.parquet"
+        pq.write_table(
+            pa.Table.from_pandas(chunk, preserve_index=False),
+            str(path),
+            coerce_timestamps="us",           # Spark-readable TIMESTAMP(MICROS)
+            allow_truncated_timestamps=True,
+        )
+        os.utime(path, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    return str(out)
 
 
 class TestStreamingTwins:
@@ -58,6 +91,41 @@ class TestStreamingTwins:
                 spark.read.parquet(stream_dir).select("event_id").distinct().count()
             )
             assert n == distinct == total   # event_id is unique in testdata
+        finally:
+            q.stop()
+
+    def test_sessionize_stateful_closed_only(self, spark, sf_dir, ordered_stream_dir):
+        # Multi-micro-batch run must leave EXACTLY one row per closed
+        # (user, session) — no per-batch partial duplicates — and match
+        # the batch twin for every session the stream has closed (the
+        # final open session per user stays in state, by design).
+        stream = read_event_stream(spark, ordered_stream_dir)
+        q = run_to_memory(
+            sessionize_stateful(stream, watermark="365 days"),
+            "t_sessions",
+            "update",
+        )
+        try:
+            rows = spark.sql("SELECT * FROM t_sessions").collect()
+            keys = [(r["user_id"], r["session_id"]) for r in rows]
+            assert len(keys) == len(set(keys)), "duplicate (user, session) rows"
+            got = {
+                (r["user_id"], r["session_id"]): (r["n_events"], r["session_value"])
+                for r in rows
+            }
+            batch = q_events_sessionize(spark, sf_dir).collect()
+            last_sid = {}
+            for r in batch:
+                last_sid[r["user_id"]] = max(
+                    last_sid.get(r["user_id"], 0), r["session_id"]
+                )
+            expected = {
+                (r["user_id"], r["session_id"]): (r["n_events"], r["session_value"])
+                for r in batch
+                if r["session_id"] < last_sid[r["user_id"]]
+            }
+            assert got == expected
+            assert len(got) > 0
         finally:
             q.stop()
 
