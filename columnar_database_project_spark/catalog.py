@@ -65,13 +65,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     nanos_cols = _nanos_ts_columns(path)
     if nanos_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:
+        # Scope the conf to this read: the nanos→long schema is baked
+        # into the relation at spark.read time (verified empirically:
+        # actions on the returned DataFrame succeed after restore), so
+        # restoring here never breaks the caller's OTHER parquet reads.
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "true")
+        try:
+            df = spark.read.parquet(path)
+        except Exception:
+            return _load_via_pyarrow(spark, path)
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
+    else:
         df = spark.read.parquet(path)
-    except Exception:
-        if not nanos_cols:
-            raise
-        return _load_via_pyarrow(spark, path)
     for c in nanos_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT))"))
     return df
@@ -102,7 +113,10 @@ def _load_via_pyarrow(spark: SparkSession, path: str) -> DataFrame:
         cols.append(col)
         fields.append(field)
     table = pa.table(cols, schema=pa.schema(fields))
-    return spark.createDataFrame(table.to_pandas())
+    # Spark 4 accepts a pyarrow.Table directly — no pandas round-trip,
+    # so nullable ints stay ints and types never drift vs the native
+    # reader's schema.
+    return spark.createDataFrame(table)
 
 
 def register_dir(

@@ -50,3 +50,32 @@ def test_pyarrow_fallback_path(spark, sf_dir, tmp_path):
     df = _load_via_pyarrow(spark, path)
     assert df.count() > 0
     assert dict(df.dtypes)["ts"] == "timestamp"
+
+
+def test_conf_restored_after_load(spark, sf_dir):
+    """load_table must not leave nanosAsLong set on the caller's
+    session (it is scoped to the read; actions on the returned
+    DataFrame still work after restore)."""
+    s = _vanilla(spark)
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    before = s.conf.get(key, None)     # built-in default reads as "false"
+    df = load_table(s, sf_dir, "events")
+    assert s.conf.get(key, None) == before
+    assert df.count() > 0          # action succeeds post-restore
+    # and an explicit pre-set value is restored, not clobbered
+    s.conf.set(key, "false")
+    load_table(s, sf_dir, "events").count()
+    assert s.conf.get(key) == "false"
+    s.conf.unset(key)
+
+
+def test_pyarrow_fallback_schema_matches_native(spark, sf_dir):
+    """Arrow-direct fallback must produce the same schema as the
+    native reader (no pandas float64 drift on int columns)."""
+    import os
+
+    from columnar_database_project_spark.catalog import _load_via_pyarrow
+
+    native = load_table(spark, sf_dir, "events")
+    fallback = _load_via_pyarrow(spark, os.path.join(sf_dir, "events.parquet"))
+    assert dict(fallback.dtypes) == dict(native.dtypes)
