@@ -41,16 +41,18 @@ def read_jsonl(
 
 
 def from_arrow(spark: SparkSession, table) -> DataFrame:
-    """Arrow table → DataFrame (reference S9 handoff). Uses the Arrow
-    fast path (spark.sql.execution.arrow.pyspark.enabled)."""
-    return spark.createDataFrame(table.to_pandas())
+    """Arrow table → DataFrame (reference S9 handoff,
+    query_enginev5.py:293-300). Spark 4's createDataFrame takes the
+    pyarrow Table directly — no pandas detour, no dtype drift (nullable
+    ints stay ints), true to the reference's zero-copy spirit."""
+    return spark.createDataFrame(table)
 
 
 def to_arrow(df: DataFrame):
-    """DataFrame → pyarrow Table (driver-side; bounded results only)."""
-    import pyarrow as pa
-
-    return pa.Table.from_pandas(df.toPandas())
+    """DataFrame → pyarrow Table (driver-side; bounded results only).
+    Spark 4's native toArrow() — Arrow batches off the JVM without a
+    pandas intermediary."""
+    return df.toArrow()
 
 
 def convert_to_microblocks(

@@ -39,11 +39,16 @@ class TestReaders:
         assert df.count() == load_table(spark, sf_dir, "region").count()
 
     def test_arrow_handoff(self, spark, sf_dir):
-        orig = load_table(spark, sf_dir, "region")
+        import pyarrow as pa
+
+        orig = load_table(spark, sf_dir, "nation")
         tbl = to_arrow(orig)          # S11/S9: engine → Arrow
+        assert isinstance(tbl, pa.Table)   # native toArrow, no pandas
         back = from_arrow(spark, tbl)  # S9: Arrow → engine
-        assert back.count() == orig.count()
-        assert set(back.columns) == set(orig.columns)
+        assert back.schema == orig.schema  # exact types, no drift
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, orig.collect())
+        )
 
     def test_convert_csv_to_microblocks(self, spark, csv_path, tmp_path_factory):
         dst = str(tmp_path_factory.mktemp("conv") / "nation_mb")
