@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from columnar_database_project_spark.sources.index import MicroBlockIndex
@@ -82,6 +82,7 @@ def write_with_row_ids(
     order_by: list[str],
     block_rows: int = DEFAULT_BLOCK_ROWS,
     mode: str = "overwrite",
+    num_partitions: int | None = None,
 ) -> None:
     """Write a microblock layout with an explicit global row-id column
     (0-based, dense, ordered by ``order_by``).
@@ -93,15 +94,59 @@ def write_with_row_ids(
     column, so a BETWEEN filter on it prunes to exactly the covering
     blocks via ordinary zone maps.
 
-    The global row_number is a single total-order window — fine for
-    bounded reindex jobs; for petabyte appends you'd derive ids from
-    (partition offset + local index) instead.
+    Scale path — no global window, no single-task sort:
+
+    1. range-partition by ``order_by`` (global order across
+       partitions) and sort within each partition,
+    2. persist, then count rows per partition (tiny agg → driver),
+    3. assign ``_rid = partition_offset + local_index`` with a narrow
+       Arrow-batched map — zero additional shuffles, parallel write.
+
+    The persist pins the range partitioning so the count pass and the
+    id-assignment pass see identical partitions.
     """
-    w = Window.orderBy(*[F.col(c) for c in order_by])
-    with_rid = df.withColumn(ROW_ID_COL, F.row_number().over(w) - 1)
-    MicroBlockWriter(block_rows=block_rows).write(
-        with_rid.repartition(1).sortWithinPartitions(ROW_ID_COL), path, mode=mode
+    import numpy as np
+    from pyspark import StorageLevel, TaskContext
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    sorted_df = (
+        df.repartitionByRange(n_parts, *[F.col(c) for c in order_by])
+        .sortWithinPartitions(*order_by)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    try:
+        sizes = {
+            r["pid"]: r["n"]
+            for r in sorted_df.groupBy(
+                F.spark_partition_id().alias("pid")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        offsets: dict[int, int] = {}
+        acc = 0
+        for pid in range(max(sizes, default=-1) + 1):
+            offsets[pid] = acc
+            acc += sizes.get(pid, 0)
+
+        out_schema = T.StructType(
+            sorted_df.schema.fields + [T.StructField(ROW_ID_COL, T.LongType())]
+        )
+
+        def assign(iterator):
+            ctx = TaskContext.get()
+            nxt = offsets.get(ctx.partitionId() if ctx else 0, 0)
+            for pdf in iterator:
+                pdf[ROW_ID_COL] = np.arange(nxt, nxt + len(pdf), dtype="int64")
+                nxt += len(pdf)
+                yield pdf
+
+        with_rid = sorted_df.mapInPandas(assign, schema=out_schema)
+        MicroBlockWriter(block_rows=block_rows).write(with_rid, path, mode=mode)
+    finally:
+        sorted_df.unpersist()
 
 
 def scan_range(

@@ -22,7 +22,7 @@ def rid_layout(spark, sf_dir, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("rid") / "lineitem_rid")
     li = load_table(spark, sf_dir, "lineitem")
     write_with_row_ids(li, out, order_by=["l_orderkey", "l_linenumber"],
-                       block_rows=500)
+                       block_rows=500, num_partitions=4)
     return out
 
 
@@ -48,6 +48,27 @@ class TestScanRange:
     def test_cross_block_range(self, spark, rid_layout):
         df = scan_range(spark, rid_layout, 450, 549)   # spans two blocks
         assert df.count() == 100
+
+    def test_rids_dense_ordered_multipartition(self, spark, sf_dir, rid_layout):
+        # Scale path: ids come from partition offsets + local index
+        # over 4 range partitions — no repartition(1), no global
+        # window — and must still be dense 0..n-1 in order_by order.
+        import os
+
+        df = spark.read.parquet(rid_layout)
+        n = load_table(spark, sf_dir, "lineitem").count()
+        rows = df.select(ROW_ID_COL, "l_orderkey", "l_linenumber").collect()
+        assert sorted(r[ROW_ID_COL] for r in rows) == list(range(n))
+        by_rid = sorted(rows, key=lambda r: r[ROW_ID_COL])
+        keys = [(r["l_orderkey"], r["l_linenumber"]) for r in by_rid]
+        assert keys == sorted(keys)
+        # written by >1 task (multiple part-file task prefixes)
+        prefixes = {
+            f.split("-")[1]
+            for f in os.listdir(rid_layout)
+            if f.startswith("part-")
+        }
+        assert len(prefixes) > 1
 
 
 class TestFullStack:
@@ -79,11 +100,14 @@ class TestStatefulStreaming:
 
         out = str(tmp_path_factory.mktemp("ss") / "events")
         ev = load_table(spark, sf_dir, "events")
-        # single file → single batch → final emitted sessions comparable
+        # single file → single batch; emit_open gives the running view
+        # (closed + in-progress sessions), so every event is visible
         ev.repartition(1).write.parquet(out)
         stream = read_event_stream(spark, out)
         q = run_to_memory(
-            sessionize_stateful(stream, watermark="365 days"), "t_sess", "update"
+            sessionize_stateful(stream, watermark="365 days", emit_open=True),
+            "t_sess",
+            "update",
         )
         try:
             got = spark.sql(
