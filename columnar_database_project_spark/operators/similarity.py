@@ -18,6 +18,7 @@ here is Arrow-batched numpy (see functions/vector.py).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -145,6 +146,8 @@ def q_sim_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_IVF_CELLS = 16
 N_PROBE = 3
 IVF_KMEANS_ITERS = 10
+IVF_SAMPLE_TARGET = 2000
+IVF_SIM_DECIMALS = 6     # rounded before argmax → cross-engine stable
 
 
 def _ivf_centroids(emb_rows: np.ndarray) -> np.ndarray:
@@ -162,6 +165,101 @@ def _ivf_centroids(emb_rows: np.ndarray) -> np.ndarray:
     return normalize_rows(cent)
 
 
+def _ivf_sample(sf_dir: str) -> np.ndarray:
+    """Centroid-training sample, deterministic for a given table:
+    rows sorted by vec_id, strided to ~IVF_SAMPLE_TARGET rows. The
+    stride works on actual ids (sorted), so sparse or offset vec_ids
+    can't starve it; if the stride still undershoots (tiny tables),
+    fall back to every row. Driver-side pyarrow read = control plane
+    (at 100 TB: a distributed stride-sample collect of the same rows).
+    """
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    vid = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False))
+    order = np.argsort(vid, kind="stable")
+    emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)[order]
+    n = len(emb)
+    if n <= max(IVF_SAMPLE_TARGET, N_IVF_CELLS):
+        return emb
+    step = max(1, n // IVF_SAMPLE_TARGET)
+    sample = emb[::step]
+    if len(sample) < max(N_IVF_CELLS * 4, 64):
+        return emb
+    return sample
+
+
+_CENTROID_CACHE: dict[str, np.ndarray] = {}
+
+
+def ivf_centroids(sf_dir: str) -> np.ndarray:
+    """Normalized (N_IVF_CELLS, D) centroids for one table directory —
+    deterministic given the data, shared by the queries AND the SQL
+    oracle builder so both sides see bit-identical centroids."""
+    key = os.path.realpath(sf_dir)
+    if key not in _CENTROID_CACHE:
+        _CENTROID_CACHE[key] = _ivf_centroids(_ivf_sample(sf_dir))
+    return _CENTROID_CACHE[key]
+
+
+def q_sim_ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic part of the IVF pipeline, oracle-checked: every
+    vector's cell assignment (argmax cosine to the k-means centroids,
+    similarity rounded to IVF_SIM_DECIMALS first, ties → lowest cell).
+    Zero-shuffle Arrow-batched map — the exact scan shape the full ANN
+    query fuses its scoring into."""
+    cents = ivf_centroids(sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            v = stack_embeddings(pdf["embedding"])
+            norms = np.linalg.norm(v, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = np.round((v @ cents.T) / norms, IVF_SIM_DECIMALS)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "cell": np.argmax(sims, axis=1).astype(np.int32),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id long, cell int"
+    )
+
+
+def q_sim_ivf_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked probe plan: for each query vector, the N_PROBE
+    cells it searches, ranked by (rounded) cosine to the centroids."""
+    cents = ivf_centroids(sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            v = stack_embeddings(pdf["embedding"])
+            norms = np.linalg.norm(v, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = np.round((v @ cents.T) / norms, IVF_SIM_DECIMALS)
+            rows = {"q_id": [], "cell": [], "probe_rank": []}
+            for i in range(v.shape[0]):
+                # sort by (-sim, cell): deterministic under rounded ties
+                order = np.lexsort((np.arange(N_IVF_CELLS), -sims[i]))
+                for rank, c in enumerate(order[:N_PROBE], start=1):
+                    rows["q_id"].append(pdf["vec_id"].iloc[i])
+                    rows["cell"].append(int(c))
+                    rows["probe_rank"].append(rank)
+            yield pd.DataFrame(rows)
+
+    return (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .mapInPandas(probe, schema="q_id long, cell int, probe_rank int")
+    )
+
+
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: k-means cells over a sample, each
     vector assigned to its nearest cell, queries probe the N_PROBE
@@ -173,21 +271,11 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the search is an equi-join on cell id — same subquadratic shape as
     LSH but with data-adaptive partitions."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # Deterministic centroid sample: stride on vec_id, NOT limit() —
+    # Deterministic centroids shared with the oracle-checked
+    # assignment/probe queries (sorted stride sample, NOT limit() —
     # an unordered limit picks whatever partitions schedule first, so
-    # centroids (and results) would vary run-to-run at scale.
-    n = emb.count()
-    step = max(1, n // 2000)
-    sample = np.array(
-        [
-            r["embedding"]
-            for r in emb.filter(F.pmod("vec_id", F.lit(step)) == 0)
-            .select("embedding")
-            .collect()
-        ],
-        dtype=np.float64,
-    )
-    cents = _ivf_centroids(sample)
+    # centroids and results would vary run-to-run at scale).
+    cents = ivf_centroids(sf_dir)
 
     qrows = emb.filter(F.col("vec_id") < N_QUERIES).select(
         "vec_id", "embedding"
@@ -240,6 +328,8 @@ QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_hyperplane_signatures": q_sim_hyperplane_signatures,
     "sim_bucket_sizes": q_sim_bucket_sizes,
+    "sim_ivf_assignments": q_sim_ivf_assignments,
+    "sim_ivf_probes": q_sim_ivf_probes,
     "sim_ivf_topk": q_sim_ivf_topk,
 }
 
@@ -287,3 +377,58 @@ ORACLES = {
         ) GROUP BY signature HAVING count(*) > 1
     """,
 }
+
+
+def _ivf_oracle_sqls() -> dict[str, str]:
+    """SQL twins for the deterministic IVF stages (assignment + probe
+    plan). Centroids are data-dependent, so the literals are derived —
+    via the same ``ivf_centroids`` the queries use — from the table the
+    oracle will run against: ``SPARK_GRAFT_ORACLE_SF_DIR`` (default
+    /root/testdata/sf0.01, the driver's correctness scale). Empty dict
+    when that table is absent → those queries fall back to the
+    rows-only check."""
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    if not os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+        return {}
+    cents = ivf_centroids(sf_dir)
+    values = ",\n            ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    sims = f"""
+        WITH cents(cell, c) AS (VALUES
+            {values}
+        ),
+        sims AS (
+            SELECT e.vec_id, c.cell,
+                   round(
+                       list_dot_product(e.embedding::DOUBLE[], c.c)
+                       / sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                               e.embedding::DOUBLE[])),
+                       {IVF_SIM_DECIMALS}
+                   ) AS sim_r
+            FROM embeddings e CROSS JOIN cents c
+        )"""
+    return {
+        "sim_ivf_assignments": f"""{sims}
+        SELECT vec_id, CAST(cell AS INT) AS cell FROM (
+            SELECT vec_id, cell, row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim_r DESC, cell
+            ) AS rn FROM sims
+        ) WHERE rn = 1
+    """,
+        "sim_ivf_probes": f"""{sims}
+        SELECT q_id, CAST(cell AS INT) AS cell,
+               CAST(probe_rank AS INT) AS probe_rank FROM (
+            SELECT vec_id AS q_id, cell, row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim_r DESC, cell
+            ) AS probe_rank
+            FROM sims WHERE vec_id < {N_QUERIES}
+        ) WHERE probe_rank <= {N_PROBE}
+    """,
+    }
+
+
+ORACLES.update(_ivf_oracle_sqls())

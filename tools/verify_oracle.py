@@ -23,6 +23,14 @@ sys.path.insert(0, REPO)
 from columnar_database_project_spark.catalog import TESTDATA_TABLES  # noqa: E402
 from columnar_database_project_spark.session import get_spark  # noqa: E402
 
+# Data-dependent oracles (IVF centroid literals) must be derived from
+# the same table dir the comparison runs on — export it before the
+# registry import builds the SQL strings.
+_ARGS = [a for a in sys.argv[1:] if a != "--vanilla"]
+os.environ.setdefault(
+    "SPARK_GRAFT_ORACLE_SF_DIR", _ARGS[0] if _ARGS else "/root/testdata/sf0.01"
+)
+
 import __spark_entry__ as entrymod  # noqa: E402
 
 
