@@ -164,14 +164,24 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_shingles(spark, sf_dir))
 
 
+MINHASH_MEMO_MAX = 1 << 20   # entries; bounds Python-worker memory
+
+
 def _minhash_batches(batches):
     import numpy as np
 
     # shingle→hash memo shared across the partition's batches: dedup
-    # corpora repeat boilerplate shingles, and md5 is the hot loop
+    # corpora repeat boilerplate shingles, and md5 is the hot loop.
+    # Capped: on a high-cardinality partition an unbounded memo would
+    # grow with distinct shingles — cleared wholesale at the cap so it
+    # stays an optimization, never a memory liability.
     memo: dict[str, int] = {}
     sig_memo: dict[str, np.ndarray] = {}
     for pdf in batches:
+        if len(memo) > MINHASH_MEMO_MAX:
+            memo.clear()
+        if len(sig_memo) > MINHASH_MEMO_MAX // 16:
+            sig_memo.clear()
         sigs = []
         for t in pdf["text"]:
             s = sig_memo.get(t)
