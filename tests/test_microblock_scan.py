@@ -89,6 +89,39 @@ class TestFullStack:
         assert engine.logger.block_sequence()
         assert len(engine.history) > 0
 
+    def test_interactive_shell_smoke(self, spark, rid_layout, tmp_path):
+        # Reference front-door parity (run_with_prefetch_loop.py:54-61):
+        # two statements through the REPL loop, access log populated,
+        # bad SQL doesn't kill the loop.
+        import sys
+
+        sys.path.insert(0, "tools")
+        from tools.shell import run_shell
+
+        engine, _ = build_full_stack(
+            spark,
+            rid_layout,
+            table_name="mytable",
+            log_path=str(tmp_path / "shell_log.jsonl"),
+        )
+        lines = iter(
+            [
+                "SELECT count(*) AS c FROM mytable WHERE l_quantity < 10",
+                "SELECT NOT VALID SQL !!",
+                r"\stats",
+                "SELECT max(l_orderkey) AS m FROM mytable "
+                "WHERE l_quantity BETWEEN 18 AND 24",
+                r"\q",
+            ]
+        )
+        outputs: list[str] = []
+        n = run_shell(engine, input_fn=lambda _: next(lines),
+                      output_fn=lambda s: outputs.append(str(s)))
+        assert n == 2                       # two SQL statements ran
+        assert any("error:" in o for o in outputs)   # bad SQL survived
+        assert any("capacity" in o for o in outputs)  # \stats answered
+        assert len(engine.logger.block_sequence()) > 0
+
 
 class TestStatefulStreaming:
     def test_sessionize_stateful_counts(self, spark, sf_dir, tmp_path_factory):
