@@ -12,7 +12,12 @@ Prints ONE JSON line:
    "queries": {name: sec}, "sf": ..., "baseline_duckdb": {name: sec}}
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default 32).
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_SF2_DIR (default /root/testdata/sf0.01) — secondary
+     scale for the per-query scaling slope ("scaling" key): Spark's
+     fixed ~0.3-1 s per-query overhead dominates sub-second baselines,
+     so the ratio at one small SF understates relative throughput at
+     scale; two points expose the data-dependent component.
 """
 
 from __future__ import annotations
@@ -49,7 +54,12 @@ HEADLINE = [
     "sim_topk_bruteforce",
 ]
 
-RUNS_PER_QUERY = 2  # report the best (steady-state) run
+# Best-of-3: profiled r2's apparent q3 "regression" (2.16 s recorded vs
+# 0.89 s in r1) — warm reruns in one session give 0.59-0.76 s, so the
+# recorded number was first-run cold-start (codegen/JIT/shuffle spin-up),
+# not a plan change. Three runs make the steady-state number the one
+# reported.
+RUNS_PER_QUERY = 3
 
 
 def bench_spark(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
@@ -99,6 +109,16 @@ def main() -> None:
     spark_times = bench_spark(spark, sf_dir, HEADLINE)
     duck_times = bench_duckdb(sf_dir, HEADLINE)
     total = round(sum(spark_times.values()), 3)
+    scaling = {}
+    sf2_dir = os.environ.get("SPARK_GRAFT_SF2_DIR", "/root/testdata/sf0.01")
+    if os.path.isdir(sf2_dir) and os.path.realpath(sf2_dir) != os.path.realpath(
+        sf_dir
+    ):
+        sf2 = os.path.basename(sf2_dir.rstrip("/"))
+        scaling[sf2] = {
+            "queries": bench_spark(spark, sf2_dir, HEADLINE),
+            "baseline_duckdb": bench_duckdb(sf2_dir, HEADLINE),
+        }
     print(
         json.dumps(
             {
@@ -109,6 +129,7 @@ def main() -> None:
                 "sf": sf_val,
                 "baseline_duckdb": duck_times,
                 "baseline_duckdb_total": round(sum(duck_times.values()), 3),
+                "scaling": scaling,
             }
         )
     )

@@ -306,6 +306,111 @@ def _simhash_batches(batches):
         )
 
 
+SIMHASH_BANDS = 4                       # 32 bits → 4 × 8-bit bands
+HAMMING_K = 3                           # pigeonhole: ≤3 flipped bits
+                                        # can touch ≤3 of 4 bands, so a
+                                        # matching band ALWAYS exists —
+                                        # banding is exact, not approximate
+_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+
+
+def q_dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: hamming(sig_a, sig_b) <= HAMMING_K.
+
+    Scale path: band the 32-bit signature into 4 × 8-bit keys and
+    bucket-join on band equality (reusing the LSH bucket-grouped pair
+    generator — one shuffle, no row explosion), then keep pairs whose
+    full signatures are within HAMMING_K bits. By pigeonhole the band
+    pass loses nothing, so the result equals the all-pairs hamming
+    filter the SQL oracle runs — exactness AND subquadratic candidate
+    generation."""
+    sig = q_dedup_simhash(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("simhash", i * _BAND_BITS)
+                        .bitwiseAND(F.lit((1 << _BAND_BITS) - 1))
+                        .cast("string")
+                        .alias("band_key"),
+                    )
+                    for i in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.band_key")
+    cand = lsh_candidate_pairs(bands)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "hamming", F.expr("CAST(bit_count(sig_a ^ sig_b) AS INT)")
+        )
+        .filter(F.col("hamming") <= HAMMING_K)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+CLUSTER_MAX_ITERS = 20
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the Jaccard-pair
+    graph, cluster_id = min doc_id in the component — the step a real
+    pipeline needs between "candidate pairs" and "pick one canonical
+    doc per duplicate group".
+
+    Min-label propagation with a driver convergence loop: iterations =
+    component diameter (near-dup clusters are shallow, typically ≤3
+    hops), each iteration one shuffle; ``localCheckpoint`` truncates
+    the growing lineage. At 100 TB swap the loop body for the
+    alternating large-star/small-star rounds (Kiveris et al., "CC in
+    MapReduce") — same driver-loop skeleton, fewer iterations on
+    high-diameter graphs."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(CLUSTER_MAX_ITERS):
+        nbr = (
+            edges.join(labels, edges["doc_b"] == labels["doc_id"])
+            .groupBy(edges["doc_a"].alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash: 32-bit signature = per-bit majority vote of token
     hashes weighted by token frequency. Near-dup = small Hamming
@@ -394,6 +499,8 @@ QUERIES = {
     "dedup_lsh_buckets": q_dedup_lsh_buckets,
     "dedup_lsh_candidates": q_dedup_lsh_candidates,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_candidates": q_dedup_simhash_candidates,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
 }
 
@@ -491,8 +598,22 @@ ORACLES = {
           ON a.band = b.band AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id
     """,
-    "dedup_simhash": f"""
-        WITH tok_counts AS (
+    "dedup_simhash": None,   # filled below from _SIMHASH_CTES
+    "dedup_embedding_cosine": f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+               ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+                   AS cosine
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+              >= {COSINE_TAU}
+    """,
+}
+
+
+# Shared SimHash CTE chain (signature per doc) — used by the signature
+# oracle and the banded-candidates oracle.
+_SIMHASH_CTES = f"""tok_counts AS (
             SELECT doc_id, tok, count(*) AS cnt FROM (
                 SELECT doc_id,
                        unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
@@ -509,19 +630,60 @@ ORACLES = {
                    sum(cnt * (((h >> b) & 1) * 2 - 1)) AS s
             FROM hashed, (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS b)
             GROUP BY doc_id, b
+        ),
+        sims AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS simhash
+            FROM per_bit GROUP BY doc_id
+        )"""
+
+ORACLES["dedup_simhash"] = f"""
+        WITH {_SIMHASH_CTES}
+        SELECT doc_id, simhash FROM sims
+    """
+
+# The oracle runs the quadratic all-pairs hamming filter; the Spark
+# query's banded candidate generation is *provably* equal to it
+# (pigeonhole over SIMHASH_BANDS bands), so the hash compare is an
+# exactness proof for the subquadratic plan.
+ORACLES["dedup_simhash_candidates"] = f"""
+        WITH {_SIMHASH_CTES}
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_K}
+    """
+
+# Connected components via transitive closure (fine at oracle scale);
+# the Spark side label-propagates to the same min-id-per-component.
+ORACLES["dedup_clusters"] = f"""
+        WITH RECURSIVE {_SHINGLES_SQL},
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM shingles a JOIN shingles b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2
+        ),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(u, v) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
         )
-        SELECT doc_id,
-               CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)
-                    AS BIGINT) AS simhash
-        FROM per_bit GROUP BY doc_id
-    """,
-    "dedup_embedding_cosine": f"""
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-               ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
-                   AS cosine
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
-              >= {COSINE_TAU}
-    """,
-}
+        SELECT u AS doc_id, CAST(min(v) AS BIGINT) AS cluster_id
+        FROM (SELECT u, v FROM reach UNION SELECT u, u FROM edges)
+        GROUP BY u
+    """
