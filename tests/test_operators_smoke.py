@@ -25,7 +25,9 @@ FAST_QUERIES = [
     "window_rank",
     "text_token_stats",
     "dedup_exact_survivors",
+    "dedup_simhash_candidates",
     "sim_hyperplane_signatures",
+    "sim_ivf_assignments",
     "events_json_props",
 ]
 
@@ -90,3 +92,28 @@ def test_multimodal_stub_and_plumbing(spark, sf_dir):
     assert len(feats) == 5
     r = feats[0]
     assert r["n_bytes"] > 0 and 0 <= r["first_byte"] < 256 and r["byte_mean"] > 0
+
+
+def test_dedup_clusters_invariants(spark, sf_dir):
+    """Connected-components invariants: cluster_id = min doc_id of the
+    component, and every Jaccard edge joins two docs of the SAME
+    cluster (the definition of connectedness)."""
+    from columnar_database_project_spark.operators.dedup import (
+        q_dedup_clusters,
+        q_dedup_ngram_jaccard,
+    )
+
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in q_dedup_clusters(spark, sf_dir).collect()
+    }
+    assert labels, "expected at least one near-dup cluster in testdata"
+    # min-id representative: the cluster id is a member, and it is the min
+    by_cluster: dict = {}
+    for doc, cid in labels.items():
+        by_cluster.setdefault(cid, []).append(doc)
+    for cid, members in by_cluster.items():
+        assert min(members) == cid
+    # edges never straddle clusters
+    for r in q_dedup_ngram_jaccard(spark, sf_dir).collect():
+        assert labels[r["doc_a"]] == labels[r["doc_b"]]
