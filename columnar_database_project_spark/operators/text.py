@@ -146,6 +146,83 @@ def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check: eval-split docs (doc_id % 10 ==
+    0) whose exact content fingerprint also appears in the train split
+    — the leakage gate every pretraining pipeline runs before eval.
+    One equi-join on the 128-bit fingerprint (shuffle-hash at corpus
+    scale; both sides are fingerprint projections, never full text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", F.md5("text").alias("fingerprint"))
+    ev = fp.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "fingerprint"
+    )
+    tr = fp.filter(F.col("doc_id") % 10 != 0).select("fingerprint")
+    return (
+        ev.join(tr, "fingerprint")
+        .groupBy("eval_doc_id", "fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_train_matches"))
+    )
+
+
+def q_text_quality_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality ranking: top-5 docs per lang by the
+    quality score — the stratified 'keep the best of each language'
+    selection step. Window over the lang partition; the heavy part
+    (scoring) is scan-local, the shuffle is one hash partition by
+    lang."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    markers = F.array(*[F.lit(m) for m in EN_MARKERS])
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(
+        F.filter(toks, lambda t: F.array_contains(markers, t))
+    ) / n_tokens.cast("double")
+    score = F.round(
+        0.6 * F.least(n_tokens / F.lit(100.0), F.lit(1.0)) + 0.4 * stop_ratio, 6
+    )
+    scored = docs.select("doc_id", "lang", score.alias("quality_score"))
+    w = W.partitionBy("lang").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "doc_id", "quality_score", "rank")
+    )
+
+
+def q_text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram (10-token buckets): the corpus-shape
+    diagnostic run before choosing packing/truncation lengths. Pure
+    map + one tiny agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens_col())
+    return (
+        docs.select((F.floor(n_tokens / 10) * 10).cast("long").alias("bucket_lo"))
+        .groupBy("bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% stratified sample: hash-bucket each doc_id
+    (md5 → 0..99) and keep buckets < 20 — reproducible run-to-run and
+    engine-to-engine, unlike rand()-based sampling, and stratification
+    falls out because the hash is independent of lang. Scan-local
+    filter, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+    )
+    return docs.select(
+        "doc_id", "lang", bucket.alias("sample_bucket")
+    ).filter(F.col("sample_bucket") < 20)
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_bpe_count": q_text_bpe_count,
@@ -153,6 +230,10 @@ QUERIES = {
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
     "text_tfidf_top_terms": q_text_tfidf_top_terms,
+    "text_contamination": q_text_contamination,
+    "text_quality_topk_per_lang": q_text_quality_topk_per_lang,
+    "text_length_histogram": q_text_length_histogram,
+    "text_stratified_sample": q_text_stratified_sample,
 }
 
 _MARKERS_SQL = ", ".join(f"'{m}'" for m in EN_MARKERS)
@@ -243,3 +324,50 @@ ORACLES = {
         ) WHERE rank <= 3
     """,
 }
+
+
+ORACLES["text_contamination"] = """
+        WITH fp AS (SELECT doc_id, md5(text) AS fingerprint FROM documents)
+        SELECT e.doc_id AS eval_doc_id, e.fingerprint,
+               count(*) AS n_train_matches
+        FROM fp e JOIN fp t
+          ON e.fingerprint = t.fingerprint AND t.doc_id % 10 != 0
+        WHERE e.doc_id % 10 = 0
+        GROUP BY e.doc_id, e.fingerprint
+    """
+
+ORACLES["text_quality_topk_per_lang"] = f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id, lang,
+                   ROUND(0.6 * least(len(toks) / 100.0, 1.0)
+                         + 0.4 * (len(list_filter(toks, x -> x IN ({_MARKERS_SQL})))
+                                  / CAST(len(toks) AS DOUBLE)), 6) AS quality_score
+            FROM t
+        )
+        SELECT lang, doc_id, quality_score, rank FROM (
+            SELECT lang, doc_id, quality_score,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY quality_score DESC, doc_id
+                   ) AS rank
+            FROM s
+        ) WHERE rank <= 5
+    """
+
+ORACLES["text_length_histogram"] = """
+        SELECT CAST(floor(len(regexp_split_to_array(trim(text), '\\s+')) / 10)
+                    * 10 AS BIGINT) AS bucket_lo,
+               count(*) AS n_docs
+        FROM documents GROUP BY 1
+    """
+
+ORACLES["text_stratified_sample"] = """
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100
+                   AS sample_bucket
+        FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 20
+    """
