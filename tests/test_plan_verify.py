@@ -80,3 +80,40 @@ class TestPruningReport:
         rep = pruning_report(layout, "SELECT * FROM t WHERE l_orderkey + 0 = 150")
         assert rep.sound
         assert rep.selectivity == 1.0
+
+
+class TestRound3PlanShapes:
+    def test_stratified_sample_zero_shuffle(self, spark, sf_dir):
+        from columnar_database_project_spark.operators.text import (
+            q_text_stratified_sample,
+        )
+
+        df = q_text_stratified_sample(spark, sf_dir)
+        assert count_shuffles(df) == 0       # pure scan-local filter
+
+    def test_length_histogram_single_shuffle(self, spark, sf_dir):
+        from columnar_database_project_spark.operators.text import (
+            q_text_length_histogram,
+        )
+
+        df = q_text_length_histogram(spark, sf_dir)
+        assert count_shuffles(df) == 1       # the one groupBy, map-side partials
+
+    def test_contamination_no_cartesian(self, spark, sf_dir):
+        from columnar_database_project_spark.operators.text import (
+            q_text_contamination,
+        )
+        from columnar_database_project_spark.plans.verify import formatted_plan
+
+        plan = formatted_plan(q_text_contamination(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "Join" in plan                # equi-join on fingerprint
+
+    def test_simhash_candidates_no_cartesian(self, spark, sf_dir):
+        from columnar_database_project_spark.operators.dedup import (
+            q_dedup_simhash_candidates,
+        )
+        from columnar_database_project_spark.plans.verify import formatted_plan
+
+        plan = formatted_plan(q_dedup_simhash_candidates(spark, sf_dir))
+        assert "CartesianProduct" not in plan   # banded buckets, not all-pairs
