@@ -142,3 +142,28 @@ class TestScheduler:
         ts.save(str(tmp_path / "ds.json"), mapp)
         sched = PrefetchScheduler.from_files(mp, mapp)
         assert sched.suggest_topk_prefetch(sequence=seq[:30], k=3)
+
+
+class TestAltTrainer:
+    def test_c15_prefix_ce_pipeline(self):
+        # C15 (reference model.py:203-343): prefix dataset, CE loss,
+        # 80/20 split, accuracy eval. A sequential synthetic workload
+        # must be learnable far above chance.
+        from columnar_database_project_spark.ml.alt_trainer import (
+            build_prefix_dataset,
+            train_alt,
+        )
+
+        seq = generate_mixed_logs(1200, seed=11)
+        queries = [seq[i : i + 12] for i in range(0, len(seq) - 12, 12)]
+        inputs, labels, id2idx, _ = build_prefix_dataset(queries)
+        assert len(inputs) == len(labels) == sum(len(q) - 1 for q in queries)
+        assert all(1 <= lab < len(id2idx) + 1 for lab in labels)
+        assert max(len(s) for s in inputs) <= 20          # MAX_PREFIX cap
+
+        model, report = train_alt(queries, epochs=4, seed=3)
+        assert report["train_loss"][-1] < report["train_loss"][0]
+        chance = 3.0 / report["vocab_size"]
+        assert report["hit@3"] > 5 * chance               # learned, not random
+        assert 0.0 <= report["accuracy"] <= 1.0
+        assert report["n_eval"] > 0
