@@ -282,14 +282,20 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     q_mat = normalize_rows(np.array([r["embedding"] for r in qrows], dtype=np.float64))
-    # cells each query probes
-    q_cells = np.argsort(-(q_mat @ cents.T), axis=1)[:, :N_PROBE]
+    # cells each query probes — same rounded deterministic ordering as
+    # the oracle-checked probe plan (q_sim_ivf_probes)
+    q_sims = np.round(q_mat @ cents.T, IVF_SIM_DECIMALS)
+    q_cells = np.stack(
+        [np.lexsort((np.arange(N_IVF_CELLS), -q_sims[i]))[:N_PROBE]
+         for i in range(len(q_ids))]
+    )
     probe_pairs = {(int(q), int(c)) for qi, q in enumerate(q_ids) for c in q_cells[qi]}
 
     def assign_and_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             v = normalize_rows(stack_embeddings(pdf["embedding"]))
-            cell = np.argmax(v @ cents.T, axis=1)
+            # rounded-argmax assignment, identical to q_sim_ivf_assignments
+            cell = np.argmax(np.round(v @ cents.T, IVF_SIM_DECIMALS), axis=1)
             sims = q_mat @ v.T                        # (Q, batch)
             rows = {"q_id": [], "vec_id": [], "cell": [], "cosine_raw": []}
             for qi, q in enumerate(q_ids):

@@ -148,20 +148,34 @@ def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval contamination check: eval-split docs (doc_id % 10 ==
-    0) whose exact content fingerprint also appears in the train split
-    — the leakage gate every pretraining pipeline runs before eval.
-    One equi-join on the 128-bit fingerprint (shuffle-hash at corpus
-    scale; both sides are fingerprint projections, never full text)."""
+    0) whose opening-20-token fingerprint also appears in the train
+    split — the leakage gate every pretraining pipeline runs before
+    eval (prefix n-gram fingerprints catch the copied-page overlap an
+    exact-text hash misses). One equi-join on the 128-bit fingerprint
+    (shuffle-hash at corpus scale; both sides are fingerprint
+    projections, never full text)."""
     docs = load_table(spark, sf_dir, "documents")
-    fp = docs.select("doc_id", F.md5("text").alias("fingerprint"))
+    fp = docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(tokens_col(), 1, 20))).alias(
+            "fingerprint"
+        ),
+    )
     ev = fp.filter(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("eval_doc_id"), "fingerprint"
     )
-    tr = fp.filter(F.col("doc_id") % 10 != 0).select("fingerprint")
-    return (
-        ev.join(tr, "fingerprint")
-        .groupBy("eval_doc_id", "fingerprint")
+    # Pre-aggregate the train side to (fingerprint, count) BEFORE the
+    # join: a mega-duplicate fingerprint (boilerplate page in millions
+    # of docs) would otherwise fan the join out by train_count ×
+    # eval_count on one key. Aggregated, the join emits at most one
+    # row per eval doc — skew-proof by construction.
+    tr = (
+        fp.filter(F.col("doc_id") % 10 != 0)
+        .groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("n_train_matches"))
+    )
+    return ev.join(tr, "fingerprint").select(
+        "eval_doc_id", "fingerprint", "n_train_matches"
     )
 
 
@@ -327,7 +341,13 @@ ORACLES = {
 
 
 ORACLES["text_contamination"] = """
-        WITH fp AS (SELECT doc_id, md5(text) AS fingerprint FROM documents)
+        WITH fp AS (
+            SELECT doc_id,
+                   md5(array_to_string(
+                       regexp_split_to_array(trim(text), '\\s+')[1:20], ' '
+                   )) AS fingerprint
+            FROM documents
+        )
         SELECT e.doc_id AS eval_doc_id, e.fingerprint,
                count(*) AS n_train_matches
         FROM fp e JOIN fp t
