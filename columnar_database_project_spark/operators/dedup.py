@@ -365,14 +365,26 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline needs between "candidate pairs" and "pick one canonical
     doc per duplicate group".
 
-    Min-label propagation with a driver convergence loop: iterations =
-    component diameter (near-dup clusters are shallow, typically ≤3
-    hops), each iteration one shuffle; ``localCheckpoint`` truncates
-    the growing lineage. At 100 TB swap the loop body for the
-    alternating large-star/small-star rounds (Kiveris et al., "CC in
-    MapReduce") — same driver-loop skeleton, fewer iterations on
-    high-diameter graphs."""
+    Min-label propagation plus pointer-jumping with a driver
+    convergence loop: each round takes the min over neighbours' labels
+    AND shortcuts to the label's own label (label(x) ←
+    min(label(x), label(label(x)))), so convergence is O(log diameter)
+    rounds, not O(diameter) — a 1M-doc duplicate chain converges in
+    ~20 rounds instead of 1M. Two shuffles per round;
+    ``localCheckpoint`` truncates the growing lineage. (The alternating
+    large-star/small-star formulation — Kiveris et al., "Connected
+    Components in MapReduce" — drops in here if edge-list rewriting
+    beats label joins on a given cluster.)"""
     pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(pairs)
+
+
+def connected_components(
+    pairs: DataFrame, max_iters: int = CLUSTER_MAX_ITERS
+) -> DataFrame:
+    """(doc_id, cluster_id) for every node in ``pairs`` (doc_a, doc_b);
+    cluster_id = min doc_id of the connected component. See
+    ``q_dedup_clusters`` for the algorithm and scale notes."""
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
@@ -382,18 +394,28 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
-    for _ in range(CLUSTER_MAX_ITERS):
+    for _ in range(max_iters):
         nbr = (
             edges.join(labels, edges["doc_b"] == labels["doc_id"])
             .groupBy(edges["doc_a"].alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        propagated = labels.join(nbr, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                "label"
+            ),
+        )
+        # pointer jumping: follow the label one hop (label of my label)
+        parent = propagated.select(
+            F.col("doc_id").alias("label"), F.col("label").alias("parent_label")
+        )
         new_labels = (
-            labels.join(nbr, "doc_id", "left")
+            propagated.join(parent, "label", "left")
             .select(
                 "doc_id",
                 F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
+                    F.col("label"), F.coalesce("parent_label", "label")
                 ).alias("label"),
             )
             .localCheckpoint()

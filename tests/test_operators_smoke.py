@@ -117,3 +117,20 @@ def test_dedup_clusters_invariants(spark, sf_dir):
     # edges never straddle clusters
     for r in q_dedup_ngram_jaccard(spark, sf_dir).collect():
         assert labels[r["doc_a"]] == labels[r["doc_b"]]
+
+
+def test_connected_components_long_chain(spark):
+    """Pointer jumping must collapse a chain whose diameter far
+    exceeds the round cap: 64 nodes in a path converge to one cluster
+    within CLUSTER_MAX_ITERS=20 rounds only because label shortcutting
+    is O(log diameter)."""
+    from columnar_database_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
+    )
+    out = connected_components(chain).collect()
+    assert len(out) == 64
+    assert {r["cluster_id"] for r in out} == {0}
