@@ -74,6 +74,73 @@ def high_value_alerts(events: DataFrame, threshold: float = 180.0) -> DataFrame:
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window aggregation (overlapping windows): each event
+    lands in window/slide windows; watermark bounds state. Same plan
+    on batch and stream."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def purchase_view_join(
+    events: DataFrame,
+    other: DataFrame,
+    max_lag: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each 'purchase' event joined to
+    the same user's 'view' events in the preceding ``max_lag``
+    (attribution shape). Both sides carry watermarks so Spark can
+    discard buffered state once the interval can no longer match —
+    the state-bounding contract that makes stream-stream joins viable
+    at scale. Works identically on batch inputs."""
+    views = (
+        other.filter(F.col("event_type") == "view")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_event_id"),
+        )
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_event_id"),
+            "value",
+        )
+    )
+    return purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_lag}")),
+    ).select(
+        "user_id",
+        "purchase_event_id",
+        "view_event_id",
+        "purchase_ts",
+        "view_ts",
+        "value",
+    )
+
+
 SESSION_STATE_SCHEMA = "last_ts long, session_id long, n_events long, total double"
 SESSION_OUT_SCHEMA = (
     "user_id long, session_id long, n_events long, session_value double"

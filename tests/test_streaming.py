@@ -140,3 +140,52 @@ class TestStreamingTwins:
             assert n == expected
         finally:
             q.stop()
+
+
+class TestStreamingRound3:
+    def test_sliding_counts_matches_batch(self, spark, stream_dir):
+        from columnar_database_project_spark.streaming.events import (
+            sliding_counts,
+        )
+
+        stream = read_event_stream(spark, stream_dir)
+        q = run_to_memory(sliding_counts(stream), "t_sliding", "complete")
+        try:
+            got = {
+                (r["window_start"], r["event_type"]): r["n_events"]
+                for r in spark.sql("SELECT * FROM t_sliding").collect()
+            }
+            batch = {
+                (r["window_start"], r["event_type"]): r["n_events"]
+                for r in sliding_counts(spark.read.parquet(stream_dir)).collect()
+            }
+            assert got == batch
+            # overlapping windows: strictly more windows than tumbling
+            assert len({k[0] for k in got}) > 5
+        finally:
+            q.stop()
+
+    def test_stream_stream_interval_join_matches_batch(self, spark, stream_dir):
+        from columnar_database_project_spark.streaming.events import (
+            purchase_view_join,
+        )
+
+        s1 = read_event_stream(spark, stream_dir)
+        s2 = read_event_stream(spark, stream_dir)
+        q = run_to_memory(
+            purchase_view_join(s1, s2, watermark="365 days"), "t_ssj", "append"
+        )
+        try:
+            got = {
+                (r["purchase_event_id"], r["view_event_id"])
+                for r in spark.sql("SELECT * FROM t_ssj").collect()
+            }
+            ev = spark.read.parquet(stream_dir)
+            batch = {
+                (r["purchase_event_id"], r["view_event_id"])
+                for r in purchase_view_join(ev, ev, watermark="365 days").collect()
+            }
+            assert got == batch
+            assert len(got) > 0
+        finally:
+            q.stop()
