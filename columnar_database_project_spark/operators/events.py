@@ -174,6 +174,45 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window counts (1 h window, 30 min slide) — runs the
+    STREAMING transformation (streaming/events.sliding_counts) on the
+    batch table: one definition, both execution modes. Window starts
+    formatted as strings for cross-engine comparison."""
+    from columnar_database_project_spark.streaming.events import sliding_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_counts(ev).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "n_events",
+    )
+
+
+def q_events_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase→view attribution (each purchase joined to the same
+    user's views in the preceding hour) — the STREAMING stream-stream
+    interval join (streaming/events.purchase_view_join) applied to the
+    batch table."""
+    from columnar_database_project_spark.streaming.events import (
+        purchase_view_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    out = purchase_view_join(ev, ev)
+    return out.select(
+        "user_id",
+        "purchase_event_id",
+        "view_event_id",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts")
+        ).alias("lag_s"),
+        "value",
+    )
+
+
 QUERIES = {
     "events_tumbling_hour": q_events_tumbling_hour,
     "events_sessionize": q_events_sessionize,
@@ -182,9 +221,37 @@ QUERIES = {
     "events_funnel": q_events_funnel,
     "events_asof_join": q_events_asof_join,
     "events_range_join": q_events_range_join,
+    "events_sliding_counts": q_events_sliding_counts,
+    "events_purchase_attribution": q_events_purchase_attribution,
 }
 
 ORACLES = {
+    "events_sliding_counts": """
+        WITH e AS (SELECT epoch(ts) AS e, event_type FROM events),
+        w AS (
+            SELECT event_type, e,
+                   unnest([CAST(floor(e / 1800) * 1800 AS BIGINT) - 1800,
+                           CAST(floor(e / 1800) * 1800 AS BIGINT)]) AS s
+            FROM e
+        )
+        SELECT strftime(make_timestamp(s * 1000000), '%Y-%m-%d %H:%M:%S')
+                   AS window_start,
+               event_type, count(*) AS n_events
+        FROM w WHERE e >= s AND e < s + 3600
+        GROUP BY 1, 2
+    """,
+    "events_purchase_attribution": """
+        SELECT p.user_id,
+               p.event_id AS purchase_event_id,
+               v.event_id AS view_event_id,
+               CAST(floor(epoch(p.ts)) AS BIGINT)
+                   - CAST(floor(epoch(v.ts)) AS BIGINT) AS lag_s,
+               p.value
+        FROM events p JOIN events v
+          ON p.event_type = 'purchase' AND v.event_type = 'view'
+         AND p.user_id = v.user_id
+         AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+    """,
     "events_tumbling_hour": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                event_type,
