@@ -90,9 +90,78 @@ def q_mm_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bt.mapInPandas(fake_feature_batches, schema=FEATURE_SCHEMA)
 
 
+FRAME_BYTES = 64      # stand-in "frame" size inside a payload
+FRAME_STRIDE = 4      # sample every 4th frame / every 4th byte
+
+
+def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Frame sampling kernel: slice each payload into FRAME_BYTES
+    chunks, keep every FRAME_STRIDE-th — the video-frame-sampling
+    batch shape (bytes in, per-frame rows out), done with plain byte
+    slicing so it is deterministic and oracle-checkable."""
+    import hashlib
+
+    for pdf in batches:
+        rows = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_md5": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            n_frames = (len(b) + FRAME_BYTES - 1) // FRAME_BYTES
+            for i in range(0, n_frames, FRAME_STRIDE):
+                frame = b[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                rows["doc_id"].append(doc_id)
+                rows["frame_idx"].append(i)
+                rows["frame_bytes"].append(len(frame))
+                rows["frame_md5"].append(hashlib.md5(frame).hexdigest())
+        yield pd.DataFrame(rows)
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (every FRAME_STRIDE-th
+    FRAME_BYTES-chunk) via mapInPandas — the plumbing a video pipeline
+    uses to cut decode cost before feature extraction. The stand-in
+    payloads are ASCII text bytes, so the SQL oracle can reproduce the
+    byte slices with substring; real video frames would swap the
+    kernel body (codec), not the plumbing."""
+    bt = binary_table(spark, sf_dir).select("doc_id", "payload")
+    return bt.mapInPandas(
+        _frame_sample_batches,
+        schema="doc_id long, frame_idx int, frame_bytes int, frame_md5 string",
+    )
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Resize stand-in: deterministic byte-level downsample (every
+    FRAME_STRIDE-th byte). A real image resize swaps this body for a
+    decode→interpolate→encode kernel with the same batch contract."""
+    import hashlib
+
+    for pdf in batches:
+        resized = [bytes(p)[::FRAME_STRIDE] for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "orig_bytes": pdf["payload"].map(len).astype("int32"),
+                "resized_bytes": [len(r) for r in resized],
+                "resized_md5": [hashlib.md5(r).hexdigest() for r in resized],
+            }
+        )
+
+
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload downsample ("resize") via mapInPandas: payload →
+    smaller payload + digest, the media-transcode batch shape."""
+    bt = binary_table(spark, sf_dir).select("doc_id", "payload")
+    return bt.mapInPandas(
+        _resize_batches,
+        schema="doc_id long, orig_bytes int, resized_bytes int, resized_md5 string",
+    )
+
+
 QUERIES = {
     "mm_binary_meta": q_mm_binary_meta,
     "mm_fake_features": q_mm_fake_features,
+    "mm_frame_sample": q_mm_frame_sample,
+    "mm_resize": q_mm_resize,
 }
 
 ORACLES = {
@@ -115,6 +184,38 @@ ORACLES = {
                          i -> ascii(substring(text, i, 1))
                      )) / CAST(octet_length(encode(text)) AS DOUBLE), 6)
                    AS byte_mean
+        FROM documents
+    """,
+    # Payloads are ASCII text bytes (asserted: octet_length == length),
+    # so substring char slices equal the kernel's byte slices.
+    "mm_frame_sample": f"""
+        WITH d AS (
+            SELECT doc_id, text, octet_length(encode(text)) AS n
+            FROM documents
+        ),
+        frames AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(
+                       0, CAST(ceil(n / {FRAME_BYTES}.0) AS BIGINT) - 1,
+                       {FRAME_STRIDE})) AS frame_idx,
+                   n
+            FROM d WHERE n > 0
+        )
+        SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+               CAST(least({FRAME_BYTES}, n - frame_idx * {FRAME_BYTES}) AS INT)
+                   AS frame_bytes,
+               md5(substring(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}))
+                   AS frame_md5
+        FROM frames
+    """,
+    "mm_resize": f"""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INT) AS orig_bytes,
+               CAST(len(generate_series(1, length(text), {FRAME_STRIDE})) AS INT)
+                   AS resized_bytes,
+               md5(array_to_string(list_transform(
+                       generate_series(1, length(text), {FRAME_STRIDE}),
+                       i -> substring(text, i, 1)), '')) AS resized_md5
         FROM documents
     """,
 }
