@@ -379,6 +379,21 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+def q_dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup output: keep one canonical doc per
+    near-dup cluster (the min-id representative) plus every
+    unclustered doc — the doc-id list a pipeline actually feeds
+    downstream after dedup. Left-anti join against the non-canonical
+    cluster members; the anti side is cluster-count-sized (tiny
+    relative to the corpus), so it broadcasts."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    clusters = q_dedup_clusters(spark, sf_dir)
+    non_canonical = clusters.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select("doc_id")
+    return docs.join(F.broadcast(non_canonical), "doc_id", "left_anti")
+
+
 def connected_components(
     pairs: DataFrame, max_iters: int = CLUSTER_MAX_ITERS
 ) -> DataFrame:
@@ -523,6 +538,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_candidates": q_dedup_simhash_candidates,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_near_survivors": q_dedup_near_survivors,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
 }
 
@@ -679,8 +695,7 @@ ORACLES["dedup_simhash_candidates"] = f"""
 
 # Connected components via transitive closure (fine at oracle scale);
 # the Spark side label-propagates to the same min-id-per-component.
-ORACLES["dedup_clusters"] = f"""
-        WITH RECURSIVE {_SHINGLES_SQL},
+_CC_CTES = f"""{_SHINGLES_SQL},
         sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
         inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
@@ -704,8 +719,24 @@ ORACLES["dedup_clusters"] = f"""
             SELECT u, v FROM edges
             UNION
             SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ),
+        cc AS (
+            SELECT u AS doc_id, CAST(min(v) AS BIGINT) AS cluster_id
+            FROM (SELECT u, v FROM reach UNION SELECT u, u FROM edges)
+            GROUP BY u
+        )"""
+
+ORACLES["dedup_clusters"] = f"""
+        WITH RECURSIVE {_CC_CTES}
+        SELECT doc_id, cluster_id FROM cc
+    """
+
+# End-to-end near-dedup output: one canonical doc per cluster survives
+# (the cluster representative), plus every unclustered doc.
+ORACLES["dedup_near_survivors"] = f"""
+        WITH RECURSIVE {_CC_CTES}
+        SELECT d.doc_id FROM documents d
+        WHERE d.doc_id NOT IN (
+            SELECT doc_id FROM cc WHERE doc_id != cluster_id
         )
-        SELECT u AS doc_id, CAST(min(v) AS BIGINT) AS cluster_id
-        FROM (SELECT u, v FROM reach UNION SELECT u, u FROM edges)
-        GROUP BY u
     """
