@@ -642,6 +642,105 @@ def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS expressed as a left-semi join
+    with a non-equi residual (l_shipdate > o_orderdate). The semi join
+    shuffles both sides on orderkey once and never materializes the
+    lineitem payload — at 100 TB the probe side is key+date columns
+    only (column pruning reaches the scan)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: orders-per-customer histogram via LEFT OUTER
+    join (customers with zero orders count at c_count=0). Two
+    aggregations: the first shuffles on custkey (same key as the join,
+    so AQE coalesces into one exchange), the second is over the tiny
+    histogram domain."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+Q18_MIN_QTY = 300.0
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-quantity orders (HAVING sum(l_quantity)
+    ≥ 300) joined back to orders + customer. The heavy aggregate runs
+    first and its output is tiny → both enrichment joins broadcast the
+    aggregated side, so the fact tables never co-shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .filter(F.col("total_qty") >= Q18_MIN_QTY)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_name", "o_orderkey", "o_totalprice", "total_qty")
+    )
+
+
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per group: Pearson correlation, sample
+    covariance, sample stddev/variance — all single-pass partial-agg
+    (map-side moments, one reduce), so they scale like a plain sum.
+    Rounded because cross-engine summation order differs at ~1e-12."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias(
+            "covar_qty_disc"
+        ),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("stddev_qty"),
+        F.round(F.var_samp("l_discount"), 8).alias("var_disc"),
+    )
+
+
+def q_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile``
+    ≡ DuckDB ``quantile_cont``, both linear interpolation). Exact
+    percentile sorts within groups; at 100 TB you'd switch to
+    ``approx_percentile`` (t-digest, constant memory) — kept exact
+    here because the oracle must match bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("p25_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("p75_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias(
+            "p90_price"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -687,6 +786,11 @@ QUERIES = {
     "grouping_sets": q_grouping_sets,
     "unpivot": q_unpivot,
     "array_agg": q_array_agg,
+    "q4_order_priority": q4_order_priority,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q18_large_orders": q18_large_orders,
+    "stats_agg": q_stats_agg,
+    "percentile_agg": q_percentile_agg,
 }
 
 ORACLES = {
@@ -985,5 +1089,52 @@ ORACLES = {
         SELECT l_suppkey, ROUND(total_rev, 4) AS total_rev
         FROM revenue
         WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+    """,
+    "q4_order_priority": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate
+          )
+        GROUP BY o_orderpriority
+    """,
+    "q13_customer_distribution": """
+        SELECT c_count, count(*) AS custdist FROM (
+            SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey
+        ) GROUP BY c_count
+    """,
+    "q18_large_orders": f"""
+        WITH big AS (
+            SELECT l_orderkey, ROUND(sum(l_quantity), 4) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING ROUND(sum(l_quantity), 4) >= {Q18_MIN_QTY}
+        )
+        SELECT c.c_name, o.o_orderkey, o.o_totalprice, b.total_qty
+        FROM big b
+        JOIN orders o ON b.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    "stats_agg": """
+        SELECT l_returnflag,
+               ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               ROUND(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc,
+               ROUND(stddev_samp(l_quantity), 6) AS stddev_qty,
+               ROUND(var_samp(l_discount), 8) AS var_disc
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "percentile_agg": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25_qty,
+               ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+               ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75_qty,
+               ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+        FROM lineitem GROUP BY l_returnflag
     """,
 }

@@ -13,7 +13,7 @@ regexp-split of trimmed text on ``\\s+``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from columnar_database_project_spark.catalog import load_table
@@ -237,6 +237,122 @@ def q_text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("sample_bucket") < 20)
 
 
+def _trigrams(toks):
+    """Token-trigram array (space-joined), empty when < 3 tokens.
+    The sequence bounds are guarded because Spark's ``sequence(1, n)``
+    counts DOWN when n < 1 instead of returning empty."""
+    return F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signal (Gopher-style "fraction of duplicated
+    n-grams"): per document, the share of token trigrams that are
+    repeats of an earlier trigram. Scan-local array math — zero
+    shuffles, codegen'd end to end — so it runs at full scan speed on
+    a 100 TB corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    tg = _trigrams(tokens_col())
+    n = F.size(tg)
+    n_dist = F.size(F.array_distinct(tg))
+    return docs.select(
+        "doc_id",
+        n.alias("n_trigrams"),
+        n_dist.alias("n_distinct_trigrams"),
+        F.when(n > 0, F.round((n - n_dist) / n.cast("double"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_trigram_ratio"),
+    )
+
+
+# Gopher-rule bounds (public heuristics from the Gopher paper's
+# quality-filter table, adapted to this corpus's 10-99-token docs).
+GOPHER_MIN_TOKENS = 30
+GOPHER_MAX_TOKENS = 10_000
+GOPHER_MIN_MEAN_TOK_LEN = 3.0
+GOPHER_MAX_MEAN_TOK_LEN = 10.0
+GOPHER_MIN_STOP_HITS = 2
+
+
+def q_text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-style quality filter: token-count bounds, mean
+    token length bounds, alphabetic-token ratio, and minimum stopword
+    hits, combined into a keep flag. All flags are deterministic
+    integer/array arithmetic — scan-local, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    markers = F.array(*[F.lit(m) for m in EN_MARKERS])
+    n_tokens = F.size(toks)
+    mean_tok_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    ) / n_tokens.cast("double")
+    alpha_ratio = F.size(
+        F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))
+    ) / n_tokens.cast("double")
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+    ok_len = (n_tokens >= GOPHER_MIN_TOKENS) & (n_tokens <= GOPHER_MAX_TOKENS)
+    ok_tok = (mean_tok_len >= GOPHER_MIN_MEAN_TOK_LEN) & (
+        mean_tok_len <= GOPHER_MAX_MEAN_TOK_LEN
+    )
+    ok_alpha = alpha_ratio >= 0.8
+    ok_stop = stop_hits >= GOPHER_MIN_STOP_HITS
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_tok_len"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        stop_hits.alias("stop_hits"),
+        ok_len.alias("ok_len"),
+        ok_tok.alias("ok_tok_len"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stop"),
+        (ok_len & ok_tok & ok_alpha & ok_stop).alias("keep"),
+    )
+
+
+TOP_BIGRAMS = 20
+
+
+def q_text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top bigrams: per-doc bigram arrays (scan-local) →
+    explode → one partial-agg'd groupBy → global top-20 with a
+    deterministic bigram tiebreak. The only shuffle is the (bigram,
+    count) aggregate — map-side combine keeps it proportional to the
+    vocabulary, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    bg = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        docs.select(F.explode(bg).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.orderBy(F.col("n").desc(), F.col("bigram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_BIGRAMS)
+        .select("rank", "bigram", "n")
+    )
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_bpe_count": q_text_bpe_count,
@@ -248,6 +364,9 @@ QUERIES = {
     "text_quality_topk_per_lang": q_text_quality_topk_per_lang,
     "text_length_histogram": q_text_length_histogram,
     "text_stratified_sample": q_text_stratified_sample,
+    "text_repetition": q_text_repetition,
+    "text_gopher_quality": q_text_gopher_quality,
+    "text_bigram_freq": q_text_bigram_freq,
 }
 
 _MARKERS_SQL = ", ".join(f"'{m}'" for m in EN_MARKERS)
@@ -382,6 +501,83 @@ ORACLES["text_length_histogram"] = """
                     * 10 AS BIGINT) AS bucket_lo,
                count(*) AS n_docs
         FROM documents GROUP BY 1
+    """
+
+ORACLES["text_repetition"] = """
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 3 THEN
+                       list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                   ELSE [] END AS tg
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(len(tg) AS INT) AS n_trigrams,
+               CAST(len(list_distinct(tg)) AS INT) AS n_distinct_trigrams,
+               CASE WHEN len(tg) > 0 THEN
+                   ROUND((len(tg) - len(list_distinct(tg)))
+                         / CAST(len(tg) AS DOUBLE), 6)
+               ELSE 0.0 END AS dup_trigram_ratio
+        FROM g
+    """
+
+ORACLES["text_gopher_quality"] = f"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   list_sum(list_transform(toks, x -> length(x)))
+                       / CAST(len(toks) AS DOUBLE) AS mean_tok_len_raw,
+                   len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+                       / CAST(len(toks) AS DOUBLE) AS alpha_ratio_raw,
+                   len(list_filter(toks, x -> x IN ({_MARKERS_SQL}))) AS stop_hits
+            FROM t
+        )
+        SELECT doc_id, n_tokens,
+               ROUND(mean_tok_len_raw, 6) AS mean_tok_len,
+               ROUND(alpha_ratio_raw, 6) AS alpha_ratio,
+               CAST(stop_hits AS INT) AS stop_hits,
+               (n_tokens >= {GOPHER_MIN_TOKENS}
+                AND n_tokens <= {GOPHER_MAX_TOKENS}) AS ok_len,
+               (mean_tok_len_raw >= {GOPHER_MIN_MEAN_TOK_LEN}
+                AND mean_tok_len_raw <= {GOPHER_MAX_MEAN_TOK_LEN}) AS ok_tok_len,
+               (alpha_ratio_raw >= 0.8) AS ok_alpha,
+               (stop_hits >= {GOPHER_MIN_STOP_HITS}) AS ok_stop,
+               ((n_tokens >= {GOPHER_MIN_TOKENS}
+                 AND n_tokens <= {GOPHER_MAX_TOKENS})
+                AND (mean_tok_len_raw >= {GOPHER_MIN_MEAN_TOK_LEN}
+                     AND mean_tok_len_raw <= {GOPHER_MAX_MEAN_TOK_LEN})
+                AND alpha_ratio_raw >= 0.8
+                AND stop_hits >= {GOPHER_MIN_STOP_HITS}) AS keep
+        FROM s
+    """
+
+ORACLES["text_bigram_freq"] = f"""
+        WITH t AS (
+            SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ), b AS (
+            SELECT unnest(
+                CASE WHEN len(toks) >= 2 THEN
+                    list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i+1])
+                ELSE [] END
+            ) AS bigram
+            FROM t
+        ), c AS (
+            SELECT bigram, count(*) AS n FROM b GROUP BY bigram
+        )
+        SELECT rank, bigram, n FROM (
+            SELECT bigram, n,
+                   row_number() OVER (ORDER BY n DESC, bigram) AS rank
+            FROM c
+        ) WHERE rank <= {TOP_BIGRAMS}
     """
 
 ORACLES["text_stratified_sample"] = """
