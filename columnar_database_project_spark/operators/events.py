@@ -213,6 +213,37 @@ def q_events_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week,
+    counted per week they were active — the standard retention
+    triangle. Two shuffles (first-seen agg on user_id, then the final
+    tiny (cohort, week) agg); the user_id join reuses the first agg's
+    partitioning, and the distinct-count runs over (cohort, week,
+    user) after dedup — no all-events-to-one-place step anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_wk")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_wk")
+    )
+    return (
+        active.join(first, "user_id")
+        .groupBy("cohort_wk", "active_wk")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            # strings, not DATE: engines stringify date columns
+            # differently, and the oracle hash is string-based
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            F.date_format("active_wk", "yyyy-MM-dd").alias("active_week"),
+            "n_users",
+            F.floor(
+                F.datediff(F.col("active_wk"), F.col("cohort_wk")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+    )
+
+
 QUERIES = {
     "events_tumbling_hour": q_events_tumbling_hour,
     "events_sessionize": q_events_sessionize,
@@ -223,6 +254,7 @@ QUERIES = {
     "events_range_join": q_events_range_join,
     "events_sliding_counts": q_events_sliding_counts,
     "events_purchase_attribution": q_events_purchase_attribution,
+    "events_retention": q_events_retention,
 }
 
 ORACLES = {
@@ -329,5 +361,24 @@ ORACLES = {
                ROUND(v.value, 4) AS asof_view_value
         FROM p ASOF LEFT JOIN v
           ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    "events_retention": """
+        WITH f AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        a AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', ts) AS DATE) AS active_week
+            FROM events
+        )
+        SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+               strftime(a.active_week, '%Y-%m-%d') AS active_week,
+               count(DISTINCT a.user_id) AS n_users,
+               CAST(floor(date_diff('day', f.cohort_week, a.active_week)
+                          / 7.0) AS INT) AS week_offset
+        FROM a JOIN f ON a.user_id = f.user_id
+        GROUP BY f.cohort_week, a.active_week
     """,
 }

@@ -143,6 +143,62 @@ def q_sim_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hot-bucket guard for the exact re-rank: a degenerate signature
+# shared by B vectors costs B² cosines; production caps it. None =
+# exact (oracle-checkable) semantics, mirroring dedup.LSH_MAX_BUCKET.
+RERANK_MAX_BUCKET: int | None = None
+
+
+def q_sim_bucket_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine re-rank inside LSH buckets — the second half of
+    the ANN pipeline: the signature equi-group restricts candidates to
+    co-bucketed vectors (subquadratic), then exact cosine is computed
+    only within each bucket. One kernel pass computes signatures while
+    carrying the embedding (zero extra join), one shuffle groups the
+    buckets, and pair cosines are a per-bucket numpy matmul whose cost
+    is bounded by the bucket-size guard."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def sig_with_vec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            v = stack_embeddings(pdf["embedding"])
+            bits = (v @ _PLANES.T) > 0
+            powers = (1 << np.arange(N_PLANES)).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "signature": (bits.astype(np.int64) * powers).sum(axis=1),
+                    "embedding": list(v),
+                }
+            )
+
+    sigs = emb.select("vec_id", "embedding").mapInPandas(
+        sig_with_vec, schema="vec_id long, signature long, embedding array<double>"
+    )
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = {"vec_id_a": [], "vec_id_b": [], "signature": [], "cosine": []}
+        n = len(pdf)
+        if n >= 2 and (RERANK_MAX_BUCKET is None or n <= RERANK_MAX_BUCKET):
+            pdf = pdf.sort_values("vec_id")
+            ids = pdf["vec_id"].to_numpy()
+            sims = cosine_matrix(
+                stack_embeddings(pdf["embedding"]),
+                stack_embeddings(pdf["embedding"]),
+            )
+            ia, ib = np.triu_indices(n, k=1)
+            out["vec_id_a"] = ids[ia]
+            out["vec_id_b"] = ids[ib]
+            out["signature"] = np.full(len(ia), pdf["signature"].iloc[0])
+            out["cosine"] = np.round(sims[ia, ib], 4)
+        return pd.DataFrame(out)
+
+    return sigs.groupBy("signature").applyInPandas(
+        bucket_pairs,
+        schema="vec_id_a long, vec_id_b long, signature long, cosine double",
+    )
+
+
 N_IVF_CELLS = 16
 N_PROBE = 3
 IVF_KMEANS_ITERS = 10
@@ -334,6 +390,7 @@ QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_hyperplane_signatures": q_sim_hyperplane_signatures,
     "sim_bucket_sizes": q_sim_bucket_sizes,
+    "sim_bucket_rerank": q_sim_bucket_rerank,
     "sim_ivf_assignments": q_sim_ivf_assignments,
     "sim_ivf_probes": q_sim_ivf_probes,
     "sim_ivf_topk": q_sim_ivf_topk,
@@ -381,6 +438,18 @@ ORACLES = {
             SELECT vec_id, CAST({_SIG_TERMS} AS BIGINT) AS signature
             FROM embeddings
         ) GROUP BY signature HAVING count(*) > 1
+    """,
+    "sim_bucket_rerank": f"""
+        WITH sigs AS (
+            SELECT vec_id, embedding,
+                   CAST({_SIG_TERMS} AS BIGINT) AS signature
+            FROM embeddings
+        )
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.signature,
+               ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 4) AS cosine
+        FROM sigs a JOIN sigs b
+          ON a.signature = b.signature AND a.vec_id < b.vec_id
     """,
 }
 

@@ -29,6 +29,16 @@ FAST_QUERIES = [
     "sim_hyperplane_signatures",
     "sim_ivf_assignments",
     "events_json_props",
+    "text_gopher_quality",
+    "text_repetition",
+    "text_bigram_freq",
+    "q4_order_priority",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    "stats_agg",
+    "percentile_agg",
+    "sim_bucket_rerank",
+    "events_retention",
 ]
 
 

@@ -55,6 +55,36 @@ class TestPushdownAndPruning:
 
         assert has_broadcast_join(q_join_broadcast(spark, sf_dir))
 
+    def test_q4_semi_join_pushdown(self, spark, sf_dir):
+        from columnar_database_project_spark.operators.relational import (
+            q4_order_priority,
+        )
+
+        df = q4_order_priority(spark, sf_dir)
+        # the EXISTS is planned as a semi join, not an aggregate-distinct
+        assert "LeftSemi" in df._jdf.queryExecution().executedPlan().toString()
+        # the orders date window reaches the scan
+        assert any("o_orderdate" in f for f in pushed_filters(df))
+        # lineitem probe side is pruned to key + date
+        assert all(
+            "l_extendedprice" not in s
+            for s in scan_read_schemas(df)
+        )
+
+    def test_q18_broadcasts_aggregated_side(self, spark, sf_dir):
+        from columnar_database_project_spark.operators.relational import (
+            q18_large_orders,
+        )
+
+        assert has_broadcast_join(q18_large_orders(spark, sf_dir))
+
+    def test_gopher_quality_is_scan_local(self, spark, sf_dir):
+        from columnar_database_project_spark.operators.text import (
+            q_text_gopher_quality,
+        )
+
+        assert count_shuffles(q_text_gopher_quality(spark, sf_dir)) == 0
+
 
 class TestPruningReport:
     @pytest.fixture(scope="class")
