@@ -448,6 +448,105 @@ def connected_components(
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star step: every node links its strictly-larger neighbors
+    to the minimum of its neighborhood (including itself). One
+    symmetric groupBy + broadcast-sized min join per round."""
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", F.col("u")).alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star step: orient edges large→small, then link each
+    node's smaller neighbors (and itself) to the neighborhood min."""
+    d = (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    joined = d.join(
+        d.groupBy("u").agg(F.min("v").alias("m")), "u"
+    )
+    relinked = joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+    self_link = joined.select("u", F.col("m").alias("v")).distinct()
+    return (
+        relinked.union(self_link)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame, max_iters: int = CLUSTER_MAX_ITERS
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond") — same (doc_id, cluster_id) contract as
+    ``connected_components``, different physical strategy: the edge
+    LIST is rewritten toward star graphs instead of joining a label
+    table, converging in O(log n) rounds with per-round cost
+    proportional to the (shrinking) edge set. Preferable when edges ≪
+    nodes×rounds or when the label table itself would be the skew
+    point; the fixed point is detected by an edge-set checksum, and
+    ``localCheckpoint`` truncates lineage each round."""
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    e = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_iters):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.hash("u", "v")), F.lit(0)).alias("chk"),
+        ).collect()[0]
+        sig = (row["n"], row["chk"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    roots = e.groupBy("u").agg(F.min("v").alias("cluster_id")).select(
+        F.col("u").alias("doc_id"), "cluster_id"
+    )
+    return nodes.join(roots, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+    )
+
+
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering over the same Jaccard-pair graph as
+    ``dedup_clusters`` but via star contraction — two independent
+    physical strategies for the same logical operator, both
+    oracle-checked against the recursive-SQL transitive closure."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components_star(pairs)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash: 32-bit signature = per-bit majority vote of token
     hashes weighted by token frequency. Near-dup = small Hamming
@@ -538,6 +637,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_candidates": q_dedup_simhash_candidates,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_clusters_star": q_dedup_clusters_star,
     "dedup_near_survivors": q_dedup_near_survivors,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
 }
@@ -730,6 +830,9 @@ ORACLES["dedup_clusters"] = f"""
         WITH RECURSIVE {_CC_CTES}
         SELECT doc_id, cluster_id FROM cc
     """
+
+# Same logical result as dedup_clusters (the strategies must agree).
+ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]
 
 # End-to-end near-dedup output: one canonical doc per cluster survives
 # (the cluster representative), plus every unclustered doc.

@@ -724,6 +724,27 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_argmax_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group argmax/argmin (``max_by`` semantics) via the
+    max-of-struct idiom — lexicographic struct comparison makes the
+    tiebreak (custkey) explicit and deterministic, unlike bare
+    ``max_by`` whose tie choice is engine-defined. Single partial-agg
+    shuffle, same cost profile as a plain max."""
+    cust = load_table(spark, sf_dir, "customer")
+    hi = F.max(
+        F.struct(F.col("c_acctbal").alias("bal"), F.col("c_custkey").alias("ck"))
+    )
+    lo = F.min(
+        F.struct(F.col("c_acctbal").alias("bal"), F.col("c_custkey").alias("ck"))
+    )
+    return cust.groupBy("c_nationkey").agg(
+        hi.getField("ck").alias("richest_cust"),
+        F.round(hi.getField("bal"), 4).alias("max_bal"),
+        lo.getField("ck").alias("poorest_cust"),
+        F.round(lo.getField("bal"), 4).alias("min_bal"),
+    )
+
+
 def q_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (Spark ``percentile``
     ≡ DuckDB ``quantile_cont``, both linear interpolation). Exact
@@ -791,6 +812,7 @@ QUERIES = {
     "q18_large_orders": q18_large_orders,
     "stats_agg": q_stats_agg,
     "percentile_agg": q_percentile_agg,
+    "argmax_by_group": q_argmax_by_group,
 }
 
 ORACLES = {
@@ -1136,5 +1158,17 @@ ORACLES = {
                ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75_qty,
                ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "argmax_by_group": """
+        WITH m AS (
+            SELECT c_nationkey,
+                   max({'bal': c_acctbal, 'ck': c_custkey}) AS hi,
+                   min({'bal': c_acctbal, 'ck': c_custkey}) AS lo
+            FROM customer GROUP BY c_nationkey
+        )
+        SELECT c_nationkey,
+               hi.ck AS richest_cust, ROUND(hi.bal, 4) AS max_bal,
+               lo.ck AS poorest_cust, ROUND(lo.bal, 4) AS min_bal
+        FROM m
     """,
 }

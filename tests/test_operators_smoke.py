@@ -144,3 +144,33 @@ def test_connected_components_long_chain(spark):
     out = connected_components(chain).collect()
     assert len(out) == 64
     assert {r["cluster_id"] for r in out} == {0}
+
+
+def test_connected_components_star_long_chain(spark):
+    """Star contraction must also collapse a 64-node path within the
+    round cap (O(log n) convergence), and agree with the label-
+    propagation strategy on a multi-component graph."""
+    from columnar_database_project_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
+    )
+    out = connected_components_star(chain).collect()
+    assert len(out) == 64
+    assert {r["cluster_id"] for r in out} == {0}
+
+    # two components + agreement between the two strategies
+    multi = spark.createDataFrame(
+        [(1, 5), (5, 9), (20, 21), (21, 22), (9, 3)],
+        "doc_a long, doc_b long",
+    )
+    a = {r["doc_id"]: r["cluster_id"] for r in connected_components(multi).collect()}
+    b = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components_star(multi).collect()
+    }
+    assert a == b
+    assert b[9] == 1 and b[22] == 20
