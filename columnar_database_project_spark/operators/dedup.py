@@ -538,6 +538,28 @@ def connected_components_star(
     )
 
 
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of near-dup candidates: Levenshtein
+    + length-normalized similarity for every Jaccard candidate pair —
+    the expensive exact check a pipeline runs ONLY on the subquadratic
+    candidate set, never all-pairs. The pair list is tiny relative to
+    the corpus, so it broadcasts to both text joins; Levenshtein runs
+    JVM-side (codegen), no Python in the loop."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    joined = a.join(F.broadcast(pairs), "doc_a").join(b, "doc_b")
+    lev = F.levenshtein("ta", "tb")
+    denom = F.greatest(F.length("ta"), F.length("tb"))
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        lev.alias("edit_distance"),
+        F.round(1 - lev / denom.cast("double"), 6).alias("edit_sim"),
+    )
+
+
 def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering over the same Jaccard-pair graph as
     ``dedup_clusters`` but via star contraction — two independent
@@ -638,6 +660,7 @@ QUERIES = {
     "dedup_simhash_candidates": q_dedup_simhash_candidates,
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_star": q_dedup_clusters_star,
+    "dedup_edit_distance": q_dedup_edit_distance,
     "dedup_near_survivors": q_dedup_near_survivors,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
 }
@@ -833,6 +856,32 @@ ORACLES["dedup_clusters"] = f"""
 
 # Same logical result as dedup_clusters (the strategies must agree).
 ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]
+
+ORACLES["dedup_edit_distance"] = f"""
+        WITH {_SHINGLES_SQL},
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM shingles a JOIN shingles b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2
+        )
+        SELECT p.doc_a, p.doc_b,
+               CAST(levenshtein(da.text, db.text) AS INT) AS edit_distance,
+               ROUND(1 - levenshtein(da.text, db.text)
+                     / CAST(greatest(length(da.text), length(db.text))
+                            AS DOUBLE), 6) AS edit_sim
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.doc_a
+        JOIN documents db ON db.doc_id = p.doc_b
+    """
 
 # End-to-end near-dedup output: one canonical doc per cluster survives
 # (the cluster representative), plus every unclustered doc.

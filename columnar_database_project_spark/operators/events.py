@@ -244,6 +244,32 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANOMALY_Z = 3.0
+
+
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per event type: events whose value is
+    ≥ 3σ from the type mean. The per-type moments are a 5-row
+    aggregate → broadcast back over one full scan; at 100 TB this is
+    the two-pass anomaly sweep (tiny stats pass + map-side flagging),
+    no shuffle of the event stream itself."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter((F.col("sd") > 0) & (F.abs(z) >= ANOMALY_Z))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(z, 4).alias("z_score"),
+        )
+    )
+
+
 QUERIES = {
     "events_tumbling_hour": q_events_tumbling_hour,
     "events_sessionize": q_events_sessionize,
@@ -255,6 +281,7 @@ QUERIES = {
     "events_sliding_counts": q_events_sliding_counts,
     "events_purchase_attribution": q_events_purchase_attribution,
     "events_retention": q_events_retention,
+    "events_anomaly": q_events_anomaly,
 }
 
 ORACLES = {
@@ -380,5 +407,16 @@ ORACLES = {
                           / 7.0) AS INT) AS week_offset
         FROM a JOIN f ON a.user_id = f.user_id
         GROUP BY f.cohort_week, a.active_week
+    """,
+    "events_anomaly": f"""
+        WITH s AS (
+            SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type,
+               ROUND(e.value, 4) AS value,
+               ROUND((e.value - s.mu) / s.sd, 4) AS z_score
+        FROM events e JOIN s ON e.event_type = s.event_type
+        WHERE s.sd > 0 AND abs((e.value - s.mu) / s.sd) >= {ANOMALY_Z}
     """,
 }

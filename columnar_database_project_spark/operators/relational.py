@@ -724,6 +724,25 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD/NTILE over a per-customer order timeline — the
+    remaining analytic-window family (rank/running/share are covered
+    elsewhere). One hash shuffle on the partition key; the
+    (o_orderdate, o_orderkey) sort key is unique, so every engine
+    orders identically."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev_price = F.lag("o_totalprice").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(prev_price, 4).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 4).alias("next_price"),
+        F.round(F.col("o_totalprice") - prev_price, 4).alias("delta_prev"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 def q_argmax_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group argmax/argmin (``max_by`` semantics) via the
     max-of-struct idiom — lexicographic struct comparison makes the
@@ -813,6 +832,7 @@ QUERIES = {
     "stats_agg": q_stats_agg,
     "percentile_agg": q_percentile_agg,
     "argmax_by_group": q_argmax_by_group,
+    "window_lag_lead": q_window_lag_lead,
 }
 
 ORACLES = {
@@ -1158,6 +1178,15 @@ ORACLES = {
                ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75_qty,
                ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "window_lag_lead": """
+        SELECT o_custkey, o_orderkey,
+               ROUND(lag(o_totalprice) OVER w, 4) AS prev_price,
+               ROUND(lead(o_totalprice) OVER w, 4) AS next_price,
+               ROUND(o_totalprice - lag(o_totalprice) OVER w, 4) AS delta_prev,
+               CAST(ntile(4) OVER w AS INT) AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
     "argmax_by_group": """
         WITH m AS (

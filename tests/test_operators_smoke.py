@@ -39,6 +39,9 @@ FAST_QUERIES = [
     "percentile_agg",
     "sim_bucket_rerank",
     "events_retention",
+    "events_anomaly",
+    "window_lag_lead",
+    "dedup_edit_distance",
 ]
 
 
