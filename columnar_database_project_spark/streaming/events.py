@@ -95,6 +95,32 @@ def sliding_counts(
     )
 
 
+def anomaly_stream(
+    events: DataFrame, stats: DataFrame, z: float = 3.0
+) -> DataFrame:
+    """Streaming z-score outlier flagging: a STREAM-STATIC join —
+    the per-type moments are a static (batch) DataFrame, typically
+    refreshed per deployment window from the batch sweep
+    (``operators.events.q_events_anomaly`` computes the same flags
+    batch-side). The static side is tiny and broadcast into every
+    micro-batch; the stream never shuffles, so this is the append-mode
+    map-only stage a 100 TB/day event feed needs.
+
+    ``stats`` must carry (event_type, mu, sd)."""
+    zcol = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .filter((F.col("sd") > 0) & (F.abs(zcol) >= z))
+        .select(
+            "event_id",
+            "ts",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(zcol, 4).alias("z_score"),
+        )
+    )
+
+
 def purchase_view_join(
     events: DataFrame,
     other: DataFrame,

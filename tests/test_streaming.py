@@ -165,6 +165,41 @@ class TestStreamingRound3:
         finally:
             q.stop()
 
+    def test_anomaly_stream_static_join_matches_batch(
+        self, spark, sf_dir, stream_dir
+    ):
+        from columnar_database_project_spark.operators.events import (
+            q_events_anomaly,
+        )
+        from columnar_database_project_spark.streaming.events import (
+            anomaly_stream,
+        )
+
+        # static side: the per-type moments from the batch table
+        stats = (
+            spark.read.parquet(stream_dir)
+            .groupBy("event_type")
+            .agg(
+                F.avg("value").alias("mu"),
+                F.stddev_samp("value").alias("sd"),
+            )
+        )
+        stream = read_event_stream(spark, stream_dir)
+        q = run_to_memory(anomaly_stream(stream, stats), "t_anom", "append")
+        try:
+            got = {
+                r["event_id"]: r["z_score"]
+                for r in spark.sql("SELECT * FROM t_anom").collect()
+            }
+            batch = {
+                r["event_id"]: r["z_score"]
+                for r in q_events_anomaly(spark, sf_dir).collect()
+            }
+            assert got == batch
+            assert len(got) > 0
+        finally:
+            q.stop()
+
     def test_stream_stream_interval_join_matches_batch(self, spark, stream_dir):
         from columnar_database_project_spark.streaming.events import (
             purchase_view_join,
