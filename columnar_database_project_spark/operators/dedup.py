@@ -542,9 +542,11 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance verification of near-dup candidates: Levenshtein
     + length-normalized similarity for every Jaccard candidate pair —
     the expensive exact check a pipeline runs ONLY on the subquadratic
-    candidate set, never all-pairs. The pair list is tiny relative to
-    the corpus, so it broadcasts to both text joins; Levenshtein runs
-    JVM-side (codegen), no Python in the loop."""
+    candidate set, never all-pairs. The pair list is small relative to
+    the corpus, so it broadcasts into both text joins (if a 100 TB run
+    produced a candidate set above the broadcast threshold, drop the
+    hint and AQE plans a shuffle-hash join on doc_id instead);
+    Levenshtein runs JVM-side (codegen), no Python in the loop."""
     pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
