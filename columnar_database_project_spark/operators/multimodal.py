@@ -82,6 +82,22 @@ def q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the BINARY column: content-hash the payload,
+    keep the min-doc_id copy per digest. The shuffle key is the 128-bit
+    md5, never the payload itself — at 100 TB the payload bytes stay
+    in their scan partitions and only (digest, doc_id) pairs move."""
+    bt = binary_table(spark, sf_dir)
+    return (
+        bt.select("doc_id", F.md5(F.col("payload")).alias("payload_md5"))
+        .groupBy("payload_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
 def q_mm_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction over binary payloads (the fake
     extractor — deterministic, so the oracle can still verify the
@@ -159,6 +175,7 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "mm_binary_meta": q_mm_binary_meta,
+    "mm_payload_dedup": q_mm_payload_dedup,
     "mm_fake_features": q_mm_fake_features,
     "mm_frame_sample": q_mm_frame_sample,
     "mm_resize": q_mm_resize,
@@ -170,6 +187,12 @@ ORACLES = {
                CAST(octet_length(encode(text)) AS INT) AS n_bytes,
                md5(text) AS payload_md5
         FROM documents
+    """,
+    "mm_payload_dedup": """
+        SELECT md5(text) AS payload_md5,
+               count(*) AS n_copies,
+               min(doc_id) AS keeper_doc_id
+        FROM documents GROUP BY md5(text)
     """,
     # byte-level features of utf-8 text: first byte = ascii code of first
     # char; mean byte value over the utf-8 encoding.

@@ -724,6 +724,81 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q7_NATIONS = ("NATION_1", "NATION_2")
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between a nation pair, by
+    (supplier nation, customer nation, ship year), both directions.
+    Supplier/customer/nation are broadcast dims; the lineitem⇄orders
+    fact join shuffles once on orderkey; the pair predicate prunes
+    before the aggregate."""
+    n1, n2 = Q7_NATIONS
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(n1, n2)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+Q22_BIG_ORDER = 300_000.0
+
+
+def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers (balance above the
+    positive-balance average — scalar subquery) with no high-value
+    order (NOT EXISTS — anti join; every testdata customer has SOME
+    order, so the exists-predicate carries a price condition to keep
+    the anti join non-degenerate), grouped by a derived country code.
+    The 1-row average broadcasts; the anti join's build side is the
+    filtered custkey projection of orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > Q22_BIG_ORDER)
+        .select("o_custkey")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy((F.col("c_nationkey") % 5).cast("int").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+    )
+
+
 def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LAG/LEAD/NTILE over a per-customer order timeline — the
     remaining analytic-window family (rank/running/share are covered
@@ -833,6 +908,8 @@ QUERIES = {
     "percentile_agg": q_percentile_agg,
     "argmax_by_group": q_argmax_by_group,
     "window_lag_lead": q_window_lag_lead,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q22_global_sales": q22_global_sales,
 }
 
 ORACLES = {
@@ -1178,6 +1255,35 @@ ORACLES = {
                ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75_qty,
                ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "q7_volume_shipping": f"""
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS INT) AS l_year,
+               ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        WHERE sn.n_name IN ('{Q7_NATIONS[0]}', '{Q7_NATIONS[1]}')
+          AND cn.n_name IN ('{Q7_NATIONS[0]}', '{Q7_NATIONS[1]}')
+          AND sn.n_name != cn.n_name
+        GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+    """,
+    "q22_global_sales": """
+        SELECT CAST(c_nationkey % 5 AS INT) AS cntrycode,
+               count(*) AS numcust,
+               ROUND(sum(c_acctbal), 4) AS totacctbal
+        FROM customer c
+        WHERE c_acctbal > (
+            SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0
+        )
+        GROUP BY c_nationkey % 5
     """,
     "window_lag_lead": """
         SELECT o_custkey, o_orderkey,

@@ -42,6 +42,9 @@ FAST_QUERIES = [
     "events_anomaly",
     "window_lag_lead",
     "dedup_edit_distance",
+    "q7_volume_shipping",
+    "q22_global_sales",
+    "mm_payload_dedup",
 ]
 
 
