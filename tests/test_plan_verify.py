@@ -78,6 +78,28 @@ class TestPushdownAndPruning:
 
         assert has_broadcast_join(q18_large_orders(spark, sf_dir))
 
+    def test_q7_broadcasts_all_dims(self, spark, sf_dir):
+        from columnar_database_project_spark.operators.relational import (
+            q7_volume_shipping,
+        )
+
+        df = q7_volume_shipping(spark, sf_dir)
+        assert has_broadcast_join(df)
+        # only the fact-fact (lineitem⇄orders) join may shuffle:
+        # orderkey exchange pair + the final aggregate exchange
+        assert count_shuffles(df) <= 3
+
+    def test_q22_anti_join_shape(self, spark, sf_dir):
+        from columnar_database_project_spark.operators.relational import (
+            q22_global_sales,
+        )
+
+        df = q22_global_sales(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" in plan
+        # the high-value order filter reaches the orders scan
+        assert any("o_totalprice" in f for f in pushed_filters(df))
+
     def test_gopher_quality_is_scan_local(self, spark, sf_dir):
         from columnar_database_project_spark.operators.text import (
             q_text_gopher_quality,
