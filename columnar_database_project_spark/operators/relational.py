@@ -799,6 +799,60 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-type revenue share for one ship month —
+    conditional aggregation over a broadcast part join; the month
+    filter reaches the lineitem scan, part never shuffles."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a disjunction of (brand, size,
+    quantity) brackets. The OR-of-ANDs splits per side: the part-only
+    conjuncts prune the broadcast build side and the lineitem-only
+    bounds (quantity ∈ [1,40] across brackets) are pushed to the fact
+    scan; the residual disjunction evaluates post-join in codegen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    b1 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#17")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 40)
+    )
+    return (
+        li.filter(F.col("l_quantity").between(1, 40))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(b1 | b2)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )
+
+
 def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LAG/LEAD/NTILE over a per-customer order timeline — the
     remaining analytic-window family (rank/running/share are covered
@@ -910,6 +964,8 @@ QUERIES = {
     "window_lag_lead": q_window_lag_lead,
     "q7_volume_shipping": q7_volume_shipping,
     "q22_global_sales": q22_global_sales,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q19_bracket_revenue": q19_bracket_revenue,
 }
 
 ORACLES = {
@@ -1255,6 +1311,26 @@ ORACLES = {
                ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75_qty,
                ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "q14_promo_revenue": """
+        SELECT ROUND(
+            100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                        THEN l.l_extendedprice * (1 - l.l_discount)
+                        ELSE 0 END)
+            / sum(l.l_extendedprice * (1 - l.l_discount)), 4
+        ) AS promo_revenue_pct
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+    """,
+    "q19_bracket_revenue": """
+        SELECT count(*) AS n_lines,
+               ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 20)
+           OR (p.p_brand = 'Brand#17' AND p.p_size BETWEEN 10 AND 30
+               AND l.l_quantity BETWEEN 10 AND 40)
     """,
     "q7_volume_shipping": f"""
         SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,

@@ -45,6 +45,8 @@ FAST_QUERIES = [
     "q7_volume_shipping",
     "q22_global_sales",
     "mm_payload_dedup",
+    "q14_promo_revenue",
+    "q19_bracket_revenue",
 ]
 
 
