@@ -853,6 +853,31 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Runs VERBATIM on both engines — that is the point: the façade takes
+# arbitrary ANSI SQL (reference front door, run_with_prefetch_loop.py)
+# and must produce exactly what a reference engine would.
+ENGINE_SQL = """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           ROUND(avg(o_totalprice), 4) AS avg_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+"""
+
+
+def q_engine_sql_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI SQL through the ``MicroBlockEngine`` façade — the
+    reference's interactive front door (SQL in, result out, access-log
+    side effects) earning a hard-signal oracle row instead of being
+    pytest-only. The engine registers the table dir as temp views and
+    hands the string to Catalyst; the oracle runs the identical SQL."""
+    from columnar_database_project_spark.engine import MicroBlockEngine
+
+    eng = MicroBlockEngine(spark, table_dir=sf_dir)
+    return eng.query(ENGINE_SQL)
+
+
 def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LAG/LEAD/NTILE over a per-customer order timeline — the
     remaining analytic-window family (rank/running/share are covered
@@ -966,6 +991,7 @@ QUERIES = {
     "q22_global_sales": q22_global_sales,
     "q14_promo_revenue": q14_promo_revenue,
     "q19_bracket_revenue": q19_bracket_revenue,
+    "engine_sql_roundtrip": q_engine_sql_roundtrip,
 }
 
 ORACLES = {
@@ -1312,6 +1338,7 @@ ORACLES = {
                ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
         FROM lineitem GROUP BY l_returnflag
     """,
+    "engine_sql_roundtrip": ENGINE_SQL,
     "q14_promo_revenue": """
         SELECT ROUND(
             100.0 * sum(CASE WHEN p.p_type = 'PROMO'

@@ -47,6 +47,7 @@ FAST_QUERIES = [
     "mm_payload_dedup",
     "q14_promo_revenue",
     "q19_bracket_revenue",
+    "engine_sql_roundtrip",
 ]
 
 
