@@ -47,6 +47,16 @@ def _nanos_ts_columns(path: str) -> list[str]:
     return out
 
 
+# Per-session relation cache: a returned DataFrame is an immutable
+# logical plan, so handing the same object to every caller is safe and
+# mirrors the reference's register-once view catalog (DuckDB CREATE
+# VIEW at connect time, reference query_enginev5.py:30-39) — without
+# it every query pays a fresh parquet footer read + py4j roundtrip
+# just to rebuild an identical scan relation. Keyed by session id so a
+# restarted session never sees stale relations.
+_RELATION_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table from ``sf_dir`` (a file or a directory of parts).
 
@@ -63,6 +73,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     batches to Spark.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    cache_key = (id(spark), os.path.realpath(path))
+    cached = _RELATION_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     nanos_cols = _nanos_ts_columns(path)
     if nanos_cols:
         # Scope the conf to this read: the nanos→long schema is baked
@@ -85,6 +99,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
     for c in nanos_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT))"))
+    _RELATION_CACHE[cache_key] = df
     return df
 
 
