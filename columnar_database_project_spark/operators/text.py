@@ -345,11 +345,16 @@ def q_text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # Top-20 via orderBy+limit → TakeOrderedAndProject (per-partition
+    # heap, driver merges 20 rows) — NOT row_number over an
+    # unpartitioned window, which would sort the full distinct-bigram
+    # table (billions of rows at 100 TB) in a single task. The rank is
+    # attached afterwards over the 20-row result, where a global
+    # window is free.
+    top = counts.orderBy(F.col("n").desc(), F.col("bigram")).limit(TOP_BIGRAMS)
     w = W.orderBy(F.col("n").desc(), F.col("bigram"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_BIGRAMS)
-        .select("rank", "bigram", "n")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "bigram", "n"
     )
 
 

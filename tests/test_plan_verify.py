@@ -71,6 +71,39 @@ class TestPushdownAndPruning:
             for s in scan_read_schemas(df)
         )
 
+    def test_unhinted_sf_dims_still_broadcast_at_test_scale(self, spark, sf_dir):
+        """q3/q5 carry no broadcast hint on customer/supplier (they
+        scale with SF — a forced hint would OOM at a true 100 TB). The
+        size-gated planner/AQE must still pick broadcast for them at
+        test scale, so de-hinting costs nothing where it is safe."""
+        from columnar_database_project_spark.operators.relational import (
+            q3_shipping_priority,
+            q5_local_supplier_volume,
+        )
+
+        assert has_broadcast_join(q3_shipping_priority(spark, sf_dir))
+        assert has_broadcast_join(q5_local_supplier_volume(spark, sf_dir))
+
+    def test_bigram_topk_is_take_ordered_not_global_window(self, spark, sf_dir):
+        """The corpus top-20 must plan as TakeOrderedAndProject (per-
+        partition heap, driver merges 20 rows); a row_number over an
+        unpartitioned window would sort the full distinct-bigram table
+        in one task — a single-point sort at 100 TB. The rank window
+        that remains runs over the already-limited 20-row frame."""
+        from columnar_database_project_spark.operators.text import (
+            q_text_bigram_freq,
+        )
+        from columnar_database_project_spark.plans.verify import formatted_plan
+
+        df = q_text_bigram_freq(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "TakeOrderedAndProject" in plan, plan
+        # any Window node must sit ABOVE the top-k truncation, never
+        # directly over the full aggregate
+        win_pos = plan.find("Window")
+        tk_pos = plan.find("TakeOrderedAndProject")
+        assert win_pos == -1 or win_pos < tk_pos  # formatted plan lists top-down
+
     def test_q18_broadcasts_aggregated_side(self, spark, sf_dir):
         from columnar_database_project_spark.operators.relational import (
             q18_large_orders,
