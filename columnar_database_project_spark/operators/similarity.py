@@ -345,7 +345,12 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         [np.lexsort((np.arange(N_IVF_CELLS), -q_sims[i]))[:N_PROBE]
          for i in range(len(q_ids))]
     )
-    probe_pairs = {(int(q), int(c)) for qi, q in enumerate(q_ids) for c in q_cells[qi]}
+    # (Q, cells) boolean probe mask — the vectorized form of the
+    # per-(query, cell) membership test: row qi is True at exactly the
+    # N_PROBE cells query qi searches.
+    probe_mask = np.zeros((len(q_ids), N_IVF_CELLS), dtype=bool)
+    for qi in range(len(q_ids)):
+        probe_mask[qi, q_cells[qi]] = True
 
     def assign_and_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -353,15 +358,16 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             # rounded-argmax assignment, identical to q_sim_ivf_assignments
             cell = np.argmax(np.round(v @ cents.T, IVF_SIM_DECIMALS), axis=1)
             sims = q_mat @ v.T                        # (Q, batch)
-            rows = {"q_id": [], "vec_id": [], "cell": [], "cosine_raw": []}
-            for qi, q in enumerate(q_ids):
-                for bi in range(v.shape[0]):
-                    if (int(q), int(cell[bi])) in probe_pairs:
-                        rows["q_id"].append(q)
-                        rows["vec_id"].append(pdf["vec_id"].iloc[bi])
-                        rows["cell"].append(cell[bi])
-                        rows["cosine_raw"].append(sims[qi, bi])
-            yield pd.DataFrame(rows)
+            keep = probe_mask[:, cell]                # (Q, batch)
+            qi_idx, bi_idx = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "q_id": q_ids[qi_idx],
+                    "vec_id": pdf["vec_id"].values[bi_idx],
+                    "cell": cell[bi_idx].astype(np.int32),
+                    "cosine_raw": sims[qi_idx, bi_idx],
+                }
+            )
 
     sc = spark.sparkContext
     scored = (
@@ -467,7 +473,14 @@ def _ivf_oracle_sqls() -> dict[str, str]:
     )
     if not os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
         return {}
-    cents = ivf_centroids(sf_dir)
+    try:
+        cents = ivf_centroids(sf_dir)
+    except Exception:
+        # A corrupt/unreadable embeddings table must not take down the
+        # whole query registry at import time (this runs on module
+        # import): degrade these two queries to the rows-only check,
+        # exactly like the absent-file path above.
+        return {}
     values = ",\n            ".join(
         f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
         for i, c in enumerate(cents)
