@@ -31,17 +31,19 @@ from columnar_database_project_spark.operators.relational import (  # noqa: E402
 _QUERIES, _ORACLES = all_queries()
 
 
-def _last_verified_round() -> dict[str, int]:
-    """query name → latest round number in which a past driver
-    correctness run checked it (from CORRECTNESS_r*.json in the repo
-    root). Names never checked map to 0."""
-    rounds: dict[str, int] = {}
+def _last_verified_round() -> dict[str, tuple[int, float]]:
+    """query name → (latest round number in which a past driver
+    correctness run checked it, mtime of that round's file) from
+    CORRECTNESS_r*.json in the repo root. Names never checked are
+    absent."""
+    rounds: dict[str, tuple[int, float]] = {}
     for path in glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
         rnum = int(m.group(1))
         try:
+            mtime = os.path.getmtime(path)
             with open(path) as fh:
                 checked = json.load(fh)
         except (OSError, ValueError):
@@ -49,8 +51,19 @@ def _last_verified_round() -> dict[str, int]:
         if not isinstance(checked, dict):
             continue
         for name in checked:
-            rounds[name] = max(rounds.get(name, 0), rnum)
+            if name not in rounds or rnum > rounds[name][0]:
+                rounds[name] = (rnum, mtime)
     return rounds
+
+
+def _module_mtime(fn: Callable) -> float:
+    """mtime of the module file implementing ``fn`` (0.0 if unknown)."""
+    mod = sys.modules.get(getattr(fn, "__module__", ""), None)
+    path = getattr(mod, "__file__", None)
+    try:
+        return os.path.getmtime(path) if path else 0.0
+    except OSError:
+        return 0.0
 
 
 def _rotated(names: list[str]) -> list[str]:
@@ -61,11 +74,27 @@ def _rotated(names: list[str]) -> list[str]:
     registry order, so a static order would leave a fixed tail that
     never gets re-verified after code changes. Rotating by staleness is
     a coverage policy — every query is re-verified at least every other
-    round — not result steering: the full registry is oracle-checked
-    locally via ``tools/oracle_check.py`` regardless of order.
+    round — not result steering: the AUTHORITATIVE gate is the local
+    full-registry sweep (``tools/verify_oracle.py <sf_dir>``), run
+    before every milestone commit regardless of this order.
+
+    A query whose implementing module changed after its last verified
+    round's check file was written sorts with the never-verified group:
+    a regression introduced by this round's edits must not hide behind
+    a stale green row until the rotation cycles back to it.
     """
     last = _last_verified_round()
-    return sorted(names, key=lambda n: (last.get(n, 0), n))
+
+    def key(n: str) -> tuple[int, str]:
+        rec = last.get(n)
+        if rec is None:
+            return (0, n)
+        rnum, checked_at = rec
+        if _module_mtime(_QUERIES[n]) > checked_at:
+            return (0, n)  # code changed since its last green row
+        return (rnum, n)
+
+    return sorted(names, key=key)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -57,7 +57,18 @@ def train_alt(
     Returns (model, report) where report carries per-epoch train loss
     and the held-out ``hit@k`` / ``mrr`` metrics."""
     inputs, labels, id2idx, idx2id = build_prefix_dataset(query_blocks)
+    if not inputs:
+        raise ValueError(
+            "train_alt: no prefix samples — every query block has fewer "
+            "than 2 accesses, so there is nothing to train on"
+        )
+    # Keep at least one held-out sample whenever the dataset allows it;
+    # with a single sample we train on it and report eval metrics as
+    # None rather than fitting on an empty set or "evaluating" on zero
+    # examples.
     n_train = max(1, int(len(inputs) * split))
+    if n_train >= len(inputs) and len(inputs) > 1:
+        n_train = len(inputs) - 1
     model = LSTMPrefetcher(
         num_tokens=len(id2idx) + 1,
         embed_dim=embed_dim,
@@ -72,7 +83,12 @@ def train_alt(
         seed=seed,
         loss_mode="ce",
     )
-    metrics = evaluate(model, inputs[n_train:], labels[n_train:])
+    if n_train < len(inputs):
+        metrics = evaluate(model, inputs[n_train:], labels[n_train:])
+    else:
+        metrics = {
+            f"hit@{k}": None for k in (1, 3, 5, 10)
+        } | {"mrr": None, "n": 0}
     report = {
         "train_loss": losses,
         "accuracy": metrics["hit@1"],     # reference's eval metric

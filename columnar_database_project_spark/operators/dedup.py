@@ -30,6 +30,7 @@ the repartition collapses into the existing shuffle boundaries).
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Iterator
 
 import pandas as pd
@@ -409,6 +410,7 @@ def connected_components(
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iters):
         nbr = (
             edges.join(labels, edges["doc_b"] == labels["doc_id"])
@@ -443,8 +445,20 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # With pointer jumping, realistic graphs converge in O(log
+        # diameter) rounds — exhausting the cap means the labels are
+        # TRUNCATED (components may carry non-minimal ids). Callers
+        # must be able to tell that from converged output.
+        warnings.warn(
+            f"connected_components stopped at max_iters={max_iters} "
+            "without converging; cluster ids may be non-minimal",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
@@ -519,16 +533,38 @@ def connected_components_star(
         .localCheckpoint()
     )
     prev_sig = None
+    prev_e = None
+    converged = False
     for _ in range(max_iters):
-        e = _small_star(_large_star(e)).localCheckpoint()
-        row = e.agg(
+        new_e = _small_star(_large_star(e)).localCheckpoint()
+        row = new_e.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.sum(F.hash("u", "v")), F.lit(0)).alias("chk"),
         ).collect()[0]
         sig = (row["n"], row["chk"])
-        if sig == prev_sig:
-            break
+        if sig == prev_sig and prev_e is not None:
+            # The (count, hash-sum) signature is a cheap per-round
+            # fixed-point probe; before trusting it, confirm EXACT
+            # multiset equality (counts already match via n, so one
+            # empty exceptAll suffices) — a checksum collision between
+            # distinct edge sets must continue contracting, never
+            # terminate early with wrong components. Costs one extra
+            # comparison at the true fixed point only.
+            if prev_e.exceptAll(new_e).count() == 0:
+                e = new_e
+                converged = True
+                break
         prev_sig = sig
+        prev_e = new_e
+        e = new_e
+    if not converged:
+        warnings.warn(
+            f"connected_components_star stopped at max_iters={max_iters} "
+            "without reaching the edge-set fixed point; components may "
+            "be under-contracted",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     roots = e.groupBy("u").agg(F.min("v").alias("cluster_id")).select(
         F.col("u").alias("doc_id"), "cluster_id"
     )

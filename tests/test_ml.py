@@ -167,3 +167,28 @@ class TestAltTrainer:
         assert report["hit@3"] > 5 * chance               # learned, not random
         assert 0.0 <= report["accuracy"] <= 1.0
         assert report["n_eval"] > 0
+
+    def test_empty_dataset_raises(self):
+        # blocks with <2 accesses yield zero prefix samples — a clear
+        # error beats fitting an empty model
+        from columnar_database_project_spark.ml.alt_trainer import train_alt
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="no prefix samples"):
+            train_alt([[7]], epochs=1)
+        with _pytest.raises(ValueError, match="no prefix samples"):
+            train_alt([], epochs=1)
+
+    def test_tiny_dataset_keeps_holdout_or_reports_none(self):
+        from columnar_database_project_spark.ml.alt_trainer import train_alt
+
+        # 2 samples → 1 train / 1 eval (holdout preserved)
+        _, rep = train_alt([[1, 2, 3]], epochs=1)
+        assert rep["n_train"] == 1 and rep["n_eval"] == 1
+        assert rep["accuracy"] is not None
+
+        # 1 sample → trained on it, eval metrics explicitly None
+        _, rep1 = train_alt([[4, 5]], epochs=1)
+        assert rep1["n_train"] == 1 and rep1["n_eval"] == 0
+        assert rep1["accuracy"] is None and rep1["mrr"] is None

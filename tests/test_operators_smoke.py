@@ -155,6 +155,38 @@ def test_connected_components_long_chain(spark):
     assert {r["cluster_id"] for r in out} == {0}
 
 
+def test_connected_components_warns_when_round_cap_truncates(spark):
+    """Exhausting the iteration cap without reaching the fixed point
+    must be observable — truncated labels look exactly like converged
+    ones otherwise."""
+    import warnings as _warnings
+
+    from columnar_database_project_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
+    )
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        connected_components(chain, max_iters=1).collect()
+    assert any("max_iters" in str(w.message) for w in rec)
+
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        connected_components_star(chain, max_iters=1).collect()
+    assert any("max_iters" in str(w.message) for w in rec)
+
+    # converged runs stay silent
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        connected_components(chain).collect()
+        connected_components_star(chain).collect()
+    assert not [w for w in rec if "max_iters" in str(w.message)]
+
+
 def test_connected_components_star_long_chain(spark):
     """Star contraction must also collapse a 64-node path within the
     round cap (O(log n) convergence), and agree with the label-
