@@ -54,30 +54,53 @@ HEADLINE = [
     "sim_topk_bruteforce",
 ]
 
-# Best-of-3: profiled r2's apparent q3 "regression" (2.16 s recorded vs
+# Best-of-N: profiled r2's apparent q3 "regression" (2.16 s recorded vs
 # 0.89 s in r1) — warm reruns in one session give 0.59-0.76 s, so the
 # recorded number was first-run cold-start (codegen/JIT/shuffle spin-up),
-# not a plan change. Three runs make the steady-state number the one
-# reported.
-RUNS_PER_QUERY = 3
+# not a plan change. This box's scheduler noise swings single runs by
+# ±50%, so the PRIMARY scale takes best-of-5 (it carries the gate);
+# the scaling points take best-of-2 (slope estimates tolerate noise).
+RUNS_PER_QUERY = 5
+RUNS_PER_SCALING_QUERY = 2
 
 
-def bench_spark(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+# Both engines materialize to pandas through their Arrow paths —
+# symmetric result delivery (DuckDB .df() ≈ Spark Arrow toPandas()).
+# Row-object materialization (collect()/fetchall()) measured ~0.2 s of
+# pure Python Row-building on the 30k-95k-row result sets, which is
+# result TRANSPORT cost, not query engine cost, and each engine's
+# columnar fast path is the one a pipeline would actually use.
+
+
+def bench_spark(
+    spark, sf_dir: str, names: list[str], runs: int = RUNS_PER_QUERY
+) -> dict[str, float]:
+    """Warmed-connection loop, mirroring the reference protocol
+    (reference benchmark.py:232-289): one full untimed sweep first —
+    the JVM JIT needs a pass over every plan before steady-state
+    numbers mean anything — then each timed run REBUILDS the DataFrame
+    so analysis, physical planning, and every stage re-execute
+    (re-collecting a cached DataFrame object would reuse its shuffle
+    outputs and skip the scan: measured 10-40× "speedups" that are
+    result re-fetch, not query execution — explicitly not done)."""
     qs = entry_mod.queries()
-    # warm-up (mirrors reference benchmark.py:246-249)
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1).collect()
+    for name in names:  # untimed warm-up sweep (JIT + codegen + workers)
+        qs[name](spark, sf_dir).toPandas()
     out: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(RUNS_PER_QUERY):
+        for _ in range(runs):
             t0 = time.time()
-            qs[name](spark, sf_dir).collect()
+            qs[name](spark, sf_dir).toPandas()
             best = min(best, time.time() - t0)
         out[name] = round(best, 3)
     return out
 
 
-def bench_duckdb(sf_dir: str, names: list[str]) -> dict[str, float]:
+def bench_duckdb(
+    sf_dir: str, names: list[str], runs: int = RUNS_PER_QUERY
+) -> dict[str, float]:
     oracles = entry_mod.oracle_sql()
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
@@ -85,17 +108,46 @@ def bench_duckdb(sf_dir: str, names: list[str]) -> dict[str, float]:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     con.execute("SELECT * FROM lineitem LIMIT 1").fetchall()  # warm-up
+    for name in names:  # symmetric untimed warm-up sweep (OS page cache)
+        if name in oracles:
+            con.execute(oracles[name]).df()
     out: dict[str, float] = {}
     for name in names:
         if name not in oracles:
             continue
         best = float("inf")
-        for _ in range(RUNS_PER_QUERY):
+        for _ in range(runs):
             t0 = time.time()
-            con.execute(oracles[name]).fetchall()
+            con.execute(oracles[name]).df()
             best = min(best, time.time() - t0)
         out[name] = round(best, 3)
     return out
+
+
+def bench_engine_facade(spark, sf_dir: str, name: str = "q1_pricing_summary") -> dict:
+    """One headline query routed through the ``MicroBlockEngine`` SQL
+    front door (catalog registration + observation hooks) next to the
+    direct DataFrame-builder call — proves the façade's overhead is
+    bounded, so covering the observation path costs ~nothing."""
+    from columnar_database_project_spark.engine import MicroBlockEngine
+
+    qs = entry_mod.queries()
+    sql = entry_mod.oracle_sql()[name]
+    eng = MicroBlockEngine(spark, table_dir=sf_dir)
+    direct = facade = float("inf")
+    for _ in range(RUNS_PER_QUERY):
+        t0 = time.time()
+        qs[name](spark, sf_dir).toPandas()
+        direct = min(direct, time.time() - t0)
+        t0 = time.time()
+        eng.query(sql).toPandas()
+        facade = min(facade, time.time() - t0)
+    return {
+        "query": name,
+        "direct": round(direct, 3),
+        "facade": round(facade, 3),
+        "overhead_ratio": round(facade / direct, 3) if direct else None,
+    }
 
 
 def main() -> None:
@@ -109,16 +161,38 @@ def main() -> None:
     spark_times = bench_spark(spark, sf_dir, HEADLINE)
     duck_times = bench_duckdb(sf_dir, HEADLINE)
     total = round(sum(spark_times.values()), 3)
+    facade = bench_engine_facade(spark, sf_dir)
     scaling = {}
     sf2_dir = os.environ.get("SPARK_GRAFT_SF2_DIR", "/root/testdata/sf0.01")
-    if os.path.isdir(sf2_dir) and os.path.realpath(sf2_dir) != os.path.realpath(
-        sf_dir
-    ):
-        sf2 = os.path.basename(sf2_dir.rstrip("/"))
-        scaling[sf2] = {
-            "queries": bench_spark(spark, sf2_dir, HEADLINE),
-            "baseline_duckdb": bench_duckdb(sf2_dir, HEADLINE),
-        }
+    # Third scaling point ABOVE the primary SF: a 5× key-offset replica
+    # of sf0.1 (tools/make_scale_replica.py), generated on first run.
+    # Three points (0.01 / 0.1 / 0.5) expose each engine's growth rate;
+    # the crossover analysis lives in PLANS.md.
+    sf3_dir = os.environ.get(
+        "SPARK_GRAFT_SF3_DIR", os.path.join(REPO, ".bench_data", "sf0.5")
+    )
+    if sf3_dir and not os.path.isdir(sf3_dir):
+        try:
+            from tools.make_scale_replica import replicate
+
+            replicate(sf_dir, sf3_dir, 5)
+        except Exception:
+            sf3_dir = ""
+    for extra_dir in (sf2_dir, sf3_dir):
+        if (
+            extra_dir
+            and os.path.isdir(extra_dir)
+            and os.path.realpath(extra_dir) != os.path.realpath(sf_dir)
+        ):
+            tag = os.path.basename(extra_dir.rstrip("/"))
+            scaling[tag] = {
+                "queries": bench_spark(
+                    spark, extra_dir, HEADLINE, runs=RUNS_PER_SCALING_QUERY
+                ),
+                "baseline_duckdb": bench_duckdb(
+                    extra_dir, HEADLINE, runs=RUNS_PER_SCALING_QUERY
+                ),
+            }
     print(
         json.dumps(
             {
@@ -129,6 +203,7 @@ def main() -> None:
                 "sf": sf_val,
                 "baseline_duckdb": duck_times,
                 "baseline_duckdb_total": round(sum(duck_times.values()), 3),
+                "engine_facade": facade,
                 "scaling": scaling,
             }
         )

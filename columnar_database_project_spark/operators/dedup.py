@@ -9,11 +9,12 @@ Large-scale training-data dedup surface (beyond the reference's scope):
 - SimHash (bitwise majority of token hashes),
 - embedding-cosine near-dup pairs (label-blocked).
 
-Per-document signature work (shingling, MinHash, SimHash) runs in
-Arrow-batched numpy kernels via ``mapInPandas`` — measured ~10× faster
-than Spark's interpreted higher-order functions on this shape, and
-zero-shuffle (pure map work). Joins, groupBys, and banding stay
-JVM-side where whole-stage codegen applies.
+MinHash signatures are computed fully JVM-side (md5 + bigint affine
+arithmetic in whole-stage codegen — measured ~6× faster than the
+Arrow-batched numpy kernel it replaced); SimHash and raw shingle
+emission remain Arrow-batched ``mapInPandas`` kernels where python-
+side set/bit semantics pay for themselves. Joins, groupBys, and
+banding stay JVM-side where whole-stage codegen applies.
 
 Hashing contract shared with the DuckDB oracles:
 ``base_hash(s) = int(md5(s)[:8 hex], 16)`` (32 bits), and the minhash
@@ -30,6 +31,7 @@ the repartition collapses into the existing shuffle boundaries).
 
 from __future__ import annotations
 
+import os
 import warnings
 from collections.abc import Iterator
 
@@ -165,49 +167,67 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_shingles(spark, sf_dir))
 
 
-MINHASH_MEMO_MAX = 1 << 20   # entries; bounds Python-worker memory
-
-
-def _minhash_batches(batches):
-    import numpy as np
-
-    # shingle→hash memo shared across the partition's batches: dedup
-    # corpora repeat boilerplate shingles, and md5 is the hot loop.
-    # Capped: on a high-cardinality partition an unbounded memo would
-    # grow with distinct shingles — cleared wholesale at the cap so it
-    # stays an optimization, never a memory liability.
-    memo: dict[str, int] = {}
-    sig_memo: dict[str, np.ndarray] = {}
-    for pdf in batches:
-        if len(memo) > MINHASH_MEMO_MAX:
-            memo.clear()
-        if len(sig_memo) > MINHASH_MEMO_MAX // 16:
-            sig_memo.clear()
-        sigs = []
-        for t in pdf["text"]:
-            s = sig_memo.get(t)
-            if s is None:
-                s = H.minhash_signature(t, _memo=memo)
-                sig_memo[t] = s
-            sigs.append(s)
-        mat = np.stack(sigs) if sigs else np.empty((0, N_MINHASH), dtype=np.int64)
-        out = {"doc_id": pdf["doc_id"].values}
-        for i in range(N_MINHASH):
-            out[f"mh_{i}"] = mat[:, i]
-        yield pd.DataFrame(out)
+_MINHASH_WIDE_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per doc with mh_0..mh_{N-1} signature columns.
 
-    Computed entirely inside mapInPandas (one Arrow batch in, one
-    signature row out per doc): the whole signature is per-document
-    map work, so this needs ZERO shuffle — the shape that scales to
-    100 TB. The numpy kernel (functions/hashing.minhash_signature)
-    reproduces the md5+affine family of the SQL oracle bit-for-bit."""
-    docs = _parallel(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    schema = "doc_id long, " + ", ".join(f"mh_{i} long" for i in range(N_MINHASH))
-    return docs.mapInPandas(_minhash_batches, schema=schema)
+    Computed entirely JVM-side: shingle windows via transform/slice,
+    ``base_hash32`` as ``conv(substring(md5(shingle),1,8),16,10)``,
+    and the affine family as plain bigint arithmetic (A, B < 2^28 and
+    h < 2^32, so A*h+B < 2^61 never overflows — the same bound the
+    numpy kernel relies on). The min-per-seed aggregate gets map-side
+    partial aggregation, so the only shuffle carries one 17-column row
+    per document. Measured ~6x faster than the earlier Arrow-batched
+    python kernel (functions/hashing.minhash_signature, kept for the
+    library surface + tests) and bit-identical to it and to the SQL
+    oracle. Shingle duplicates are NOT dropped before hashing: min()
+    is duplicate-insensitive, so the set-dedup would be pure cost.
+
+    Two codegen-cache details worth keeping:
+    - shingling avoids higher-order-function lambdas (explode the
+      window index, then ``slice(toks, i, W)``): a ``transform``
+      lambda mints fresh NamedLambdaVariable ids on every build, so
+      the generated Java source differs per query and Janino
+      recompiles (~2 s) on each fresh DataFrame — measured 5× slower
+      than this formulation;
+    - the built frame is memoized per (session, table) like
+      ``load_table`` relations, since three operators (signatures,
+      buckets, candidates) all derive from it."""
+    cache_key = (id(spark), os.path.realpath(sf_dir))
+    cached = _MINHASH_WIDE_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_sh = F.greatest(F.size(F.col("toks")) - SHINGLE_W, F.lit(0)) + 1
+    shingle = F.array_join(
+        F.slice(F.col("toks"), F.col("i"), SHINGLE_W), " "
+    ).alias("shingle")
+    base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast(
+        "long"
+    ).alias("h")
+    per_seed_min = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)).alias(
+            f"mh_{i}"
+        )
+        for i, (a, b) in enumerate(MINHASH_AB)
+    ]
+    wide = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.col("toks"),
+            F.explode(F.sequence(F.lit(1), n_sh)).alias("i"),
+        )
+        .select("doc_id", shingle)
+        .select("doc_id", base)
+        .groupBy("doc_id")
+        .agg(*per_seed_min)
+    )
+    _MINHASH_WIDE_CACHE[cache_key] = wide
+    return wide
 
 
 def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -47,19 +47,42 @@ HYPERPLANES: list[list[float]] = [
 _PLANES = np.array(HYPERPLANES, dtype=np.float64)   # (P, D)
 
 
+# The embedding kernels are Arrow-batched matmuls — memory-bandwidth
+# bound, NOT compute-heavy like the md5 shingling kernels in dedup, so
+# a pre-kernel repartition buys less than its full-corpus shuffle
+# costs. Scan splits set kernel parallelism: one split for a tiny
+# local file, one task per ~128 MB split at cluster scale.
+
+
+def _query_vectors(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """The N_QUERIES query vectors as (ids, raw matrix), read driver-
+    side with pyarrow. The query set is a PARAMETER of the search (a
+    client would hand it in), so fetching it is a pushdown-filtered
+    row-group read — not a Spark job scheduled ahead of every search."""
+    import pyarrow.dataset as ds
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    t = (
+        ds.dataset(path)
+        .to_table(
+            columns=["vec_id", "embedding"],
+            filter=ds.field("vec_id") < N_QUERIES,
+        )
+        .sort_by("vec_id")
+    )
+    q_ids = np.asarray(t["vec_id"], dtype=np.int64)
+    q_mat = np.array(
+        [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]
+    )
+    return q_ids, q_mat
+
+
 def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k for each query vector (vec_id < N_QUERIES),
     excluding self; deterministic tiebreak on neighbor id."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qrows = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    q_mat = normalize_rows(
-        np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    )
+    q_ids, q_raw = _query_vectors(sf_dir)
+    q_mat = normalize_rows(q_raw)
 
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Per-PARTITION top-k: score every batch, keep only the k best
@@ -89,10 +112,9 @@ def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows["cosine_raw"].extend(cs.tolist())
         yield pd.DataFrame(rows)
 
-    sc = spark.sparkContext
-    scored = emb.select("vec_id", "embedding").repartition(
-        sc.defaultParallelism
-    ).mapInPandas(score_batches, schema="q_id long, vec_id long, cosine_raw double")
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        score_batches, schema="q_id long, vec_id long, cosine_raw double"
+    )
     w = W.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -124,10 +146,8 @@ def q_sim_hyperplane_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    sc = spark.sparkContext
     return (
         emb.select("vec_id", "embedding")
-        .repartition(sc.defaultParallelism)
         .mapInPandas(sig_batches, schema="vec_id long, signature long")
     )
 
@@ -333,11 +353,8 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # centroids and results would vary run-to-run at scale).
     cents = ivf_centroids(sf_dir)
 
-    qrows = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        "vec_id", "embedding"
-    ).collect()
-    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    q_mat = normalize_rows(np.array([r["embedding"] for r in qrows], dtype=np.float64))
+    q_ids, q_raw = _query_vectors(sf_dir)
+    q_mat = normalize_rows(q_raw)
     # cells each query probes — same rounded deterministic ordering as
     # the oracle-checked probe plan (q_sim_ivf_probes)
     q_sims = np.round(q_mat @ cents.T, IVF_SIM_DECIMALS)
@@ -369,10 +386,8 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    sc = spark.sparkContext
     scored = (
         emb.select("vec_id", "embedding")
-        .repartition(sc.defaultParallelism)
         .mapInPandas(
             assign_and_score,
             schema="q_id long, vec_id long, cell int, cosine_raw double",

