@@ -9,11 +9,11 @@ Large-scale training-data dedup surface (beyond the reference's scope):
 - SimHash (bitwise majority of token hashes),
 - embedding-cosine near-dup pairs (label-blocked).
 
-MinHash signatures are computed fully JVM-side (md5 + bigint affine
-arithmetic in whole-stage codegen — measured ~6× faster than the
-Arrow-batched numpy kernel it replaced); SimHash and raw shingle
-emission remain Arrow-batched ``mapInPandas`` kernels where python-
-side set/bit semantics pay for themselves. Joins, groupBys, and
+MinHash and SimHash signatures are computed fully JVM-side (md5 +
+bigint/bit arithmetic in whole-stage codegen — measured 6-8× faster
+than the Arrow-batched numpy kernels they replaced, bit-identical
+output); only raw shingle emission remains a ``mapInPandas`` kernel,
+where python set semantics pay for themselves. Joins, groupBys, and
 banding stay JVM-side where whole-stage codegen applies.
 
 Hashing contract shared with the DuckDB oracles:
@@ -208,10 +208,10 @@ def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast(
         "long"
     ).alias("h")
+    # SQL-text aggregates: one py4j roundtrip per seed instead of ~8
+    # (see q_dedup_simhash for the measured build-latency rationale).
     per_seed_min = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)).alias(
-            f"mh_{i}"
-        )
+        F.expr(f"min((h * {a}L + {b}L) % {MERSENNE_P}L) AS mh_{i}")
         for i, (a, b) in enumerate(MINHASH_AB)
     ]
     wide = (
@@ -317,16 +317,6 @@ def q_dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(_band_keys(spark, sf_dir), LSH_MAX_BUCKET)
 
 
-def _simhash_batches(batches):
-    for pdf in batches:
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"].values,
-                "simhash": [H.simhash32(t) for t in pdf["text"]],
-            }
-        )
-
-
 SIMHASH_BANDS = 4                       # 32 bits → 4 × 8-bit bands
 HAMMING_K = 3                           # pigeonhole: ≤3 flipped bits
                                         # can touch ≤3 of 4 bands, so a
@@ -339,41 +329,63 @@ def q_dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: hamming(sig_a, sig_b) <= HAMMING_K.
 
     Scale path: band the 32-bit signature into 4 × 8-bit keys and
-    bucket-join on band equality (reusing the LSH bucket-grouped pair
-    generator — one shuffle, no row explosion), then keep pairs whose
-    full signatures are within HAMMING_K bits. By pigeonhole the band
-    pass loses nothing, so the result equals the all-pairs hamming
-    filter the SQL oracle runs — exactness AND subquadratic candidate
-    generation."""
-    sig = q_dedup_simhash(spark, sf_dir)
+    self-join on band equality with the hamming filter applied INSIDE
+    the join, carrying the full signature on both sides. By pigeonhole
+    the band pass loses nothing, so the result equals the all-pairs
+    hamming filter the SQL oracle runs — exactness AND subquadratic
+    candidate generation.
+
+    Unlike the minhash LSH path (md5 band keys → sparse buckets →
+    in-array pair enumeration wins), 8-bit band keys give at most 256
+    DENSE buckets per band, where the interpreted array pair generator
+    was measured ~4× slower than this codegen'd self-join whose
+    bit_count filter discards pairs before the distinct ever sees
+    them."""
+    # Materialize the signature once: both join branches would
+    # otherwise recompute the full token-hash aggregate — column
+    # re-aliasing gives each branch fresh exprIds, so Spark's
+    # ReusedExchange never unifies them. Same localCheckpoint pattern
+    # as the CC loops: one signature-sized frame in executor storage.
+    sig = q_dedup_simhash(spark, sf_dir).localCheckpoint()
+    # posexplode: the band index disambiguates equal keys from
+    # different bands
     bands = sig.select(
         "doc_id",
-        F.explode(
+        "simhash",
+        F.posexplode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned("simhash", i * _BAND_BITS)
-                        .bitwiseAND(F.lit((1 << _BAND_BITS) - 1))
-                        .cast("string")
-                        .alias("band_key"),
-                    )
+                    F.shiftrightunsigned("simhash", i * _BAND_BITS)
+                    .bitwiseAND(F.lit((1 << _BAND_BITS) - 1))
+                    .cast("int")
                     for i in range(SIMHASH_BANDS)
                 ]
             )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.band_key")
-    cand = lsh_candidate_pairs(bands)
-    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
-    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+        ).alias("band", "band_key"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sig_a"),
+        "band",
+        "band_key",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sig_b"),
+        F.col("band").alias("band_b"),
+        F.col("band_key").alias("band_key_b"),
+    )
     return (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .withColumn(
-            "hamming", F.expr("CAST(bit_count(sig_a ^ sig_b) AS INT)")
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("band_key") == F.col("band_key_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
         )
+        .withColumn("hamming", F.expr("CAST(bit_count(sig_a ^ sig_b) AS INT)"))
         .filter(F.col("hamming") <= HAMMING_K)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
@@ -633,11 +645,42 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance (asserted in tests); here we emit the deterministic
     signature so the oracle verifies every bit.
 
-    Per-document map work inside mapInPandas (numpy bit kernel) —
-    zero shuffle, replacing a 3-stage explode/groupBy pipeline that
-    blew each token into 32 bit-rows."""
-    docs = _parallel(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    return docs.mapInPandas(_simhash_batches, schema="doc_id long, simhash long")
+    Computed JVM-side in one shuffle: explode token INSTANCES (the
+    per-instance ±1 sum equals the frequency-weighted majority over
+    distinct tokens, so no Counter stage is needed), hash each with
+    the md5 base hash, and take 32 partial-aggregated sign-sums per
+    doc — the shuffle carries one 33-column row per document, and the
+    bit recombination is plain integer arithmetic in codegen.
+    Replaced the Arrow-batched numpy kernel (functions/
+    hashing.simhash32, kept for the library surface + tests): the
+    python md5-per-token loop measured ~8× slower at equal output."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    # All 33 aggregates and the 32-term bit recombination are built as
+    # SQL-text expressions: constructing them through the Column API
+    # costs ~500 py4j roundtrips (~0.4 s of pure driver latency per
+    # query build); F.expr ships each as one string parsed JVM-side.
+    # sum(±1) is rewritten as the duplicate-insensitive pair
+    # (2*sum(bit) > count) so each aggregate is a bare bit sum.
+    bit_sums = [
+        F.expr(f"sum(shiftright(h, {j}) & 1) AS b_{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sig_terms = " + ".join(
+        f"IF(2 * b_{j} > n, {1 << j}L, 0L)" for j in range(SIMHASH_BITS)
+    )
+    return (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) AS h"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.expr("count(1) AS n"), *bit_sums)
+        .select("doc_id", F.expr(f"CAST({sig_terms} AS BIGINT) AS simhash"))
+    )
 
 
 # Tile edge for the in-group similarity matmul: peak extra memory is

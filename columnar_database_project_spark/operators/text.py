@@ -259,19 +259,30 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition signal (Gopher-style "fraction of duplicated
     n-grams"): per document, the share of token trigrams that are
     repeats of an earlier trigram. Scan-local array math — zero
-    shuffles, codegen'd end to end — so it runs at full scan speed on
-    a 100 TB corpus."""
+    shuffles — so it runs at full scan speed on a 100 TB corpus.
+
+    The token array and the trigram array are each materialized ONCE
+    in their own projections and downstream expressions read the
+    column references: higher-order expressions are interpreted
+    (CodegenFallback) and escape subexpression elimination, so
+    inlining them re-evaluated the whitespace split inside every
+    per-element ``element_at`` (≈3 full-text regex splits per
+    trigram) and the transform once per output column — together
+    measured ~50× slower on this query."""
     docs = load_table(spark, sf_dir, "documents")
-    tg = _trigrams(tokens_col())
-    n = F.size(tg)
-    n_dist = F.size(F.array_distinct(tg))
-    return docs.select(
-        "doc_id",
-        n.alias("n_trigrams"),
-        n_dist.alias("n_distinct_trigrams"),
-        F.when(n > 0, F.round((n - n_dist) / n.cast("double"), 6))
-        .otherwise(F.lit(0.0))
-        .alias("dup_trigram_ratio"),
+    n = F.size(F.col("tg"))
+    n_dist = F.size(F.array_distinct(F.col("tg")))
+    return (
+        docs.select("doc_id", tokens_col().alias("toks"))
+        .select("doc_id", _trigrams(F.col("toks")).alias("tg"))
+        .select(
+            "doc_id",
+            n.alias("n_trigrams"),
+            n_dist.alias("n_distinct_trigrams"),
+            F.when(n > 0, F.round((n - n_dist) / n.cast("double"), 6))
+            .otherwise(F.lit(0.0))
+            .alias("dup_trigram_ratio"),
+        )
     )
 
 
@@ -324,24 +335,31 @@ TOP_BIGRAMS = 20
 
 
 def q_text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level top bigrams: per-doc bigram arrays (scan-local) →
-    explode → one partial-agg'd groupBy → global top-20 with a
-    deterministic bigram tiebreak. The only shuffle is the (bigram,
-    count) aggregate — map-side combine keeps it proportional to the
-    vocabulary, not the corpus."""
+    """Corpus-level top bigrams: explode the bigram INDEX (guarded —
+    Spark's sequence(1, n) counts down when n < 1), join the two
+    tokens positionally, then one partial-agg'd groupBy. The only
+    shuffle is the (bigram, count) aggregate — map-side combine keeps
+    it proportional to the vocabulary, not the corpus. Deliberately
+    lambda-free: a higher-order ``transform`` here is interpreted
+    per element and measured ~7× slower than this explode-index +
+    element_at formulation."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_col()
-    bg = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    n_bg = F.size(F.col("toks")) - 1
+    bigram = F.concat_ws(
+        " ",
+        F.element_at(F.col("toks"), F.col("i")),
+        F.element_at(F.col("toks"), F.col("i") + 1),
+    )
     counts = (
-        docs.select(F.explode(bg).alias("bigram"))
+        docs.select(toks.alias("toks"))
+        .select(
+            F.col("toks"),
+            F.explode(
+                F.when(n_bg >= 1, F.sequence(F.lit(1), n_bg))
+            ).alias("i"),
+        )
+        .select(bigram.alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
     )
