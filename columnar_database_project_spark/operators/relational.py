@@ -928,13 +928,28 @@ def q_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``approx_percentile`` (t-digest, constant memory) — kept exact
     here because the oracle must match bit-for-bit."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("p25_qty"),
-        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50_qty"),
-        F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("p75_qty"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias(
-            "p90_price"
-        ),
+    # one percentile aggregate with an array of fractions: each scalar
+    # percentile agg keeps its own per-group value buffer, so asking
+    # for three quantity percentiles separately tripled the aggregate
+    # state and the per-group sort work (measured ~2×the wall clock).
+    qty_p = F.percentile(
+        "l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            qty_p.alias("qty_p"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias(
+                "p90_price"
+            ),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("qty_p", 1), 6).alias("p25_qty"),
+            F.round(F.element_at("qty_p", 2), 6).alias("p50_qty"),
+            F.round(F.element_at("qty_p", 3), 6).alias("p75_qty"),
+            "p90_price",
+        )
     )
 
 

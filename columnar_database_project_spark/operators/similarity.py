@@ -213,9 +213,28 @@ def q_sim_bucket_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["cosine"] = np.round(sims[ia, ib], 4)
         return pd.DataFrame(out)
 
-    return sigs.groupBy("signature").applyInPandas(
-        bucket_pairs,
-        schema="vec_id_a long, vec_id_b long, signature long, cosine double",
+    # Prune single-member buckets BEFORE the python stage: with P
+    # hyperplane bits most signatures are unique, and applyInPandas
+    # invokes the kernel once per GROUP — thousands of single-row
+    # pandas frames cost ~2 s of pure per-group overhead for zero
+    # output (pairs need ≥2 members). The signature frame is
+    # checkpointed once (it is small: id + sig + vector), bucket sizes
+    # come from it JVM-side, and the broadcast semi join keeps only
+    # rerankable buckets.
+    sigs = sigs.localCheckpoint()
+    multi = (
+        sigs.groupBy("signature")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("signature")
+    )
+    return (
+        sigs.join(F.broadcast(multi), "signature", "left_semi")
+        .groupBy("signature")
+        .applyInPandas(
+            bucket_pairs,
+            schema="vec_id_a long, vec_id_b long, signature long, cosine double",
+        )
     )
 
 
