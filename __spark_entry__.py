@@ -56,14 +56,32 @@ def _last_verified_round() -> dict[str, tuple[int, float]]:
     return rounds
 
 
-def _module_mtime(fn: Callable) -> float:
-    """mtime of the module file implementing ``fn`` (0.0 if unknown)."""
-    mod = sys.modules.get(getattr(fn, "__module__", ""), None)
-    path = getattr(mod, "__file__", None)
-    try:
-        return os.path.getmtime(path) if path else 0.0
-    except OSError:
-        return 0.0
+def _pkg_mtime() -> float:
+    """Max mtime over ALL package source files (memoized per process).
+
+    A query's behavior depends on shared helpers (functions/hashing.py,
+    catalog.py, plans/) as much as its own module, so staleness is
+    judged against the whole package: an edit anywhere resets every
+    query's verification freshness rather than only the defining
+    module's — a regression introduced via a helper must not hide
+    behind a stale green row.
+    """
+    global _PKG_MTIME
+    if _PKG_MTIME is None:
+        latest = 0.0
+        pkg_dir = os.path.join(_REPO_DIR, "columnar_database_project_spark")
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    try:
+                        latest = max(latest, os.path.getmtime(os.path.join(root, f)))
+                    except OSError:
+                        pass
+        _PKG_MTIME = latest
+    return _PKG_MTIME
+
+
+_PKG_MTIME: float | None = None
 
 
 def _rotated(names: list[str]) -> list[str]:
@@ -78,21 +96,24 @@ def _rotated(names: list[str]) -> list[str]:
     full-registry sweep (``tools/verify_oracle.py <sf_dir>``), run
     before every milestone commit regardless of this order.
 
-    A query whose implementing module changed after its last verified
-    round's check file was written sorts with the never-verified group:
-    a regression introduced by this round's edits must not hide behind
-    a stale green row until the rotation cycles back to it.
+    A query whose package changed after its last verified round's
+    check file was written sorts with the never-verified group — and
+    WITHIN that group, by how old its last green row is (stalest
+    first, never-verified before all). Package-wide staleness would
+    otherwise collapse the order to plain alphabetical after any edit,
+    recreating the fixed-tail starvation this rotation exists to
+    prevent.
     """
     last = _last_verified_round()
 
-    def key(n: str) -> tuple[int, str]:
+    def key(n: str) -> tuple[int, int, str]:
         rec = last.get(n)
         if rec is None:
-            return (0, n)
+            return (0, -1, n)
         rnum, checked_at = rec
-        if _module_mtime(_QUERIES[n]) > checked_at:
-            return (0, n)  # code changed since its last green row
-        return (rnum, n)
+        if _pkg_mtime() > checked_at:
+            return (0, rnum, n)  # code changed since its last green row
+        return (1, rnum, n)
 
     return sorted(names, key=key)
 

@@ -53,8 +53,50 @@ def _nanos_ts_columns(path: str) -> list[str]:
 # VIEW at connect time, reference query_enginev5.py:30-39) — without
 # it every query pays a fresh parquet footer read + py4j roundtrip
 # just to rebuild an identical scan relation. Keyed by session id so a
-# restarted session never sees stale relations.
-_RELATION_CACHE: dict[tuple[int, str], DataFrame] = {}
+# restarted session never sees stale relations, and by a file
+# freshness token (mtime+size) so a table REGENERATED at the same path
+# mid-session (bench replicas, rebuilt test fixtures) is re-read
+# instead of served from the stale cached plan.
+_RELATION_CACHE: dict[tuple[int, str, tuple], DataFrame] = {}
+_CACHE_SWEEP_LEN = 512
+
+
+def file_freshness(path: str) -> tuple:
+    """Cheap change-detection token for a parquet file or a directory
+    of part files: (mtime_ns, size) per relevant file."""
+    try:
+        if os.path.isdir(path):
+            toks = []
+            for name in sorted(os.listdir(path)):
+                if name.endswith(".parquet"):
+                    st = os.stat(os.path.join(path, name))
+                    toks.append((name, st.st_mtime_ns, st.st_size))
+            return tuple(toks)
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return ("missing",)
+
+
+def sweep_cache(cache: dict, session_key: int) -> None:
+    """Bound a (session, path, freshness)-keyed cache: once it outgrows
+    _CACHE_SWEEP_LEN, drop entries from other (likely stopped) sessions
+    so dead sessions and their plans are never pinned forever.
+    (Superseded-freshness entries are evicted inline on replacement.)"""
+    if len(cache) <= _CACHE_SWEEP_LEN:
+        return
+    for k in [k for k in cache if k[0] != session_key]:
+        del cache[k]
+
+
+def cache_put(cache: dict, key: tuple, value) -> None:
+    """Insert, evicting any entry for the same (session, path) with a
+    different (stale) freshness token, then sweeping if oversized."""
+    sid, path = key[0], key[1]
+    for k in [k for k in cache if k[0] == sid and k[1] == path and k != key]:
+        del cache[k]
+    cache[key] = value
+    sweep_cache(cache, sid)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -73,7 +115,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     batches to Spark.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    cache_key = (id(spark), os.path.realpath(path))
+    real = os.path.realpath(path)
+    cache_key = (id(spark), real, file_freshness(real))
     cached = _RELATION_CACHE.get(cache_key)
     if cached is not None:
         return cached
@@ -99,7 +142,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
     for c in nanos_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT))"))
-    _RELATION_CACHE[cache_key] = df
+    cache_put(_RELATION_CACHE, cache_key, df)
     return df
 
 

@@ -39,7 +39,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from columnar_database_project_spark.catalog import load_table
+from columnar_database_project_spark.catalog import (
+    cache_put,
+    file_freshness,
+    load_table,
+)
 from columnar_database_project_spark.functions import hashing as H
 from columnar_database_project_spark.functions.vector import (
     normalize_rows,
@@ -169,7 +173,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_shingles(spark, sf_dir))
 
 
-_MINHASH_WIDE_CACHE: dict[tuple[int, str], DataFrame] = {}
+_MINHASH_WIDE_CACHE: dict[tuple[int, str, tuple], DataFrame] = {}
 
 
 def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -197,7 +201,8 @@ def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     - the built frame is memoized per (session, table) like
       ``load_table`` relations, since three operators (signatures,
       buckets, candidates) all derive from it."""
-    cache_key = (id(spark), os.path.realpath(sf_dir))
+    doc_path = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
+    cache_key = (id(spark), doc_path, file_freshness(doc_path))
     cached = _MINHASH_WIDE_CACHE.get(cache_key)
     if cached is not None:
         return cached
@@ -228,7 +233,7 @@ def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(*per_seed_min)
     )
-    _MINHASH_WIDE_CACHE[cache_key] = wide
+    cache_put(_MINHASH_WIDE_CACHE, cache_key, wide)
     return wide
 
 

@@ -260,41 +260,82 @@ def _ivf_centroids(emb_rows: np.ndarray) -> np.ndarray:
     return normalize_rows(cent)
 
 
+# Diagnostics for the last _ivf_sample call: how many embedding rows
+# the driver actually materialized vs the table size — the scale
+# contract (asserted by tests/test_similarity.py) is that this stays
+# O(IVF_SAMPLE_TARGET), never O(n_table).
+_LAST_SAMPLE_STATS: dict[str, int] = {}
+
+
 def _ivf_sample(sf_dir: str) -> np.ndarray:
-    """Centroid-training sample, deterministic for a given table:
-    rows sorted by vec_id, strided to ~IVF_SAMPLE_TARGET rows. The
-    stride works on actual ids (sorted), so sparse or offset vec_ids
-    can't starve it; if the stride still undershoots (tiny tables),
-    fall back to every row. Driver-side pyarrow read = control plane
-    (at 100 TB: a distributed stride-sample collect of the same rows).
+    """Centroid-training sample, deterministic for a given table.
+
+    Tables at or under IVF_SAMPLE_TARGET rows are read whole (sorted
+    by vec_id — identical to the pre-r5 behavior, so centroids at the
+    oracle-checked test scales are bit-identical). Larger tables are
+    STREAMED in record batches with a positional stride applied per
+    batch: the driver holds one scan batch plus the ~IVF_SAMPLE_TARGET
+    selected rows at any moment — never the whole table, which at
+    100 TB would OOM the driver before sampling (the pre-r5 code's
+    failure mode). IO is still one sequential pass; at true cluster
+    scale that pass runs as a Spark job collecting only the strided
+    rows — the driver-memory contract (O(sample), not O(table)) is the
+    same and is what tests/test_similarity.py asserts.
     """
-    import pyarrow.parquet as _pq
+    import pyarrow as pa
+    import pyarrow.dataset as _ds
 
-    t = _pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    vid = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False))
-    order = np.argsort(vid, kind="stable")
-    emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)[order]
-    n = len(emb)
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    dset = _ds.dataset(path)
+    n = dset.count_rows()  # parquet metadata only — no data read
+    cols = ["vec_id", "embedding"]
+
+    def finish(vid: np.ndarray, emb: np.ndarray) -> np.ndarray:
+        order = np.argsort(vid, kind="stable")
+        _LAST_SAMPLE_STATS.update(n_table=n, rows_materialized=len(emb))
+        return emb[order][: 2 * IVF_SAMPLE_TARGET]
+
     if n <= max(IVF_SAMPLE_TARGET, N_IVF_CELLS):
-        return emb
+        t = dset.to_table(columns=cols)
+        return finish(
+            np.asarray(t["vec_id"].to_numpy(zero_copy_only=False)),
+            np.array(t["embedding"].to_pylist(), dtype=np.float64),
+        )
     step = max(1, n // IVF_SAMPLE_TARGET)
-    sample = emb[::step]
-    if len(sample) < max(N_IVF_CELLS * 4, 64):
-        return emb
-    return sample
+    sel_vid: list[np.ndarray] = []
+    sel_emb: list[list] = []
+    idx = 0  # global row index across batches (file order: deterministic)
+    for batch in dset.scanner(columns=cols, batch_size=8192).to_batches():
+        m = batch.num_rows
+        pos = np.arange((-idx) % step, m, step)
+        if len(pos):
+            picked = batch.take(pa.array(pos, type=pa.int64()))
+            sel_vid.append(
+                np.asarray(picked["vec_id"].to_numpy(zero_copy_only=False))
+            )
+            sel_emb.extend(picked["embedding"].to_pylist())
+        idx += m
+    return finish(
+        np.concatenate(sel_vid), np.array(sel_emb, dtype=np.float64)
+    )
 
 
-_CENTROID_CACHE: dict[str, np.ndarray] = {}
+_CENTROID_CACHE: dict[tuple, np.ndarray] = {}
 
 
 def ivf_centroids(sf_dir: str) -> np.ndarray:
     """Normalized (N_IVF_CELLS, D) centroids for one table directory —
     deterministic given the data, shared by the queries AND the SQL
-    oracle builder so both sides see bit-identical centroids."""
-    key = os.path.realpath(sf_dir)
+    oracle builder so both sides see bit-identical centroids. Keyed by
+    a file freshness token so a table regenerated at the same path is
+    re-sampled, not served stale centroids."""
+    from columnar_database_project_spark.catalog import file_freshness
+
+    path = os.path.realpath(os.path.join(sf_dir, "embeddings.parquet"))
+    key = (path, file_freshness(path))
     if key not in _CENTROID_CACHE:
+        if len(_CENTROID_CACHE) > 16:  # bound: stale tokens never pile up
+            _CENTROID_CACHE.clear()
         _CENTROID_CACHE[key] = _ivf_centroids(_ivf_sample(sf_dir))
     return _CENTROID_CACHE[key]
 
