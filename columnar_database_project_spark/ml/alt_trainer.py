@@ -55,20 +55,28 @@ def train_alt(
     CrossEntropy fit → held-out accuracy/MRR report.
 
     Returns (model, report) where report carries per-epoch train loss
-    and the held-out ``hit@k`` / ``mrr`` metrics."""
+    and the held-out ``hit@k`` / ``mrr`` metrics.
+
+    Metrics contract: when there is no held-out sample — ``split >= 1.0``
+    (train on everything, explicitly honored) or a single-sample
+    dataset — ``accuracy``/``hit@k``/``mrr`` are ``None`` and
+    ``n_eval`` is 0; consumers doing float arithmetic must check.
+    """
     inputs, labels, id2idx, idx2id = build_prefix_dataset(query_blocks)
     if not inputs:
         raise ValueError(
             "train_alt: no prefix samples — every query block has fewer "
             "than 2 accesses, so there is nothing to train on"
         )
-    # Keep at least one held-out sample whenever the dataset allows it;
-    # with a single sample we train on it and report eval metrics as
-    # None rather than fitting on an empty set or "evaluating" on zero
+    # Keep at least one held-out sample whenever the dataset allows it
+    # AND the caller actually asked for a holdout (split < 1.0); with a
+    # single sample we train on it and report eval metrics as None
+    # rather than fitting on an empty set or "evaluating" on zero
     # examples.
     n_train = max(1, int(len(inputs) * split))
-    if n_train >= len(inputs) and len(inputs) > 1:
+    if split < 1.0 and n_train >= len(inputs) and len(inputs) > 1:
         n_train = len(inputs) - 1
+    n_train = min(n_train, len(inputs))
     model = LSTMPrefetcher(
         num_tokens=len(id2idx) + 1,
         embed_dim=embed_dim,

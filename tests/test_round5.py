@@ -1,0 +1,375 @@
+"""Round-5 gate tests.
+
+Covers the r4 verdict items: the IVF sample driver-memory bound, the
+approx_distinct HLL tolerance, the three 100 TB cap guards
+(LSH_MAX_BUCKET / RERANK_MAX_BUCKET / max_doc_freq) exercised on
+degenerate hot buckets, the prefetch hit-rate end-to-end threshold,
+and the r4 advice items (cache freshness, scale-aware tuning, replica
+decorrelation, alt-trainer split contract).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+
+def _write_embeddings(path: str, n: int, dim: int = 16, seed: int = 7) -> None:
+    rng = np.random.RandomState(seed)
+    emb = rng.randn(n, dim).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n)),
+            "embedding": pa.array(emb.tolist(), type=pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(t, path, row_group_size=5000)
+
+
+class TestIvfSampleDriverBound:
+    """VERDICT r4 #2: the centroid-training sample must never
+    materialize O(n_table) rows on the driver."""
+
+    def test_large_table_materializes_sample_only(self, tmp_path):
+        from columnar_database_project_spark.operators import similarity as S
+
+        d = str(tmp_path)
+        _write_embeddings(os.path.join(d, "embeddings.parquet"), 30_000)
+        s1 = S._ivf_sample(d)
+        stats = dict(S._LAST_SAMPLE_STATS)
+        assert stats["n_table"] == 30_000
+        assert stats["rows_materialized"] <= 2 * S.IVF_SAMPLE_TARGET
+        assert len(s1) >= S.IVF_SAMPLE_TARGET  # still a real sample
+        # deterministic: same file → bit-identical sample and centroids
+        s2 = S._ivf_sample(d)
+        assert np.array_equal(s1, s2)
+        c1 = S.ivf_centroids(d)
+        assert np.array_equal(c1, S.ivf_centroids(d))
+
+    def test_small_table_reads_all_sorted(self, tmp_path):
+        from columnar_database_project_spark.operators import similarity as S
+
+        d = str(tmp_path)
+        _write_embeddings(os.path.join(d, "embeddings.parquet"), 300)
+        s = S._ivf_sample(d)
+        assert len(s) == 300  # full read below the sample target
+        assert S._LAST_SAMPLE_STATS["rows_materialized"] == 300
+
+    def test_centroid_cache_invalidated_on_rewrite(self, tmp_path):
+        from columnar_database_project_spark.operators import similarity as S
+
+        d = str(tmp_path)
+        p = os.path.join(d, "embeddings.parquet")
+        _write_embeddings(p, 300, seed=1)
+        c1 = S.ivf_centroids(d)
+        _write_embeddings(p, 300, seed=2)  # regenerated at the same path
+        c2 = S.ivf_centroids(d)
+        assert not np.array_equal(c1, c2), "stale centroids served"
+
+
+class TestApproxDistinctTolerance:
+    """VERDICT r4 #4: the HLL estimate has no SQL oracle (rows-only by
+    design) — this tolerance check is its only correctness signal."""
+
+    def test_within_5pct_of_exact(self, spark):
+        from columnar_database_project_spark.operators.relational import (
+            q_approx_distinct,
+        )
+        from columnar_database_project_spark.catalog import load_table
+
+        sf = "/root/testdata/sf0.01"
+        approx = q_approx_distinct(spark, sf).collect()[0]
+        li = load_table(spark, sf, "lineitem")
+        exact = li.agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.countDistinct("l_orderkey").alias("orders"),
+        ).collect()[0]
+        assert abs(approx["approx_parts"] - exact["parts"]) <= 0.05 * exact["parts"]
+        assert (
+            abs(approx["approx_orders"] - exact["orders"]) <= 0.05 * exact["orders"]
+        )
+
+
+class TestHotBucketCaps:
+    """VERDICT r4 #5: the documented 100 TB guards, exercised on
+    synthetic degenerate buckets: the cap bounds emitted work, and the
+    uncapped output is a superset of the capped one."""
+
+    def test_lsh_max_bucket(self, spark):
+        from columnar_database_project_spark.operators.dedup import (
+            lsh_candidate_pairs,
+        )
+
+        hot = [(i, 0, "hot") for i in range(40)]  # one degenerate bucket
+        cold = [(100, 0, "cold"), (101, 0, "cold")]
+        bk = spark.createDataFrame(
+            hot + cold, "doc_id long, band int, band_key string"
+        )
+        uncapped = {
+            (r.doc_a, r.doc_b) for r in lsh_candidate_pairs(bk).collect()
+        }
+        capped = {
+            (r.doc_a, r.doc_b)
+            for r in lsh_candidate_pairs(bk, max_bucket=10).collect()
+        }
+        assert len(uncapped) == 40 * 39 // 2 + 1
+        assert capped == {(100, 101)}  # hot bucket dropped, cold kept
+        assert capped <= uncapped
+
+    def test_ngram_max_doc_freq(self, spark):
+        from columnar_database_project_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+
+        boiler = [(i, "license header") for i in range(20)]
+        rare = [(1, "unique phrase one"), (2, "unique phrase one")]
+        sh = spark.createDataFrame(boiler + rare, "doc_id long, shingle string")
+        uncapped = {
+            (r.doc_a, r.doc_b)
+            for r in ngram_jaccard_pairs(sh, tau=0.0).collect()
+        }
+        capped = {
+            (r.doc_a, r.doc_b)
+            for r in ngram_jaccard_pairs(sh, tau=0.0, max_doc_freq=5).collect()
+        }
+        assert len(uncapped) == 20 * 19 // 2  # boilerplate join explosion
+        assert capped == {(1, 2)}  # stop-shingle cut leaves the rare pair
+        assert capped <= uncapped
+
+    def test_rerank_max_bucket(self, spark, tmp_path, monkeypatch):
+        from columnar_database_project_spark.operators import similarity as S
+
+        # Degenerate corpus: positive scalings of one base vector share
+        # an identical hyperplane sign pattern → one 10-member hot
+        # bucket; the negated direction gives a separate 2-member one.
+        rng = np.random.RandomState(3)
+        base = rng.randn(64)
+        rows = [(i, (base * (1.0 + 0.01 * i)).tolist()) for i in range(10)]
+        rows += [(100, (-base).tolist()), (101, (-base * 2.0).tolist())]
+        d = str(tmp_path)
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                    "embedding": pa.array(
+                        [r[1] for r in rows], type=pa.list_(pa.float32())
+                    ),
+                }
+            ),
+            os.path.join(d, "embeddings.parquet"),
+        )
+        uncapped = {
+            (r.vec_id_a, r.vec_id_b): r.signature
+            for r in S.q_sim_bucket_rerank(spark, d).collect()
+        }
+        sizes = {
+            r.signature: r.n_vectors
+            for r in S.q_sim_bucket_sizes(spark, d).collect()
+        }
+        big = {s for s, n in sizes.items() if n > 2}
+        assert len(uncapped) == 10 * 9 // 2 + 1  # hot-bucket explosion
+        monkeypatch.setattr(S, "RERANK_MAX_BUCKET", 2)
+        capped = {
+            (r.vec_id_a, r.vec_id_b): r.signature
+            for r in S.q_sim_bucket_rerank(spark, d).collect()
+        }
+        assert capped == {(100, 101): uncapped[(100, 101)]}
+        assert set(capped) <= set(uncapped)
+        # every pair lost to the cap came from an over-cap bucket
+        assert all(uncapped[p] in big for p in set(uncapped) - set(capped))
+
+
+class TestPrefetchHitRate:
+    """VERDICT r4 #7: the full prefetch loop (query → log → train →
+    predict → prefetch → cache-hit) with an asserted hit rate on the
+    sequential synthetic workload (reference smoke_test.py:5-68 shape,
+    but with a threshold)."""
+
+    def test_hit_rate_end_to_end(self, spark, sf_dir, tmp_path):
+        from columnar_database_project_spark.catalog import load_table
+        from columnar_database_project_spark.engine import MicroBlockEngine
+        from columnar_database_project_spark.ml.evaluate import evaluate
+        from columnar_database_project_spark.ml.lstm import LSTMPrefetcher
+        from columnar_database_project_spark.ml.prefetch import (
+            Prefetcher,
+            PrefetchService,
+        )
+        from columnar_database_project_spark.ml.scheduler import PrefetchScheduler
+        from columnar_database_project_spark.ml.synthetic import generate_mixed_logs
+        from columnar_database_project_spark.ml.training_set import (
+            build_from_sequence,
+        )
+        from columnar_database_project_spark.sources.index import MicroBlockIndex
+        from columnar_database_project_spark.sources.microblock import (
+            MicroBlockWriter,
+        )
+        from columnar_database_project_spark.storage.access_logger import (
+            AccessLogger,
+            GlobalHistory,
+        )
+        from columnar_database_project_spark.storage.block_cache import BlockCache
+
+        out = str(tmp_path / "blocks")
+        li = load_table(spark, sf_dir, "lineitem").orderBy(
+            "l_orderkey", "l_linenumber"
+        )
+        MicroBlockWriter(block_rows=500).write(li.repartition(1), out)
+        idx = MicroBlockIndex.build(out, table_id="lineitem")
+        n_blocks = idx.num_blocks
+
+        # 1) real engine queries feed the access log
+        logger = AccessLogger(str(tmp_path / "access.jsonl"))
+        history = GlobalHistory(maxlen=200)
+        eng = MicroBlockEngine(spark, index=idx, logger=logger, history=history)
+        eng.register("lineitem", spark.read.parquet(out))
+        eng.query("SELECT count(*) AS c FROM lineitem").collect()
+        assert logger.block_sequence()  # the observation loop ran
+
+        # 2) sequential synthetic workload over the REAL block-id space
+        seq = generate_mixed_logs(
+            1500,
+            ranges=[(0, n_blocks - 1)],
+            noise_prob=0.0,
+            jump_prob=0.0,
+            seed=11,
+        )
+        ts = build_from_sequence(seq)
+        model = LSTMPrefetcher(ts.vocab_size)
+        n_train = int(len(ts.inputs) * 0.8)
+        model.fit(ts.inputs[:n_train], ts.labels[:n_train], epochs=8)
+
+        # 3) asserted model quality on the held-out sequential tail
+        report = evaluate(model, ts.inputs[n_train:], ts.labels[n_train:])
+        assert report["hit@10"] >= 0.5, report
+
+        # 4) schedule + prefetch from live history, then the cache must
+        # hit on the workload's actual next block
+        sched = PrefetchScheduler(model, ts.id2idx, ts.idx2id)
+        cache = BlockCache(capacity=10)
+        history.record_many(seq[-40:-1])
+        svc = PrefetchService(
+            sched,
+            Prefetcher(spark, idx, cache),
+            history,
+            cache,
+            interval=3600,
+            k=10,
+        )
+        assert svc.run_once() > 0
+        true_next = seq[-1]
+        assert cache.contains(true_next), (
+            f"prefetch missed the sequential successor {true_next}; "
+            f"cached={sorted(cache.cached_ids())}"
+        )
+        cache.clear()
+
+
+class TestScaleAwareTuning:
+    def test_small_input_latency_regime(self, spark, tmp_path):
+        from columnar_database_project_spark.session import tune_for_scale
+
+        p = str(tmp_path / "t.parquet")
+        pq.write_table(pa.table({"a": [1, 2]}), p)
+        conf = tune_for_scale(spark, str(tmp_path))
+        assert conf["spark.sql.adaptive.enabled"] == "false"
+        assert conf["spark.sql.shuffle.partitions"] == "8"
+
+    def test_large_input_scales_partitions(self, spark, tmp_path, monkeypatch):
+        from columnar_database_project_spark import session as sess
+
+        monkeypatch.setattr(sess, "input_bytes", lambda d: 640 * 1024**3)
+        conf = sess.tune_for_scale(spark, str(tmp_path))
+        assert conf["spark.sql.adaptive.enabled"] == "true"
+        # 640 GB / 64 MB = 10240 → clamped to the 2000 ceiling
+        assert conf["spark.sql.shuffle.partitions"] == "2000"
+        # restore the small-scale test regime on the shared session
+        monkeypatch.undo()
+        sess.tune_for_scale(spark, "/root/testdata/sf0.001")
+
+
+class TestRelationCacheFreshness:
+    def test_rewritten_table_not_served_stale(self, spark, tmp_path):
+        from columnar_database_project_spark.catalog import load_table
+
+        d = str(tmp_path)
+        p = os.path.join(d, "documents.parquet")
+        pq.write_table(pa.table({"doc_id": [1, 2], "text": ["a", "b"]}), p)
+        assert load_table(spark, d, "documents").count() == 2
+        os.remove(p)
+        pq.write_table(
+            pa.table({"doc_id": [1, 2, 3], "text": ["a", "b", "c"]}), p
+        )
+        assert load_table(spark, d, "documents").count() == 3
+
+
+class TestReplicaDecorrelation:
+    """ADVICE r4: k-fold replicas must not be exact clones, or the
+    sf0.5 scaling point measures a duplicate-pathology workload."""
+
+    @pytest.fixture(scope="class")
+    def replica(self, tmp_path_factory):
+        from tools.make_scale_replica import replicate
+
+        dst = str(tmp_path_factory.mktemp("rep") / "sf2x")
+        replicate("/root/testdata/sf0.001", dst, 2)
+        return dst
+
+    def test_manifest_roundtrip(self, replica):
+        from tools.make_scale_replica import manifest_matches
+
+        assert manifest_matches("/root/testdata/sf0.001", replica, 2)
+        assert not manifest_matches("/root/testdata/sf0.001", replica, 3)
+        assert not manifest_matches("/root/testdata/sf0.01", replica, 2)
+
+    def test_text_shingles_disjoint_across_copies(self, replica):
+        from columnar_database_project_spark.functions.hashing import shingles
+
+        src = pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+        )
+        rep = pq.read_table(
+            os.path.join(replica, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        n = src.num_rows
+        assert rep.num_rows == 2 * n
+        src_text = src["text"].to_pylist()
+        rep_text = rep["text"].to_pylist()
+        # copy 0 is byte-identical; copy 1 shares NO word-5-gram shingle
+        assert rep_text[:n] == src_text
+        for i in (0, n // 2, n - 1):
+            orig, pert = shingles(src_text[i]), shingles(rep_text[n + i])
+            if orig:
+                assert not (orig & pert)
+                assert "cp1x" in rep_text[n + i]
+
+    def test_embeddings_rolled_not_cloned(self, replica):
+        src = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+        rep = pq.read_table(os.path.join(replica, "embeddings.parquet"))
+        n = src.num_rows
+        v0 = np.array(src["embedding"].to_pylist()[0], dtype=np.float32)
+        v1 = np.array(rep["embedding"].to_pylist()[n], dtype=np.float32)
+        assert np.allclose(np.roll(v0, 1), v1)
+        assert not np.allclose(v0, v1)  # not an exact clone
+
+
+class TestAltTrainerSplitContract:
+    def test_split_1_trains_on_everything(self):
+        from columnar_database_project_spark.ml.alt_trainer import train_alt
+
+        qb = [[1, 2, 3, 4], [2, 3, 4, 5]]
+        _, report = train_alt(qb, epochs=1, split=1.0)
+        assert report["n_eval"] == 0
+        assert report["n_train"] == 6  # all prefix samples
+        assert report["accuracy"] is None and report["mrr"] is None
+
+    def test_split_below_1_keeps_holdout(self):
+        from columnar_database_project_spark.ml.alt_trainer import train_alt
+
+        _, report = train_alt([[1, 2, 3, 4], [2, 3, 4, 5]], epochs=1, split=0.99)
+        assert report["n_eval"] >= 1
+        assert report["accuracy"] is not None
