@@ -68,6 +68,14 @@ HEADLINE = [
 # the scaling points take best-of-2 (slope estimates tolerate noise).
 RUNS_PER_QUERY = 5
 RUNS_PER_SCALING_QUERY = 2
+# Untimed warm sweeps before the timed runs at the PRIMARY scale: the
+# JVM's C2 compiler keeps improving plans over the first ~100
+# executions (measured r5: best-of-5 totals of 2.37 / 2.14 / 2.03 s on
+# three consecutive sweeps of the same 13 queries) — one sweep is not
+# steady state. The reference protocol is warmed-connection steady
+# state (reference benchmark.py:232-289), so warm until it is; DuckDB
+# gets the same number of untimed sweeps for symmetry.
+WARM_SWEEPS = 3
 
 
 # Both engines materialize to pandas through their Arrow paths —
@@ -79,7 +87,11 @@ RUNS_PER_SCALING_QUERY = 2
 
 
 def bench_spark(
-    spark, sf_dir: str, names: list[str], runs: int = RUNS_PER_QUERY
+    spark,
+    sf_dir: str,
+    names: list[str],
+    runs: int = RUNS_PER_QUERY,
+    warm_sweeps: int = WARM_SWEEPS,
 ) -> dict[str, float]:
     """Warmed-connection loop, mirroring the reference protocol
     (reference benchmark.py:232-289): one full untimed sweep first —
@@ -92,8 +104,9 @@ def bench_spark(
     qs = entry_mod.queries()
     tune_for_scale(spark, sf_dir)  # size-aware shuffle/AQE/split confs
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1).collect()
-    for name in names:  # untimed warm-up sweep (JIT + codegen + workers)
-        qs[name](spark, sf_dir).toPandas()
+    for _ in range(warm_sweeps):  # untimed sweeps (JIT + codegen + workers)
+        for name in names:
+            qs[name](spark, sf_dir).toPandas()
     out: dict[str, float] = {}
     for name in names:
         best = float("inf")
@@ -106,7 +119,10 @@ def bench_spark(
 
 
 def bench_duckdb(
-    sf_dir: str, names: list[str], runs: int = RUNS_PER_QUERY
+    sf_dir: str,
+    names: list[str],
+    runs: int = RUNS_PER_QUERY,
+    warm_sweeps: int = WARM_SWEEPS,
 ) -> dict[str, float]:
     oracles = entry_mod.oracle_sql()
     con = duckdb.connect()
@@ -115,9 +131,10 @@ def bench_duckdb(
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     con.execute("SELECT * FROM lineitem LIMIT 1").fetchall()  # warm-up
-    for name in names:  # symmetric untimed warm-up sweep (OS page cache)
-        if name in oracles:
-            con.execute(oracles[name]).df()
+    for _ in range(warm_sweeps):  # symmetric untimed sweeps (page cache)
+        for name in names:
+            if name in oracles:
+                con.execute(oracles[name]).df()
     out: dict[str, float] = {}
     for name in names:
         if name not in oracles:
@@ -225,10 +242,14 @@ def main() -> None:
             tag = os.path.basename(extra_dir.rstrip("/"))
             scaling[tag] = {
                 "queries": bench_spark(
-                    spark, extra_dir, HEADLINE, runs=RUNS_PER_SCALING_QUERY
+                    spark,
+                    extra_dir,
+                    HEADLINE,
+                    runs=RUNS_PER_SCALING_QUERY,
+                    warm_sweeps=1,  # slope estimates tolerate JIT noise
                 ),
                 "baseline_duckdb": bench_duckdb(
-                    extra_dir, HEADLINE, runs=RUNS_PER_SCALING_QUERY
+                    extra_dir, HEADLINE, runs=RUNS_PER_SCALING_QUERY, warm_sweeps=1
                 ),
             }
             if tag == "sf0.5":
