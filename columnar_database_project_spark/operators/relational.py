@@ -856,6 +856,149 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer in
+    one quarter, top 20. The returnflag + date filters prune BOTH fact
+    scans before the orderkey shuffle join; customer joins on the
+    post-aggregation side at customer-key granularity and nation
+    broadcasts. TakeOrderedAndProject caps the result."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+    return (
+        rev.join(cust, rev.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round(F.col("c_acctbal"), 4).alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q12_LATE_DAYS = 60
+
+
+def q12_late_lines_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: testdata has no l_shipmode /
+    l_commitdate, so the lateness predicate is ship-lag > 60 days and
+    the group key is o_orderpriority): per priority, late vs total
+    line counts and the mean ship lag. Conditional aggregation after
+    one orderkey-shuffle join; the CASE evaluates in codegen, so the
+    late/total split costs one pass."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(
+                F.when(lag > Q12_LATE_DAYS, 1).otherwise(0)
+            ).alias("late_lines"),
+            F.count(F.lit(1)).alias("total_lines"),
+            F.round(F.avg(lag), 4).alias("avg_ship_lag_days"),
+        )
+    )
+
+
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: no partsupp table in testdata, so
+    lineitem is the part⇄supplier bridge): distinct-supplier counts
+    per (brand, type) for parts outside an excluded brand/size set.
+    The part-side predicates prune the build side before the join;
+    count(DISTINCT) runs as the standard two-stage expand+agg on the
+    (brand, type, suppkey) key — no driver involvement."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q17_BRAND = "Brand#7"
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue from orders of less
+    than 20% of a part's mean order quantity — the correlated scalar
+    subquery (avg per partkey) becomes a pre-aggregation on the SAME
+    key as the main join, so Catalyst plans one shuffle that serves
+    both the aggregate and the join; the brand filter prunes the part
+    side before anything moves."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == Q17_BRAND
+    ).select("p_partkey")
+    cut = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(cut, li.l_partkey == F.col("avg_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly")
+        )
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp.ps_supplycost in testdata,
+    so cost is proxied at 60% of p_retailprice): profit by supplier
+    nation and ship year for a part-name family. Part (filtered) and
+    nation broadcast under AQE size gating; lineitem joins supplier on
+    suppkey after the part prune so the fact side shrinks first."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - (
+        0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 4).alias("sum_profit"))
+    )
+
+
 # Runs VERBATIM on both engines — that is the point: the façade takes
 # arbitrary ANSI SQL (reference front door, run_with_prefetch_loop.py)
 # and must produce exactly what a reference engine would.
@@ -1010,6 +1153,11 @@ QUERIES = {
     "q14_promo_revenue": q14_promo_revenue,
     "q19_bracket_revenue": q19_bracket_revenue,
     "engine_sql_roundtrip": q_engine_sql_roundtrip,
+    "q10_returned_items": q10_returned_items,
+    "q12_late_lines_by_priority": q12_late_lines_by_priority,
+    "q16_supplier_variety": q16_supplier_variety,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q9_product_profit": q9_product_profit,
 }
 
 ORACLES = {
@@ -1426,5 +1574,70 @@ ORACLES = {
                hi.ck AS richest_cust, ROUND(hi.bal, 4) AS max_bal,
                lo.ck AS poorest_cust, ROUND(lo.bal, 4) AS min_bal
         FROM m
+    """,
+    "q10_returned_items": """
+        WITH rev AS (
+            SELECT o.o_custkey,
+                   ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                       AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_returnflag = 'R'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY o.o_custkey
+        )
+        SELECT c.c_custkey, c.c_name, rev.revenue,
+               ROUND(c.c_acctbal, 4) AS acctbal, n.n_name AS nation
+        FROM rev
+        JOIN customer c ON rev.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ORDER BY rev.revenue DESC, c.c_custkey
+        LIMIT 20
+    """,
+    "q12_late_lines_by_priority": """
+        SELECT o.o_orderpriority,
+               CAST(sum(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 60
+                             THEN 1 ELSE 0 END) AS BIGINT) AS late_lines,
+               count(*) AS total_lines,
+               ROUND(avg(date_diff('day', o.o_orderdate, l.l_shipdate)), 4)
+                   AS avg_ship_lag_days
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+    "q16_supplier_variety": """
+        SELECT p.p_brand, p.p_type, p.p_size,
+               count(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand != 'Brand#13' AND p.p_type != 'PROMO'
+          AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    "q17_small_quantity_revenue": """
+        WITH cut AS (
+            SELECT l_partkey AS avg_partkey,
+                   0.2 * avg(l_quantity) AS qty_cut
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT ROUND(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#7'
+        JOIN cut ON l.l_partkey = cut.avg_partkey
+        WHERE l.l_quantity < cut.qty_cut
+    """,
+    "q9_product_profit": """
+        SELECT n.n_name AS nation,
+               CAST(year(l.l_shipdate) AS INT) AS o_year,
+               ROUND(sum(l.l_extendedprice * (1 - l.l_discount)
+                         - 0.6 * p.p_retailprice * l.l_quantity), 4)
+                   AS sum_profit
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE '%widget%'
+        GROUP BY n.n_name, year(l.l_shipdate)
     """,
 }

@@ -202,3 +202,56 @@ class TestRound3PlanShapes:
 
         plan = formatted_plan(q_dedup_simhash_candidates(spark, sf_dir))
         assert "CartesianProduct" not in plan   # banded buckets, not all-pairs
+
+
+class TestRound5QueryPlans:
+    """Plan shapes for the r5 TPC-H additions — the 100x questions:
+    does the top-k avoid a global sort, does the correlated-subquery
+    rewrite reuse the join key's shuffle, do part-side predicates
+    prune before anything moves."""
+
+    def test_q10_topk_is_take_ordered(self, spark, sf_dir):
+        from columnar_database_project_spark.operators.relational import (
+            q10_returned_items,
+        )
+        from columnar_database_project_spark.plans.verify import formatted_plan
+
+        df = q10_returned_items(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "TakeOrderedAndProject" in plan, plan
+        # returnflag + date window both reach their scans
+        pf = pushed_filters(df)
+        assert any("l_returnflag" in f for f in pf), pf
+        assert any("o_orderdate" in f for f in pf), pf
+
+    def test_q17_correlated_avg_prunes_and_pushes(self, spark, sf_dir):
+        from columnar_database_project_spark.operators.relational import (
+            q17_small_quantity_revenue,
+        )
+
+        df = q17_small_quantity_revenue(spark, sf_dir)
+        pf = pushed_filters(df)
+        assert any("p_brand" in f for f in pf), pf
+        # lineitem scans carry only the columns the query touches
+        assert all("l_tax" not in s for s in scan_read_schemas(df))
+
+    def test_q12_single_join_shuffle(self, spark, sf_dir):
+        from columnar_database_project_spark.operators.relational import (
+            q12_late_lines_by_priority,
+        )
+
+        df = q12_late_lines_by_priority(spark, sf_dir)
+        # orderkey join + priority agg: bounded shuffle count (the
+        # conditional agg adds no extra exchange)
+        assert count_shuffles(df) <= 3
+        assert all("l_extendedprice" not in s for s in scan_read_schemas(df))
+
+    def test_q9_part_filter_pushed(self, spark, sf_dir):
+        from columnar_database_project_spark.operators.relational import (
+            q9_product_profit,
+        )
+
+        df = q9_product_profit(spark, sf_dir)
+        pf = pushed_filters(df)
+        assert any("p_name" in f for f in pf), pf
+        assert has_broadcast_join(df)
