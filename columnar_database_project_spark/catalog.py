@@ -142,6 +142,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
     for c in nanos_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT))"))
+    # Parquet µs timestamps written without isAdjustedToUTC read back as
+    # TIMESTAMP_NTZ; normalize to the session-tz TimestampType (session
+    # tz is pinned to UTC, so the cast is value-identity) so every
+    # consumer — window ranges, streaming watermarks, the DuckDB oracle
+    # compare — sees one stable timestamp type regardless of how the
+    # source file was generated (ns-era vs µs-era testdata).
+    for field in df.schema.fields:
+        if field.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     cache_put(_RELATION_CACHE, cache_key, df)
     return df
 

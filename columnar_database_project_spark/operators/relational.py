@@ -999,6 +999,237 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q2_REGION = "EUROPE"
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: no partsupp, so per-(part, supplier)
+    unit cost is min(l_extendedprice / l_quantity) observed in
+    lineitem): for LARGE parts, the European supplier(s) achieving the
+    per-part minimum cost. The correlated MIN subquery becomes a
+    groupBy on the SAME key as the re-join, so Catalyst reuses one
+    shuffle; supplier⋈nation⋈region is a broadcast chain (dims only).
+    min() is a selection, not arithmetic, so the float equality join
+    against the oracle is exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q2_REGION
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "LARGE"
+    ).select("p_partkey", "p_name")
+    qualified = (
+        cost.join(supp, cost.l_suppkey == supp.s_suppkey)
+        .join(part, cost.l_partkey == part.p_partkey)
+    )
+    best = qualified.groupBy(F.col("l_partkey").alias("best_partkey")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    return (
+        qualified.join(
+            best,
+            (qualified.l_partkey == best.best_partkey)
+            & (qualified.unit_cost == best.best_cost),
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("p_name").alias("part_name"),
+            "s_name",
+            "n_name",
+            F.round("s_acctbal", 4).alias("s_acctbal"),
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+    )
+
+
+Q8_MARKET_REGION = "AMERICA"
+Q8_SHARE_NATION = "NATION_21"
+
+
+def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of revenue in a
+    region's market, by order year. Customer side restricts the market
+    (nation⋈region broadcast chain), supplier side labels each line's
+    origin nation; the share is a conditional-sum / sum over one
+    groupBy(year) — a single fact shuffle after both dim broadcasts."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q8_MARKET_REGION
+    )
+    mkt_cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_nation = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1996, 1997)
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(mkt_cust, orders.o_custkey == mkt_cust.c_custkey)
+        .join(supp_nation, li.l_suppkey == supp_nation.s_suppkey)
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == Q8_SHARE_NATION, F.col("volume")).otherwise(0.0)
+                )
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+Q11_MEAN_MULTIPLE = 1.5
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: no partsupp, value per part is the
+    summed extended price shipped by ASIA-region suppliers): parts
+    whose value exceeds 1.5× the mean per-part value — TPC-H scales
+    its fraction by 1/SF for the same reason; a mean-relative cut is
+    scale-stable at any SF. The HAVING-vs-global-total scalar subquery
+    becomes a 1-row broadcast cross join against the per-part
+    aggregate — the fact table is scanned once, the threshold derives
+    from the SAME aggregate, never a second scan."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    per_part = (
+        li.join(asia_supp, li.l_suppkey == asia_supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("part_value"))
+    )
+    total = per_part.agg(
+        (F.avg("part_value") * Q11_MEAN_MULTIPLE).alias("threshold")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("part_value", 4).alias("part_value"),
+        )
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue over one
+    quarter. The CREATE VIEW + scalar MAX of the original becomes a
+    per-supplier aggregate re-joined against its own 1-row max via a
+    broadcast — one fact scan, one shuffle, no window over the whole
+    table. max() is a selection so the float equality is exact."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(top), rev.total_revenue == F.col("max_revenue"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue", 4).alias("total_revenue"),
+        )
+    )
+
+
+Q20_MIN_QTY = 300
+
+
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: availqty has no testdata analog, so
+    the threshold is on shipped widget quantity in 1996): suppliers
+    who moved more than Q20_MIN_QTY units of widget-family parts. The
+    nested IN-subquery chain of the original is a part-prune broadcast
+    into one fact aggregate, then a semi-join-shaped inner join back
+    to supplier — the fact table never shuffles more than once."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate") == 1996
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    qty = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("widget_qty"))
+        .filter(F.col("widget_qty") > Q20_MIN_QTY)
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        qty.join(supp, qty.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", F.round("widget_qty", 4).alias("widget_qty"))
+    )
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: lateness is ship-lag > Q12_LATE_DAYS
+    since there is no commit/receipt date): per supplier, the number
+    of multi-supplier orders where THAT supplier was the only late
+    one. The EXISTS / NOT EXISTS pair of the original collapses into
+    one per-order aggregate (distinct suppliers, distinct late
+    suppliers, the single late suppkey when unique) — one orderkey
+    shuffle replaces two correlated self-joins of lineitem."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    late_supp = F.when(lag > Q12_LATE_DAYS, F.col("l_suppkey"))
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(late_supp).alias("n_late"),
+            F.max(late_supp).alias("late_suppkey"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.join(F.broadcast(supp), per_order.late_suppkey == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 # Runs VERBATIM on both engines — that is the point: the façade takes
 # arbitrary ANSI SQL (reference front door, run_with_prefetch_loop.py)
 # and must produce exactly what a reference engine would.
@@ -1158,6 +1389,12 @@ QUERIES = {
     "q16_supplier_variety": q16_supplier_variety,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q9_product_profit": q9_product_profit,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q8_national_market_share": q8_national_market_share,
+    "q11_important_parts": q11_important_parts,
+    "q15_top_supplier": q15_top_supplier,
+    "q20_potential_promotion": q20_potential_promotion,
+    "q21_waiting_supplier": q21_waiting_supplier,
 }
 
 ORACLES = {
@@ -1639,5 +1876,111 @@ ORACLES = {
         JOIN nation n ON s.s_nationkey = n.n_nationkey
         WHERE p.p_name LIKE '%widget%'
         GROUP BY n.n_name, year(l.l_shipdate)
+    """,
+    "q2_min_cost_supplier": """
+        WITH cost AS (
+            SELECT l_partkey, l_suppkey,
+                   min(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ), eu AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        ), qualified AS (
+            SELECT c.l_partkey, p.p_name, eu.s_name, eu.n_name,
+                   eu.s_acctbal, c.unit_cost
+            FROM cost c
+            JOIN eu ON c.l_suppkey = eu.s_suppkey
+            JOIN part p ON c.l_partkey = p.p_partkey
+            WHERE p.p_type = 'LARGE'
+        )
+        SELECT q.l_partkey AS p_partkey, q.p_name AS part_name,
+               q.s_name, q.n_name,
+               ROUND(q.s_acctbal, 4) AS s_acctbal,
+               ROUND(q.unit_cost, 4) AS unit_cost
+        FROM qualified q
+        JOIN (
+            SELECT l_partkey, min(unit_cost) AS best_cost
+            FROM qualified GROUP BY l_partkey
+        ) b ON q.l_partkey = b.l_partkey AND q.unit_cost = b.best_cost
+    """,
+    "q8_national_market_share": """
+        SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+               ROUND(sum(CASE WHEN sn.n_name = 'NATION_21'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0.0 END)
+                     / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+                   AS mkt_share
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN region r ON cn.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        WHERE r.r_name = 'AMERICA'
+          AND year(o.o_orderdate) IN (1996, 1997)
+        GROUP BY year(o.o_orderdate)
+    """,
+    "q11_important_parts": """
+        WITH per_part AS (
+            SELECT l.l_partkey, sum(l.l_extendedprice) AS part_value
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+            GROUP BY l.l_partkey
+        )
+        SELECT l_partkey AS p_partkey, ROUND(part_value, 4) AS part_value
+        FROM per_part
+        WHERE part_value > (SELECT avg(part_value) * 1.5 FROM per_part)
+    """,
+    "q15_top_supplier": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name,
+               ROUND(r.total_revenue, 4) AS total_revenue
+        FROM rev r
+        JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    "q20_potential_promotion": """
+        WITH qty AS (
+            SELECT l.l_suppkey, sum(l.l_quantity) AS widget_qty
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_name LIKE '%widget%' AND year(l.l_shipdate) = 1996
+            GROUP BY l.l_suppkey
+            HAVING sum(l.l_quantity) > 300
+        )
+        SELECT s.s_suppkey, s.s_name, ROUND(q.widget_qty, 4) AS widget_qty
+        FROM qty q JOIN supplier s ON q.l_suppkey = s.s_suppkey
+    """,
+    "q21_waiting_supplier": """
+        WITH per_order AS (
+            SELECT l.l_orderkey,
+                   count(DISTINCT l.l_suppkey) AS n_supp,
+                   count(DISTINCT CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) > 60
+                                       THEN l.l_suppkey END) AS n_late,
+                   max(CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) > 60
+                            THEN l.l_suppkey END) AS late_suppkey
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY l.l_orderkey
+        )
+        SELECT s.s_suppkey, s.s_name,
+               CAST(count(*) AS BIGINT) AS numwait
+        FROM per_order po
+        JOIN supplier s ON po.late_suppkey = s.s_suppkey
+        WHERE po.n_supp > 1 AND po.n_late = 1
+        GROUP BY s.s_suppkey, s.s_name
     """,
 }
