@@ -1032,15 +1032,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         cost.join(supp, cost.l_suppkey == supp.s_suppkey)
         .join(part, cost.l_partkey == part.p_partkey)
     )
-    best = qualified.groupBy(F.col("l_partkey").alias("best_partkey")).agg(
-        F.min("unit_cost").alias("best_cost")
-    )
+    # window-min over the part key instead of a groupBy + self-join:
+    # one exchange on l_partkey serves the min AND the filter, and
+    # min() is a selection so the float equality is exact either way
+    best_w = W.partitionBy("l_partkey")
     return (
-        qualified.join(
-            best,
-            (qualified.l_partkey == best.best_partkey)
-            & (qualified.unit_cost == best.best_cost),
-        )
+        qualified.withColumn("best_cost", F.min("unit_cost").over(best_w))
+        .filter(F.col("unit_cost") == F.col("best_cost"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
             F.col("p_name").alias("part_name"),
@@ -1080,8 +1078,11 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "supp_nation")
     )
+    # range form, not year()= : a predicate on the bare column reaches
+    # the parquet scan (PushedFilters) and prunes row groups at 100 TB
     orders = load_table(spark, sf_dir, "orders").filter(
-        F.year("o_orderdate").isin(1996, 1997)
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
     ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey",
@@ -1185,7 +1186,8 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").like("%widget%")
     ).select("p_partkey")
     li = load_table(spark, sf_dir, "lineitem").filter(
-        F.year("l_shipdate") == 1996
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
     ).select("l_partkey", "l_suppkey", "l_quantity")
     qty = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)

@@ -255,3 +255,59 @@ class TestRound5QueryPlans:
         pf = pushed_filters(df)
         assert any("p_name" in f for f in pf), pf
         assert has_broadcast_join(df)
+
+    def test_q2_window_min_reuses_partkey_exchange(self, spark, sf_dir):
+        """The correlated-MIN rewrite must be a window over l_partkey
+        (one exchange serves the min and the equality filter), not a
+        groupBy + self-join (two extra exchanges of the same rows)."""
+        from columnar_database_project_spark.operators.relational import (
+            q2_min_cost_supplier,
+        )
+
+        df = q2_min_cost_supplier(spark, sf_dir)
+        assert count_shuffles(df) <= 2
+        assert has_broadcast_join(df)
+
+    def test_q8_q15_q20_date_ranges_reach_scan(self, spark, sf_dir):
+        """Date windows are written as bare-column ranges, never
+        year()= — the predicate must appear in PushedFilters so row
+        groups prune at scale."""
+        from columnar_database_project_spark.operators.relational import (
+            q8_national_market_share,
+            q15_top_supplier,
+            q20_potential_promotion,
+        )
+
+        for fn, col in (
+            (q8_national_market_share, "o_orderdate"),
+            (q15_top_supplier, "l_shipdate"),
+            (q20_potential_promotion, "l_shipdate"),
+        ):
+            pf = pushed_filters(fn(spark, sf_dir))
+            assert any(col in f and "GreaterThanOrEqual" in f for f in pf), (fn.__name__, pf)
+
+    def test_q20_single_fact_shuffle(self, spark, sf_dir):
+        """Part prune broadcasts into the fact scan; the only exchange
+        of lineitem rows is the suppkey aggregate."""
+        from columnar_database_project_spark.operators.relational import (
+            q20_potential_promotion,
+        )
+
+        df = q20_potential_promotion(spark, sf_dir)
+        assert count_shuffles(df) <= 1
+        assert has_broadcast_join(df)
+
+    def test_q21_exists_pair_is_one_order_aggregate(self, spark, sf_dir):
+        """The EXISTS / NOT EXISTS pair must not plan as correlated
+        self-joins of lineitem: one orderkey join + per-order agg
+        (shuffle reused: same key), then a broadcast to supplier.
+        Bounded exchanges prove the collapse happened."""
+        from columnar_database_project_spark.operators.relational import (
+            q21_waiting_supplier,
+        )
+
+        df = q21_waiting_supplier(spark, sf_dir)
+        assert count_shuffles(df) <= 3
+        assert has_broadcast_join(df)
+        # lineitem probe carries only key/supp/date columns
+        assert all("l_extendedprice" not in s for s in scan_read_schemas(df))
