@@ -376,6 +376,94 @@ def q_text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEQ_LEN = 256  # token budget per packed training sequence
+
+
+def q_text_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment — the split
+    must be a pure function of the document key (never random()) so
+    re-runs, backfills, and incremental batches land every doc in the
+    same split on any engine. Bucket = first 4 md5 hex chars of the
+    doc id mod 100 (the same portable hex→int convention as
+    ``text_stratified_sample``); 90/5/5. Scan-local except the 3-row
+    summary aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    bucket = F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
+
+
+def q_text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel: how many documents survive each
+    successive pretraining filter (length → repetition → quality
+    score). One corpus scan computes every stage as a conditional
+    sum; the unpivot to (stage, n_docs) rows happens on the 1-row
+    aggregate, so observability costs nothing extra at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n_tokens = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens.cast("double")
+    markers = F.array(*[F.lit(m) for m in EN_MARKERS])
+    stop_ratio = F.size(
+        F.filter(toks, lambda t: F.array_contains(markers, t))
+    ) / n_tokens.cast("double")
+    score = 0.6 * F.least(n_tokens / F.lit(100.0), F.lit(1.0)) + 0.4 * stop_ratio
+    len_ok = n_tokens >= 30
+    rep_ok = len_ok & (distinct_ratio >= 0.4)
+    keep = rep_ok & (score >= 0.3)
+    one = (
+        docs.select(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(len_ok.cast("long")).alias("len_ok"),
+            F.sum(rep_ok.cast("long")).alias("rep_ok"),
+            F.sum(keep.cast("long")).alias("keep"),
+        )
+    )
+    return one.select(
+        F.expr(
+            "stack(4, '1_total', total, '2_len_ok', len_ok, "
+            "'3_rep_ok', rep_ok, '4_keep', keep) AS (stage, n_docs)"
+        )
+    )
+
+
+def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget sequence packing: within each source,
+    documents (in doc_id order) are appended to a sequence until the
+    running token count crosses SEQ_LEN, then a new sequence starts —
+    the standard pretraining sample-packing shape. seq_id is the
+    running-sum prefix DIV SEQ_LEN, so assignment is one window over
+    (source, doc_id) — a single hash shuffle on source; the per-
+    sequence rollup reuses tiny output."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens_col())
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        .withColumn("seq_id", (cum_before / SEQ_LEN).cast("bigint"))
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_bpe_count": q_text_bpe_count,
@@ -390,6 +478,9 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "text_gopher_quality": q_text_gopher_quality,
     "text_bigram_freq": q_text_bigram_freq,
+    "text_split_assign": q_text_split_assign,
+    "text_filter_funnel": q_text_filter_funnel,
+    "text_pack_sequences": q_text_pack_sequences,
 }
 
 _MARKERS_SQL = ", ".join(f"'{m}'" for m in EN_MARKERS)
@@ -609,4 +700,66 @@ ORACLES["text_stratified_sample"] = """
                    AS sample_bucket
         FROM documents
         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 20
+    """
+
+ORACLES["text_split_assign"] = """
+        WITH b AS (
+            SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100
+                       AS bucket,
+                   n_chars
+            FROM documents
+        )
+        SELECT CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM b GROUP BY 1
+    """
+
+ORACLES["text_filter_funnel"] = f"""
+        WITH t AS (
+            SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ), s AS (
+            SELECT len(toks) AS n_tokens,
+                   len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) AS distinct_ratio,
+                   len(list_filter(toks, x -> x IN ({_MARKERS_SQL})))
+                       / CAST(len(toks) AS DOUBLE) AS stop_ratio
+            FROM t
+        ), f AS (
+            SELECT n_tokens >= 30 AS len_ok,
+                   n_tokens >= 30 AND distinct_ratio >= 0.4 AS rep_ok,
+                   n_tokens >= 30 AND distinct_ratio >= 0.4
+                     AND 0.6 * least(n_tokens / 100.0, 1.0) + 0.4 * stop_ratio >= 0.3
+                       AS keep
+            FROM s
+        )
+        SELECT '1_total' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM f
+        UNION ALL
+        SELECT '2_len_ok', CAST(sum(CASE WHEN len_ok THEN 1 ELSE 0 END) AS BIGINT) FROM f
+        UNION ALL
+        SELECT '3_rep_ok', CAST(sum(CASE WHEN rep_ok THEN 1 ELSE 0 END) AS BIGINT) FROM f
+        UNION ALL
+        SELECT '4_keep', CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) FROM f
+    """
+
+ORACLES["text_pack_sequences"] = """
+        WITH t AS (
+            SELECT doc_id, source,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT source, n_tokens,
+                   COALESCE(sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before
+            FROM t
+        )
+        SELECT source,
+               CAST(floor(cum_before / 256) AS BIGINT) AS seq_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM c GROUP BY source, CAST(floor(cum_before / 256) AS BIGINT)
     """
