@@ -373,3 +373,48 @@ class TestAltTrainerSplitContract:
         _, report = train_alt([[1, 2, 3, 4], [2, 3, 4, 5]], epochs=1, split=0.99)
         assert report["n_eval"] >= 1
         assert report["accuracy"] is not None
+
+
+class TestPipelineSplitPackFunnel:
+    """Invariants for the train-split / funnel / packing operators —
+    the oracle rows check value parity; these check the semantics the
+    parity can't see (shares, monotonicity, conservation)."""
+
+    def test_split_is_deterministic_and_roughly_90_5_5(self, spark, sf_dir):
+        from columnar_database_project_spark.operators.text import (
+            q_text_split_assign,
+        )
+
+        a = {r["split"]: r["n_docs"] for r in q_text_split_assign(spark, sf_dir).collect()}
+        b = {r["split"]: r["n_docs"] for r in q_text_split_assign(spark, sf_dir).collect()}
+        assert a == b  # pure function of doc_id, no randomness
+        total = sum(a.values())
+        assert a["train"] / total > 0.8
+        assert 0 < a.get("val", 0) / total < 0.15
+        assert 0 < a.get("test", 0) / total < 0.15
+
+    def test_funnel_is_monotone_decreasing(self, spark, sf_dir):
+        from columnar_database_project_spark.operators.text import (
+            q_text_filter_funnel,
+        )
+
+        rows = {r["stage"]: r["n_docs"] for r in q_text_filter_funnel(spark, sf_dir).collect()}
+        assert rows["1_total"] >= rows["2_len_ok"] >= rows["3_rep_ok"] >= rows["4_keep"]
+        assert rows["4_keep"] > 0  # thresholds are non-degenerate on testdata
+
+    def test_packing_conserves_docs_and_bounds_sequences(self, spark, sf_dir):
+        from columnar_database_project_spark.operators.text import (
+            SEQ_LEN,
+            q_text_pack_sequences,
+        )
+        from columnar_database_project_spark.catalog import load_table
+
+        packed = q_text_pack_sequences(spark, sf_dir).collect()
+        n_docs = load_table(spark, sf_dir, "documents").count()
+        assert sum(r["n_docs"] for r in packed) == n_docs  # every doc lands once
+        # greedy prefix chunking: a sequence holds at least one doc and
+        # overshoots the budget by at most one document's tokens
+        max_doc_tokens = max(r["n_tokens"] for r in packed)  # loose upper bound
+        for r in packed:
+            assert r["n_docs"] >= 1
+            assert r["n_tokens"] <= SEQ_LEN + max_doc_tokens
