@@ -467,6 +467,24 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (mean-pooled class centroid) as flat
+    (label, dim, centroid) rows — the building block for class
+    prototypes, centroid-init IVF, and per-cluster drift monitoring.
+    Scale shape: posexplode multiplies rows by EMB_DIM *before* the
+    shuffle, but hash aggregation runs partial (map-side) combine, so
+    the shuffle carries at most labels x EMB_DIM partial sums per task
+    — the 100 TB shuffle volume is O(tasks x labels x dim), independent
+    of row count. avg() accumulates in double precision in both
+    engines; ROUND(.,6) matches the verifier's float canonicalization."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 6).alias("centroid"))
+    )
+
+
 QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_hyperplane_signatures": q_sim_hyperplane_signatures,
@@ -475,6 +493,7 @@ QUERIES = {
     "sim_ivf_assignments": q_sim_ivf_assignments,
     "sim_ivf_probes": q_sim_ivf_probes,
     "sim_ivf_topk": q_sim_ivf_topk,
+    "emb_label_centroids": q_emb_label_centroids,
 }
 
 
@@ -595,3 +614,16 @@ def _ivf_oracle_sqls() -> dict[str, str]:
 
 
 ORACLES.update(_ivf_oracle_sqls())
+
+ORACLES["emb_label_centroids"] = """
+        SELECT label,
+               CAST(gs - 1 AS INT) AS dim,
+               ROUND(avg(v), 6) AS centroid
+        FROM (
+            SELECT label,
+                   unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS gs
+            FROM embeddings
+        )
+        GROUP BY label, dim
+    """

@@ -464,6 +464,65 @@ def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BOILERPLATE_MIN_DOCS = 3   # shingle must appear in >= this many docs
+BOILERPLATE_TOP_N = 20
+VOCAB_TOP_N = 50
+
+
+def q_text_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detector: word-5-gram shingles that
+    recur in >= BOILERPLATE_MIN_DOCS distinct documents (the C4-style
+    repeated-span signal used to strip headers/footers/templates from
+    a pretraining corpus). Reuses the dedup module's distinct
+    (doc_id, shingle) builder, so per-document multiplicity never
+    inflates the document count. One shuffle (groupBy shingle, map-side
+    partial agg); the HAVING cut happens before the top-N, which is
+    TakeOrderedAndProject — no global sort at 100 TB. Ties broken on
+    shingle text so the top-N set is deterministic for the oracle."""
+    from columnar_database_project_spark.operators.dedup import _shingles
+
+    return (
+        _shingles(spark, sf_dir)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
+        .orderBy(F.desc("n_docs"), F.asc("shingle"))
+        .limit(BOILERPLATE_TOP_N)
+    )
+
+
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf/vocabulary-coverage table for tokenizer training: the top
+    VOCAB_TOP_N terms by corpus frequency with rank and cumulative
+    corpus-coverage share. Scale shape: term counting is one shuffle
+    with partial agg; the global total is a 1-row broadcast; rank and
+    running sum run AFTER the TakeOrdered top-N cut, so the only
+    single-partition window is over VOCAB_TOP_N rows — never over the
+    full vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokens_col()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = tf.agg(F.sum("cnt").cast("double").alias("total"))
+    top = tf.orderBy(F.desc("cnt"), F.asc("term")).limit(VOCAB_TOP_N)
+    w = W.orderBy(F.desc("cnt"), F.asc("term"))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            F.row_number().over(w).alias("rnk"),
+            "cnt",
+            F.round(
+                F.sum("cnt").over(w.rowsBetween(W.unboundedPreceding, 0))
+                / F.col("total"),
+                6,
+            ).alias("cum_share"),
+        )
+    )
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_bpe_count": q_text_bpe_count,
@@ -481,6 +540,8 @@ QUERIES = {
     "text_split_assign": q_text_split_assign,
     "text_filter_funnel": q_text_filter_funnel,
     "text_pack_sequences": q_text_pack_sequences,
+    "text_boilerplate_shingles": q_text_boilerplate_shingles,
+    "text_vocab_coverage": q_text_vocab_coverage,
 }
 
 _MARKERS_SQL = ", ".join(f"'{m}'" for m in EN_MARKERS)
@@ -762,4 +823,44 @@ ORACLES["text_pack_sequences"] = """
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(n_tokens) AS BIGINT) AS n_tokens
         FROM c GROUP BY source, CAST(floor(cum_before / 256) AS BIGINT)
+    """
+
+# Boilerplate / vocab oracles share the dedup module's shingle CTE and
+# the tokenization contract above.
+from columnar_database_project_spark.operators.dedup import (  # noqa: E402
+    _SHINGLES_SQL,
+)
+
+ORACLES["text_boilerplate_shingles"] = f"""
+        WITH {_SHINGLES_SQL}
+        SELECT shingle, CAST(count(*) AS BIGINT) AS n_docs
+        FROM shingles
+        GROUP BY shingle
+        HAVING count(*) >= {BOILERPLATE_MIN_DOCS}
+        ORDER BY n_docs DESC, shingle
+        LIMIT {BOILERPLATE_TOP_N}
+    """
+
+ORACLES["text_vocab_coverage"] = f"""
+        WITH tf AS (
+            SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+            FROM documents
+        ), cnts AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tf GROUP BY term
+        ), tot AS (
+            SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM cnts
+        ), top AS (
+            SELECT term, cnt FROM cnts ORDER BY cnt DESC, term LIMIT {VOCAB_TOP_N}
+        )
+        SELECT term,
+               CAST(row_number() OVER (ORDER BY cnt DESC, term) AS INT) AS rnk,
+               cnt,
+               ROUND(
+                   CAST(sum(cnt) OVER (
+                       ORDER BY cnt DESC, term
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE) / total,
+                   6
+               ) AS cum_share
+        FROM top, tot
     """

@@ -418,3 +418,66 @@ class TestPipelineSplitPackFunnel:
         for r in packed:
             assert r["n_docs"] >= 1
             assert r["n_tokens"] <= SEQ_LEN + max_doc_tokens
+
+
+class TestBoilerplateVocabCentroids:
+    """Invariants for the boilerplate detector, vocab-coverage table,
+    and label centroids beyond what the oracle parity checks."""
+
+    def test_boilerplate_counts_distinct_docs_not_occurrences(self, spark, sf_dir):
+        from columnar_database_project_spark.operators.text import (
+            BOILERPLATE_MIN_DOCS,
+            BOILERPLATE_TOP_N,
+            q_text_boilerplate_shingles,
+        )
+        from columnar_database_project_spark.catalog import load_table
+
+        rows = q_text_boilerplate_shingles(spark, sf_dir).collect()
+        assert 0 < len(rows) <= BOILERPLATE_TOP_N
+        n_docs_total = load_table(spark, sf_dir, "documents").count()
+        for r in rows:
+            # per-document distinctness: a shingle can never be counted
+            # in more documents than exist
+            assert BOILERPLATE_MIN_DOCS <= r["n_docs"] <= n_docs_total
+
+    def test_vocab_coverage_is_monotone_and_bounded(self, spark, sf_dir):
+        from columnar_database_project_spark.operators.text import (
+            VOCAB_TOP_N,
+            q_text_vocab_coverage,
+        )
+
+        rows = sorted(
+            q_text_vocab_coverage(spark, sf_dir).collect(), key=lambda r: r["rnk"]
+        )
+        assert 0 < len(rows) <= VOCAB_TOP_N
+        assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+        prev = 0.0
+        for r in rows:
+            assert r["cum_share"] >= prev  # running share never decreases
+            prev = r["cum_share"]
+        assert rows[-1]["cum_share"] <= 1.0 + 1e-9
+        # counts are sorted descending along the rank order
+        cnts = [r["cnt"] for r in rows]
+        assert cnts == sorted(cnts, reverse=True)
+
+    def test_label_centroids_match_numpy_mean(self, spark, sf_dir):
+        import numpy as np
+        import pyarrow.parquet as pq
+        import os
+
+        from columnar_database_project_spark.operators.similarity import (
+            q_emb_label_centroids,
+        )
+
+        got = {
+            (r["label"], r["dim"]): r["centroid"]
+            for r in q_emb_label_centroids(spark, sf_dir).collect()
+        }
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pydict()
+        by_label: dict[int, list] = {}
+        for lab, emb in zip(t["label"], t["embedding"]):
+            by_label.setdefault(lab, []).append(emb)
+        for lab, vecs in by_label.items():
+            mean = np.asarray(vecs, dtype=np.float64).mean(axis=0)
+            for dim in (0, len(mean) // 2, len(mean) - 1):
+                assert abs(got[(lab, dim)] - mean[dim]) < 1e-5
