@@ -403,13 +403,11 @@ def q_text_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-filter funnel: how many documents survive each
-    successive pretraining filter (length → repetition → quality
-    score). One corpus scan computes every stage as a conditional
-    sum; the unpivot to (stage, n_docs) rows happens on the 1-row
-    aggregate, so observability costs nothing extra at 100 TB."""
-    docs = load_table(spark, sf_dir, "documents")
+def funnel_flag_cols() -> tuple:
+    """The funnel's per-document filter flags (len_ok, rep_ok, keep) as
+    column expressions over a ``text`` column — shared by the batch
+    funnel below and the streaming twin (``streaming/text.py``), so
+    both execution modes apply the identical filter definition."""
     toks = tokens_col()
     n_tokens = F.size(toks)
     distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens.cast("double")
@@ -421,6 +419,17 @@ def q_text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     len_ok = n_tokens >= 30
     rep_ok = len_ok & (distinct_ratio >= 0.4)
     keep = rep_ok & (score >= 0.3)
+    return len_ok, rep_ok, keep
+
+
+def q_text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel: how many documents survive each
+    successive pretraining filter (length → repetition → quality
+    score). One corpus scan computes every stage as a conditional
+    sum; the unpivot to (stage, n_docs) rows happens on the 1-row
+    aggregate, so observability costs nothing extra at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    len_ok, rep_ok, keep = funnel_flag_cols()
     one = (
         docs.select(
             F.count(F.lit(1)).alias("total"),

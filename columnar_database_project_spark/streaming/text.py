@@ -1,0 +1,77 @@
+"""Structured Streaming twins of the text-pipeline operators.
+
+A 100 TB pretraining corpus is not loaded once — it arrives
+continuously (crawl drops, partner feeds). This module re-expresses
+the quality-filter path from ``operators/text.py`` as a stream so the
+same filter definitions (shared column expressions, not copies) run
+in both execution modes: batch backfill and incremental ingestion
+produce identical keep/drop decisions per document.
+
+Local tests drive these with a file source + memory sink; at scale
+the source becomes cloud-storage file notifications or Kafka and the
+sink a partitioned table — the transformations are identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from columnar_database_project_spark.operators.text import funnel_flag_cols
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_document_stream(
+    spark, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source document stream (parquet files dropped into
+    ``path``) — the incremental-ingestion entry point. At scale the
+    trigger cadence and ``maxFilesPerTrigger`` bound per-batch work."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def quality_filter_stream(docs: DataFrame) -> DataFrame:
+    """Per-document keep/drop decisions on the stream — the SAME flag
+    expressions as the batch funnel (``funnel_flag_cols``). Stateless
+    map work: no watermark, no state store, scales linearly with
+    arriving files."""
+    len_ok, rep_ok, keep = funnel_flag_cols()
+    return docs.select(
+        "doc_id",
+        "source",
+        len_ok.alias("len_ok"),
+        rep_ok.alias("rep_ok"),
+        keep.alias("keep"),
+    )
+
+
+def source_quality_stats_stream(docs: DataFrame) -> DataFrame:
+    """Running per-source ingestion stats: total vs kept document
+    counts — the live observability twin of the batch funnel's
+    corpus-wide conditional sums. An unwindowed streaming aggregate
+    keyed on ``source``: state is one row per source (bounded by the
+    number of feeds, not by corpus size), emitted in update/complete
+    mode."""
+    _len_ok, _rep_ok, keep = funnel_flag_cols()
+    return (
+        docs.select("source", keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        )
+    )

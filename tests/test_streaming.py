@@ -224,3 +224,88 @@ class TestStreamingRound3:
             assert len(got) > 0
         finally:
             q.stop()
+
+
+@pytest.fixture(scope="module")
+def docs_stream_dir(spark, sf_dir, tmp_path_factory):
+    """Documents table rewritten as a 3-file directory (crawl drops)."""
+    out = str(tmp_path_factory.mktemp("doc_stream") / "documents")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(3).write.parquet(out)
+    return out
+
+
+class TestStreamingTextPipeline:
+    """The streaming quality-filter twins must reproduce the batch
+    funnel exactly — same flag expressions, same counts."""
+
+    def test_quality_filter_stream_matches_batch_flags(
+        self, spark, sf_dir, docs_stream_dir
+    ):
+        from columnar_database_project_spark.operators.text import (
+            funnel_flag_cols,
+        )
+        from columnar_database_project_spark.streaming.text import (
+            quality_filter_stream,
+            read_document_stream,
+        )
+
+        stream = quality_filter_stream(
+            read_document_stream(spark, docs_stream_dir)
+        )
+        q = run_to_memory(stream, "doc_flags", "append")
+        try:
+            got = {
+                r["doc_id"]: (r["len_ok"], r["rep_ok"], r["keep"])
+                for r in spark.table("doc_flags").collect()
+            }
+        finally:
+            q.stop()
+        len_ok, rep_ok, keep = funnel_flag_cols()
+        want = {
+            r["doc_id"]: (r["len_ok"], r["rep_ok"], r["keep"])
+            for r in load_table(spark, sf_dir, "documents")
+            .select(
+                "doc_id",
+                len_ok.alias("len_ok"),
+                rep_ok.alias("rep_ok"),
+                keep.alias("keep"),
+            )
+            .collect()
+        }
+        assert got == want
+
+    def test_source_stats_stream_matches_batch_rollup(
+        self, spark, sf_dir, docs_stream_dir
+    ):
+        from columnar_database_project_spark.operators.text import (
+            funnel_flag_cols,
+        )
+        from columnar_database_project_spark.streaming.text import (
+            read_document_stream,
+            source_quality_stats_stream,
+        )
+
+        stream = source_quality_stats_stream(
+            read_document_stream(spark, docs_stream_dir)
+        )
+        q = run_to_memory(stream, "doc_source_stats", "complete")
+        try:
+            got = {
+                r["source"]: (r["n_docs"], r["n_kept"])
+                for r in spark.table("doc_source_stats").collect()
+            }
+        finally:
+            q.stop()
+        _l, _r, keep = funnel_flag_cols()
+        want = {
+            r["source"]: (r["n_docs"], r["n_kept"])
+            for r in load_table(spark, sf_dir, "documents")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(keep.cast("long")).alias("n_kept"),
+            )
+            .collect()
+        }
+        assert got == want
