@@ -757,6 +757,61 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INCR_SPLIT_FRAC = 0.8   # ids below this fraction of the id space = historical corpus
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: screen a NEW ingestion batch against the
+    EXISTING corpus without re-clustering anything — the shape a
+    continuously-fed 100 TB pipeline actually runs (full-corpus
+    re-dedup per drop is not an option). The batch boundary here is
+    derived from the id space (top 20% of doc_ids = the new drop) so
+    the query is deterministic and SF-stable for the oracle; in
+    production it is the ingestion partition.
+
+    Per new document: exact verdict (content fingerprint seen before →
+    dup_of = canonical old doc) and a near-dup signal (how many
+    distinct old docs share at least one LSH band key). Scale shape:
+    both joins are equi-joins of the SMALL new-batch side against the
+    historical fingerprint / band-key store (pre-aggregated,
+    persisted in production) — AQE size-gates a broadcast of the batch
+    side; no pairwise work, no re-clustering of the historical corpus.
+    Hot band keys fall under the same LSH_MAX_BUCKET production cap as
+    the batch path."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    split = docs.agg(
+        F.floor((F.max("doc_id") + 1) * INCR_SPLIT_FRAC).cast("bigint").alias("t")
+    )
+    d = docs.crossJoin(F.broadcast(split))
+    new_fp = d.filter(F.col("doc_id") >= F.col("t")).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    old_fp = (
+        d.filter(F.col("doc_id") < F.col("t"))
+        .groupBy(F.md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("dup_of"))
+    )
+    exact = new_fp.join(old_fp, "fp", "left").select("doc_id", "dup_of")
+    bk = _band_keys(spark, sf_dir).crossJoin(F.broadcast(split))
+    bk_new = bk.filter(F.col("doc_id") >= F.col("t")).select(
+        "doc_id", "band", "band_key"
+    )
+    bk_old = bk.filter(F.col("doc_id") < F.col("t")).select(
+        F.col("doc_id").alias("old_id"), "band", "band_key"
+    )
+    hits = (
+        bk_new.join(bk_old, ["band", "band_key"])
+        .groupBy("doc_id")
+        .agg(F.countDistinct("old_id").alias("n_band_hits"))
+    )
+    return exact.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_band_hits", F.lit(0)).alias("n_band_hits"),
+        F.col("dup_of").isNotNull().alias("exact_dup"),
+        "dup_of",
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_exact_survivors": q_dedup_exact_survivors,
@@ -770,6 +825,7 @@ QUERIES = {
     "dedup_clusters_star": q_dedup_clusters_star,
     "dedup_edit_distance": q_dedup_edit_distance,
     "dedup_near_survivors": q_dedup_near_survivors,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
 }
 
@@ -999,4 +1055,40 @@ ORACLES["dedup_near_survivors"] = f"""
         WHERE d.doc_id NOT IN (
             SELECT doc_id FROM cc WHERE doc_id != cluster_id
         )
+    """
+
+# Incremental dedup: new-batch screening against the historical corpus
+# (split threshold derived from the id space, see q_dedup_incremental).
+ORACLES["dedup_incremental"] = f"""
+        WITH {_MINHASH_WIDE_SQL},
+        bandkeys AS ({_BANDKEY_SQL}),
+        t AS (
+            SELECT CAST(floor((max(doc_id) + 1) * {INCR_SPLIT_FRAC}) AS BIGINT)
+                AS t
+            FROM documents
+        ),
+        newdocs AS (
+            SELECT doc_id, md5(text) AS fp FROM documents, t
+            WHERE doc_id >= t.t
+        ),
+        oldfp AS (
+            SELECT md5(text) AS fp, min(doc_id) AS dup_of
+            FROM documents, t WHERE doc_id < t.t GROUP BY md5(text)
+        ),
+        hits AS (
+            SELECT n.doc_id, count(DISTINCT o.doc_id) AS n_band_hits
+            FROM bandkeys n
+            JOIN t ON n.doc_id >= t.t
+            JOIN bandkeys o
+              ON o.band = n.band AND o.band_key = n.band_key
+            JOIN t t2 ON o.doc_id < t2.t
+            GROUP BY n.doc_id
+        )
+        SELECT newdocs.doc_id,
+               CAST(COALESCE(h.n_band_hits, 0) AS BIGINT) AS n_band_hits,
+               (ofp.dup_of IS NOT NULL) AS exact_dup,
+               ofp.dup_of
+        FROM newdocs
+        LEFT JOIN oldfp ofp USING (fp)
+        LEFT JOIN hits h ON h.doc_id = newdocs.doc_id
     """

@@ -481,3 +481,31 @@ class TestBoilerplateVocabCentroids:
             mean = np.asarray(vecs, dtype=np.float64).mean(axis=0)
             for dim in (0, len(mean) // 2, len(mean) - 1):
                 assert abs(got[(lab, dim)] - mean[dim]) < 1e-5
+
+
+class TestIncrementalDedup:
+    """Semantics the oracle parity can't see: batch boundary, exact ⇒
+    near consistency, and coverage of the whole new batch."""
+
+    def test_covers_new_batch_and_exact_implies_band_hit(self, spark, sf_dir):
+        from columnar_database_project_spark.catalog import load_table
+        from columnar_database_project_spark.operators.dedup import (
+            INCR_SPLIT_FRAC,
+            q_dedup_incremental,
+        )
+
+        rows = q_dedup_incremental(spark, sf_dir).collect()
+        docs = load_table(spark, sf_dir, "documents")
+        max_id = docs.agg({"doc_id": "max"}).collect()[0][0]
+        t = int((max_id + 1) * INCR_SPLIT_FRAC)
+        n_new = docs.filter(f"doc_id >= {t}").count()
+        assert len(rows) == n_new  # every new doc gets a verdict
+        for r in rows:
+            assert r["doc_id"] >= t  # only new docs are screened
+            if r["exact_dup"]:
+                # identical text ⇒ identical minhash signature ⇒ the
+                # old copy shares every band key
+                assert r["dup_of"] is not None and r["dup_of"] < t
+                assert r["n_band_hits"] >= 1
+            else:
+                assert r["dup_of"] is None
