@@ -311,3 +311,52 @@ class TestRound5QueryPlans:
         assert has_broadcast_join(df)
         # lineitem probe carries only key/supp/date columns
         assert all("l_extendedprice" not in s for s in scan_read_schemas(df))
+
+
+class TestRound5LatePlans:
+    """Plan shapes for the boilerplate/vocab/centroid/incremental ops."""
+
+    def test_boilerplate_topn_is_take_ordered(self, spark, sf_dir):
+        from columnar_database_project_spark.operators.text import (
+            q_text_boilerplate_shingles,
+        )
+
+        df = q_text_boilerplate_shingles(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan  # no full sort of the shingle table
+
+    def test_vocab_coverage_windows_only_after_topn_cut(self, spark, sf_dir):
+        from columnar_database_project_spark.operators.text import (
+            q_text_vocab_coverage,
+        )
+
+        df = q_text_vocab_coverage(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the top-N cut is a TakeOrdered, so the single-partition window
+        # downstream only ever sees VOCAB_TOP_N rows
+        assert "TakeOrderedAndProject" in plan
+        assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+    def test_centroids_partial_agg_before_shuffle(self, spark, sf_dir):
+        from columnar_database_project_spark.operators.similarity import (
+            q_emb_label_centroids,
+        )
+
+        df = q_emb_label_centroids(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "partial_avg" in plan  # shuffle carries labels x dim, not rows
+        assert count_shuffles(df) <= 1
+
+    def test_incremental_dedup_has_no_pairwise_join(self, spark, sf_dir):
+        from columnar_database_project_spark.operators.dedup import (
+            q_dedup_incremental,
+        )
+
+        df = q_dedup_incremental(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the only nested-loop allowed is the 1-row split-threshold
+        # broadcast; all batch-vs-history matching is equi-join
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+            "BroadcastHashJoin" in plan
+        )
