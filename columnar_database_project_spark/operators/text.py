@@ -379,6 +379,17 @@ def q_text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEQ_LEN = 256  # token budget per packed training sequence
 
 
+def split_col():
+    """Deterministic train/val/test assignment column — a pure function
+    of doc_id (first 4 md5 hex chars mod 100; 90/5/5), shared by the
+    split summary and the corpus-build composition below."""
+    h = F.md5(F.col("doc_id").cast("string"))
+    bucket = F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") % 100
+    return (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+
+
 def q_text_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based train/val/test assignment — the split
     must be a pure function of the document key (never random()) so
@@ -388,11 +399,7 @@ def q_text_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``text_stratified_sample``); 90/5/5. Scan-local except the 3-row
     summary aggregate."""
     docs = load_table(spark, sf_dir, "documents")
-    h = F.md5(F.col("doc_id").cast("string"))
-    bucket = F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") % 100
-    split = (
-        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
-    )
+    split = split_col()
     return (
         docs.select(split.alias("split"), "n_chars")
         .groupBy("split")
@@ -469,6 +476,40 @@ def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+def q_text_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining corpus-build pipeline as ONE composed job —
+    quality filter → exact dedup (keep-first among kept docs) → split
+    assignment → packing summary — emitting per-(split, source) docs,
+    tokens, and packed-sequence counts. This is the composition story:
+    every stage reuses the standalone operators' shared expressions
+    (``funnel_flag_cols``, ``split_col``, SEQ_LEN), so the composed
+    pipeline provably applies the same semantics as the pieces.
+
+    Scale shape: one corpus scan computes flags + fingerprint; the
+    dedup keep-first is one shuffle on md5 (count-bounded by distinct
+    content); the final rollup is a tiny (3 x sources) aggregate.
+    n_seqs is the per-group token-budget bound ceil(tokens/SEQ_LEN) —
+    the packing-summary contract, not a per-doc walk."""
+    docs = load_table(spark, sf_dir, "documents")
+    _len_ok, _rep_ok, keep = funnel_flag_cols()
+    n_tokens = F.size(tokens_col())
+    kept = docs.filter(keep).select(
+        "doc_id", "source", F.md5("text").alias("fp"), n_tokens.alias("n_tokens")
+    )
+    survivors = kept.groupBy("fp").agg(
+        F.min_by(F.struct("doc_id", "source", "n_tokens"), "doc_id").alias("s")
+    ).select(F.col("s.doc_id").alias("doc_id"), "s.source", "s.n_tokens")
+    return (
+        survivors.select(split_col().alias("split"), "source", "n_tokens")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.ceil(F.sum("n_tokens") / F.lit(SEQ_LEN)).alias("n_seqs"),
         )
     )
 
@@ -551,6 +592,7 @@ QUERIES = {
     "text_pack_sequences": q_text_pack_sequences,
     "text_boilerplate_shingles": q_text_boilerplate_shingles,
     "text_vocab_coverage": q_text_vocab_coverage,
+    "text_corpus_build": q_text_corpus_build,
 }
 
 _MARKERS_SQL = ", ".join(f"'{m}'" for m in EN_MARKERS)
@@ -872,4 +914,42 @@ ORACLES["text_vocab_coverage"] = f"""
                    6
                ) AS cum_share
         FROM top, tot
+    """
+
+ORACLES["text_corpus_build"] = f"""
+        WITH t AS (
+            SELECT doc_id, source, md5(text) AS fp,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id, source, fp,
+                   len(toks) AS n_tokens,
+                   len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+                       AS distinct_ratio,
+                   len(list_filter(toks, x -> x IN ({_MARKERS_SQL})))
+                       / CAST(len(toks) AS DOUBLE) AS stop_ratio
+            FROM t
+        ), kept AS (
+            SELECT doc_id, source, fp, n_tokens
+            FROM s
+            WHERE n_tokens >= 30 AND distinct_ratio >= 0.4
+              AND 0.6 * least(n_tokens / 100.0, 1.0) + 0.4 * stop_ratio >= 0.3
+        ), survivors AS (
+            SELECT doc_id, source, n_tokens,
+                   row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM kept
+        ), sp AS (
+            SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                       % 100 AS bucket,
+                   source, n_tokens
+            FROM survivors WHERE rn = 1
+        )
+        SELECT CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'val'
+                    ELSE 'test' END AS split,
+               source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(ceil(sum(n_tokens) / 256.0) AS BIGINT) AS n_seqs
+        FROM sp GROUP BY 1, source
     """

@@ -509,3 +509,31 @@ class TestIncrementalDedup:
                 assert r["n_band_hits"] >= 1
             else:
                 assert r["dup_of"] is None
+
+
+class TestCorpusBuild:
+    """The composed pipeline must agree with its standalone stages."""
+
+    def test_totals_tie_to_funnel_and_dedup(self, spark, sf_dir):
+        from columnar_database_project_spark.catalog import load_table
+        from columnar_database_project_spark.operators.text import (
+            SEQ_LEN,
+            funnel_flag_cols,
+            q_text_corpus_build,
+        )
+        from pyspark.sql import functions as F
+
+        rows = q_text_corpus_build(spark, sf_dir).collect()
+        docs = load_table(spark, sf_dir, "documents")
+        _l, _r, keep = funnel_flag_cols()
+        n_survivors = (
+            docs.filter(keep).select(F.md5("text").alias("fp")).distinct().count()
+        )
+        # every kept-and-deduped doc lands in exactly one (split, source)
+        assert sum(r["n_docs"] for r in rows) == n_survivors
+        for r in rows:
+            assert r["split"] in ("train", "val", "test")
+            # packing bound: enough sequences for the tokens, no more
+            # than one per doc
+            assert r["n_seqs"] * SEQ_LEN >= r["n_tokens"]
+            assert r["n_seqs"] <= max(r["n_docs"], r["n_tokens"] // SEQ_LEN + 1)
