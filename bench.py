@@ -54,6 +54,7 @@ HEADLINE = [
     "window_rank",
     "events_sessionize",
     "text_token_stats",
+    "text_corpus_build",       # composed filter→dedup→split→pack pipeline
     "dedup_minhash_signatures",
     "dedup_lsh_candidates",
     "dedup_embedding_cosine",
