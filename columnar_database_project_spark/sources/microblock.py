@@ -167,3 +167,69 @@ def block_count(path: str) -> int:
         if f.endswith(".parquet") or (f.startswith("part-") and "crc" not in f)
     ]
     return len(files)
+
+
+def compact_blocks(
+    spark: SparkSession,
+    path: str,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+    min_fill: float = 0.5,
+) -> dict:
+    """Compact a microblock directory whose blocks have fragmented
+    below ``min_fill * block_rows`` rows — the small-file problem every
+    incrementally-ingested table develops (each drop writes its own
+    tail block; at 100 TB a table ingested in 10k drops carries 10k
+    undersized files whose per-file open/footer/task overhead dominates
+    scans).
+
+    Idempotent and conservative: if no block is under the fill
+    threshold, nothing is rewritten. Otherwise the WHOLE table is
+    rewritten through ``MicroBlockWriter`` into a staging directory and
+    atomically swapped in (rename), so readers never observe a
+    half-compacted table and a crashed compaction leaves the original
+    intact. Block identity changes on compaction by design — callers
+    holding a ``MicroBlockIndex`` rebuild it from the new footers
+    (cheap driver-side metadata scan).
+
+    Returns {"compacted": bool, "blocks_before": n, "blocks_after": m}.
+    """
+    import shutil
+
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    if not files:
+        return {"compacted": False, "blocks_before": 0, "blocks_after": 0}
+    import pyarrow.parquet as pq
+
+    n_before = len(files)
+    undersized = sum(
+        1
+        for f in files
+        if pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+        < block_rows * min_fill
+    )
+    if undersized <= 1:  # a single tail block is the expected remainder
+        return {
+            "compacted": False,
+            "blocks_before": n_before,
+            "blocks_after": n_before,
+        }
+    staging = path.rstrip("/") + ".compact_tmp"
+    shutil.rmtree(staging, ignore_errors=True)
+    df = spark.read.parquet(path)
+    # coalesce (no shuffle) down to ~one task per target block:
+    # maxRecordsPerFile enforces the block size, the task count only
+    # sets write parallelism — at cluster scale this is a pure
+    # scan+rewrite with no exchange.
+    n_tasks = max(1, df.count() // block_rows + 1)
+    MicroBlockWriter(block_rows=block_rows).write(df.coalesce(n_tasks), staging)
+    old = path.rstrip("/") + ".compact_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    return {
+        "compacted": True,
+        "blocks_before": n_before,
+        "blocks_after": n_after,
+    }

@@ -160,3 +160,53 @@ class TestStatefulStreaming:
             assert n_sessions == batch_sessions
         finally:
             q.stop()
+
+
+class TestCompaction:
+    def test_fragmented_table_compacts_and_preserves_rows(
+        self, spark, sf_dir, tmp_path_factory
+    ):
+        import pyarrow.parquet as pq
+        import os
+
+        from columnar_database_project_spark.catalog import load_table
+        from columnar_database_project_spark.sources.microblock import (
+            MicroBlockWriter,
+            compact_blocks,
+        )
+
+        path = str(tmp_path_factory.mktemp("frag") / "nation")
+        nation = load_table(spark, sf_dir, "nation")
+        # fragment: 1-row blocks (25 files)
+        MicroBlockWriter(block_rows=1).write(nation.repartition(5), path)
+        n_rows = nation.count()
+        report = compact_blocks(spark, path, block_rows=16)
+        assert report["compacted"] is True
+        assert report["blocks_after"] < report["blocks_before"]
+        out = spark.read.parquet(path)
+        assert out.count() == n_rows
+        assert sorted(r["n_nationkey"] for r in out.collect()) == sorted(
+            r["n_nationkey"] for r in nation.collect()
+        )
+        # every file is a single row group no larger than the block size
+        for f in os.listdir(path):
+            if f.endswith(".parquet"):
+                pf = pq.ParquetFile(os.path.join(path, f))
+                assert pf.num_row_groups == 1
+                assert pf.metadata.num_rows <= 16
+
+    def test_healthy_table_is_left_alone(self, spark, sf_dir, tmp_path_factory):
+        from columnar_database_project_spark.catalog import load_table
+        from columnar_database_project_spark.sources.microblock import (
+            MicroBlockWriter,
+            compact_blocks,
+        )
+
+        path = str(tmp_path_factory.mktemp("healthy") / "nation")
+        MicroBlockWriter(block_rows=16).write(
+            load_table(spark, sf_dir, "nation").coalesce(1), path
+        )
+        before = sorted(__import__("os").listdir(path))
+        report = compact_blocks(spark, path, block_rows=16)
+        assert report["compacted"] is False
+        assert sorted(__import__("os").listdir(path)) == before  # untouched
