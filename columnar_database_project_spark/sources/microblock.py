@@ -233,3 +233,73 @@ def compact_blocks(
         "blocks_before": n_before,
         "blocks_after": n_after,
     }
+
+
+Z_BITS = 16   # bucket resolution per dimension (2 dims → 32-bit z key)
+
+
+def zorder_key(col_a, col_b, bounds: tuple) -> "F.Column":
+    """Interleaved-bit (Morton) key over two numeric columns, each
+    scaled to a ``Z_BITS``-bit bucket within its [min, max] bounds.
+    Pure bitwise/arithmetic column expressions — whole-stage codegen,
+    no UDF. ``bounds`` = (min_a, max_a, min_b, max_b), computed once
+    driver-side (1-row agg — control plane, like the reference's
+    footer stats pass)."""
+    min_a, max_a, min_b, max_b = bounds
+    top = (1 << Z_BITS) - 1
+
+    def bucket(c, lo, hi):
+        span = float(hi - lo) or 1.0
+        return F.least(
+            F.lit(top),
+            F.greatest(
+                F.lit(0),
+                F.floor((c.cast("double") - float(lo)) / span * top).cast("long"),
+            ),
+        )
+
+    ba, bb = bucket(col_a, min_a, max_a), bucket(col_b, min_b, max_b)
+    z = F.lit(0).cast("long")
+    for i in range(Z_BITS):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(ba, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(bb, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: tuple,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+    num_partitions: int | None = None,
+) -> None:
+    """Write a microblock layout Z-ORDERED on two numeric columns, so
+    zone-map pruning stays selective for box predicates on EITHER or
+    BOTH columns — single-column sorting only ever helps one dimension.
+    The Morton curve keeps spatially-close (a, b) pairs in the same
+    blocks, so each block covers a small rectangle of the value space
+    and min/max stats become tight on both columns simultaneously —
+    the same technique Delta/Iceberg expose as OPTIMIZE ZORDER.
+
+    Scale shape: one 1-row bounds agg, one range shuffle on the z key,
+    per-partition sort, parallel block write — identical cost to any
+    globally-sorted write.
+    """
+    a, b = cols
+    spark = df.sparkSession
+    r = df.agg(
+        F.min(a).alias("la"), F.max(a).alias("ha"),
+        F.min(b).alias("lb"), F.max(b).alias("hb"),
+    ).first()
+    z = zorder_key(F.col(a), F.col(b), (r["la"], r["ha"], r["lb"], r["hb"]))
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    zdf = (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_parts, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")   # narrow projection — preserves the sort order
+    )
+    MicroBlockWriter(block_rows=block_rows).write(zdf, path)

@@ -210,3 +210,65 @@ class TestCompaction:
         report = compact_blocks(spark, path, block_rows=16)
         assert report["compacted"] is False
         assert sorted(__import__("os").listdir(path)) == before  # untouched
+
+
+class TestZOrder:
+    def test_zorder_prunes_box_predicates_on_both_dims(
+        self, spark, sf_dir, tmp_path_factory
+    ):
+        """Z-ordered layout must keep zone maps selective on BOTH
+        columns of a box predicate; a single-column sort only helps its
+        own dimension. Compare pruned fractions on identical data."""
+        from columnar_database_project_spark.catalog import load_table
+        from columnar_database_project_spark.plans.predicate import And, Between
+        from columnar_database_project_spark.sources.index import MicroBlockIndex
+        from columnar_database_project_spark.sources.microblock import (
+            write_with_row_ids,
+            write_zordered,
+        )
+
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice"
+        )
+        base = tmp_path_factory.mktemp("zorder")
+        z_path = str(base / "z")
+        s_path = str(base / "sorted_one_dim")
+        write_zordered(
+            li, z_path, cols=("l_quantity", "l_extendedprice"), block_rows=2000
+        )
+        # baseline: globally sorted on l_quantity only
+        write_with_row_ids(
+            li, s_path, order_by=["l_quantity"], block_rows=2000
+        )
+
+        # the claim: z-order keeps zone maps selective on BOTH
+        # dimensions; the single-column sort only on its own key.
+        q_pred = Between("l_quantity", 10, 15)
+        p_pred = Between("l_extendedprice", 20000.0, 30000.0)
+        zi = MicroBlockIndex.build(z_path, "z")
+        si = MicroBlockIndex.build(s_path, "s")
+
+        def frac(idx, pred):
+            return len(idx.candidate_blocks(pred)) / max(1, idx.num_blocks)
+
+        # sorted-by-quantity prunes quantity but NOT price; z prunes both
+        assert frac(si, p_pred) > 0.9          # non-sort key: no pruning
+        assert frac(zi, p_pred) < 0.6          # z: price still prunes
+        assert frac(zi, q_pred) < 0.6          # z: quantity still prunes
+        # on the 2-D box, z must be at least as selective as its worst dim
+        pred = And(q_pred, p_pred)
+        assert frac(zi, pred) <= min(frac(zi, q_pred), frac(zi, p_pred))
+        # and the pruned scans agree with the ground truth count
+        truth = li.filter(
+            F.col("l_quantity").between(10, 15)
+            & F.col("l_extendedprice").between(20000.0, 30000.0)
+        ).count()
+        got = (
+            spark.read.parquet(z_path)
+            .filter(
+                F.col("l_quantity").between(10, 15)
+                & F.col("l_extendedprice").between(20000.0, 30000.0)
+            )
+            .count()
+        )
+        assert got == truth
