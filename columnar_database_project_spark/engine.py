@@ -80,6 +80,34 @@ class MicroBlockEngine:
     def table(self, name: str) -> DataFrame:
         return self.tables[name]
 
+    # ---------------------------------------------------------- lifecycle
+    def ingest_jsonl(self, src: str, name: str, dst: str) -> dict:
+        """Ingest a raw JSONL document drop (staged parse + quarantine,
+        see ``sources.ingest``) into microblocks at ``dst`` and register
+        the result as table ``name``. Returns the ingestion report."""
+        from columnar_database_project_spark.sources.ingest import (
+            ingest_documents_jsonl,
+        )
+
+        report = ingest_documents_jsonl(self.spark, src, dst)
+        self.register(name, self.spark.read.parquet(dst))
+        return report
+
+    def compact(self, name: str, path: str, **kw) -> dict:
+        """Compact a registered table's microblock directory (see
+        ``sources.microblock.compact_blocks``) and refresh the
+        registration — block identity changes, so an attached index
+        for this table must be rebuilt by the caller."""
+        from columnar_database_project_spark.sources.microblock import (
+            compact_blocks,
+        )
+
+        report = compact_blocks(self.spark, path, **kw)
+        if report["compacted"]:
+            self.spark.catalog.refreshByPath(path)
+            self.register(name, self.spark.read.parquet(path))
+        return report
+
     # ------------------------------------------------------------- queries
     def query(self, sql: str) -> DataFrame:
         """Run SQL against the registered catalog.

@@ -81,3 +81,22 @@ def test_ingested_docs_feed_the_operator_surface(
     flagged = docs.select("doc_id", len_ok.alias("len_ok"), keep.alias("keep"))
     got = {r["doc_id"]: r["len_ok"] for r in flagged.collect()}
     assert got == {1: False, 2: False}  # short docs fail the length gate
+
+
+def test_engine_facade_ingest_and_compact(spark, jsonl_drop, tmp_path_factory):
+    """The façade wires ingestion + compaction into the catalog: the
+    ingested table is queryable by name, compaction keeps it live."""
+    from columnar_database_project_spark.engine import MicroBlockEngine
+
+    eng = MicroBlockEngine(spark)
+    dst = str(tmp_path_factory.mktemp("facade") / "docs")
+    report = eng.ingest_jsonl(jsonl_drop, "raw_docs", dst)
+    assert report["rows"] == 2
+    got = eng.query(
+        "SELECT count(*) AS c FROM raw_docs WHERE n_chars > 0"
+    ).collect()[0]["c"]
+    assert got == 2
+    # compaction on a healthy tiny table is a no-op and keeps the view
+    report2 = eng.compact("raw_docs", dst, block_rows=4)
+    assert report2["compacted"] is False
+    assert eng.query("SELECT count(*) AS c FROM raw_docs").collect()[0]["c"] == 2
