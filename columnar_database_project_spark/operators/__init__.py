@@ -15,12 +15,13 @@ def all_queries():
         multimodal,
         relational,
         similarity,
+        sketch,
         text,
     )
 
     q: dict = {}
     o: dict = {}
-    for mod in (dedup, events, multimodal, relational, similarity, text):
+    for mod in (dedup, events, multimodal, relational, similarity, sketch, text):
         dupes = set(q) & set(mod.QUERIES)
         if dupes:
             raise ValueError(f"duplicate query names: {dupes}")

@@ -537,3 +537,47 @@ class TestCorpusBuild:
             # than one per doc
             assert r["n_seqs"] * SEQ_LEN >= r["n_tokens"]
             assert r["n_seqs"] <= max(r["n_docs"], r["n_tokens"] // SEQ_LEN + 1)
+
+
+class TestMisraGries:
+    """The MG guarantee on data the oracle can't stress: vocab much
+    larger than capacity K, skewed frequencies."""
+
+    def test_reduce_keeps_heavy_items_and_capacity(self):
+        from columnar_database_project_spark.operators.sketch import mg_reduce
+
+        # 3 heavy items among 100 light ones, k = 10
+        counters = {f"light{i}": 2 for i in range(100)}
+        counters.update({"h1": 500, "h2": 400, "h3": 300})
+        red = mg_reduce(dict(counters), 10)
+        assert len(red) <= 103  # reduce only shrinks
+        assert {"h1", "h2", "h3"} <= set(red)
+        # repeated reduction converges under capacity without losing
+        # the heavy items (stream-of-batches behavior)
+        while len(red) > 10:
+            before = len(red)
+            red = mg_reduce(red, 10)
+            assert len(red) < before
+        assert {"h1", "h2", "h3"} <= set(red)
+
+    def test_two_phase_equals_exact_on_skewed_stream(self, spark):
+        import pandas as pd
+
+        from columnar_database_project_spark.operators.sketch import (
+            MG_CAPACITY,
+            _mg_candidates,
+        )
+
+        # skewed synthetic stream: vocab 500 >> K, zipf-ish
+        rows = []
+        for i in range(500):
+            rows.extend([f"t{i}"] * (1000 // (i + 1) + 1))
+        pdf = pd.DataFrame({"term": rows})
+        n = len(pdf)
+        exact = pdf["term"].value_counts()
+        truth = set(exact[exact * (MG_CAPACITY + 1) > n].index)
+        # run the partition kernel over 7 arbitrary batch splits
+        batches = [pdf.iloc[i::7] for i in range(7)]
+        out = list(_mg_candidates(iter(batches)))[0]
+        cands = set(out["term"])
+        assert truth <= cands  # guarantee: no heavy hitter is lost
