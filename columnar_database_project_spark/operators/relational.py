@@ -403,6 +403,29 @@ def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — per-nation customer vs supplier presence with
+    null-preserving sides (a nation can carry customers, suppliers,
+    both, or neither side's rows after the segment filters). Both
+    inputs are pre-aggregated to one row per key before the join, so
+    the full-outer shuffle carries nation-cardinality rows only."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000.0)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return cust.join(supp, "nationkey", "full_outer").select(
+        "nationkey", "n_customers", "n_suppliers"
+    )
+
+
 def q_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-join — the one multi-relation shape the reference could
     actually express (single registered table, SURVEY §2.3): pairs of
@@ -1359,6 +1382,7 @@ QUERIES = {
     "join_semi": q_join_semi,
     "join_anti": q_join_anti,
     "join_left_outer": q_join_left_outer,
+    "join_full_outer": q_join_full_outer,
     "self_join": q_self_join,
     "window_rank": q_window_rank,
     "window_running": q_window_running,
@@ -1569,6 +1593,18 @@ ORACLES = {
     "join_anti": """
         SELECT c_custkey, c_name FROM customer
         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "join_full_outer": """
+        WITH c AS (
+            SELECT c_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_customers
+            FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY c_nationkey
+        ), s AS (
+            SELECT s_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_suppliers
+            FROM supplier WHERE s_acctbal > 5000.0 GROUP BY s_nationkey
+        )
+        SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+               n_customers, n_suppliers
+        FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
     """,
     "join_left_outer": """
         SELECT c_custkey, count(o_orderkey) AS n_orders,
