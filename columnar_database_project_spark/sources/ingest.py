@@ -120,3 +120,43 @@ def ingest_documents_jsonl(
     writer.write(normalized, dst)
     quarantine.write.mode("overwrite").parquet(dst.rstrip("/") + "_quarantine")
     return {"rows": normalized.count(), "quarantined": quarantine.count()}
+
+
+def read_documents_csv(
+    spark: SparkSession, path: str, sep: str = ",", header: bool = True
+) -> DataFrame:
+    """CSV variant of the document-drop reader: same declared contract
+    schema (headers are NOT trusted for types — inference on a 100 TB
+    drop means a second full scan and silent type drift), PERMISSIVE
+    parse with the same corrupt-record routing, so
+    ``ingest_documents_csv`` shares the bronze/silver path."""
+    return (
+        spark.read.schema(DOCUMENTS_INGEST_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .csv(path)
+    )
+
+
+def ingest_documents_csv(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    block_rows: int | None = None,
+    sep: str = ",",
+) -> dict:
+    """CSV drop → normalized documents microblocks (same staged
+    single-parse + quarantine shape as ``ingest_documents_jsonl``)."""
+    staging = dst.rstrip("/") + "_staging"
+    read_documents_csv(spark, src, sep=sep).write.mode("overwrite").parquet(
+        staging
+    )
+    parsed = spark.read.parquet(staging)
+    good, quarantine = split_corrupt(parsed)
+    normalized = normalize_documents(good)
+    writer = MicroBlockWriter(**({"block_rows": block_rows} if block_rows else {}))
+    writer.write(normalized, dst)
+    quarantine.write.mode("overwrite").parquet(dst.rstrip("/") + "_quarantine")
+    return {"rows": normalized.count(), "quarantined": quarantine.count()}

@@ -100,3 +100,25 @@ def test_engine_facade_ingest_and_compact(spark, jsonl_drop, tmp_path_factory):
     report2 = eng.compact("raw_docs", dst, block_rows=4)
     assert report2["compacted"] is False
     assert eng.query("SELECT count(*) AS c FROM raw_docs").collect()[0]["c"] == 2
+
+
+def test_csv_ingestion_shares_the_contract(spark, tmp_path_factory):
+    from columnar_database_project_spark.sources.ingest import (
+        ingest_documents_csv,
+    )
+
+    d = tmp_path_factory.mktemp("csvdrop")
+    p = d / "drop.csv"
+    p.write_text(
+        "doc_id,text,lang,source,n_chars\n"
+        '1,"alpha beta gamma",en,feed,16\n'
+        '2,"delta words here",,feed,\n'          # lang/n_chars backfilled
+        'not_a_number,"bad id row",en,feed,1\n'  # unparseable doc_id → corrupt
+    )
+    dst = str(tmp_path_factory.mktemp("csvout") / "documents")
+    report = ingest_documents_csv(spark, str(p), dst)
+    assert report["rows"] == 2
+    assert report["quarantined"] == 1
+    rows = {r["doc_id"]: r for r in spark.read.parquet(dst).collect()}
+    assert rows[2]["lang"] == "und"
+    assert rows[2]["n_chars"] == len("delta words here")
