@@ -75,3 +75,57 @@ def source_quality_stats_stream(docs: DataFrame) -> DataFrame:
             F.sum(F.col("keep").cast("long")).alias("n_kept"),
         )
     )
+
+
+def dedup_stream_against_store(
+    docs: DataFrame,
+    out_path: str,
+    store_path: str,
+    checkpoint: str,
+):
+    """Streaming exact dedup against a PERSISTENT fingerprint store —
+    the continuous form of ``dedup.q_dedup_incremental``'s exact
+    verdict: each micro-batch keeps one doc per content fingerprint
+    (min doc_id within the batch), drops docs whose fingerprint is
+    already in the store (anti-join), appends survivors to ``out_path``
+    and their fingerprints to the store.
+
+    ``foreachBatch`` is the right tool, not ``dropDuplicates``:
+    dropDuplicates state lives in the state store, unbounded without an
+    event-time watermark (content fingerprints never expire), and is
+    lost on checkpoint reset. A parquet/lakehouse fingerprint table is
+    durable, shared across pipelines (the batch path joins against the
+    SAME store), and equi-join-pruned at scale. Exactly-once caveat:
+    parquet append is not transactional across the two writes — on a
+    lakehouse table format the two appends become one transaction;
+    replayed batches would need idempotent MERGE semantics there.
+
+    Returns the StreamingQuery (availableNow trigger — drains what is
+    present, the incremental-drop cadence)."""
+    import os
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.withColumn("fp", F.md5("text"))
+        firsts = (
+            batch.groupBy("fp")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .join(batch, ["fp", "doc_id"])
+        )
+        if os.path.isdir(store_path):
+            seen = spark.read.parquet(store_path).select("fp")
+            firsts = firsts.join(seen, "fp", "left_anti")
+        # localCheckpoint: both writes must see the SAME survivor set
+        # even though the anti-join's store snapshot changes below
+        firsts = firsts.localCheckpoint()
+        firsts.select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        ).write.mode("append").parquet(out_path)
+        firsts.select("fp").write.mode("append").parquet(store_path)
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -309,3 +309,64 @@ class TestStreamingTextPipeline:
             .collect()
         }
         assert got == want
+
+
+class TestStreamingDedupAgainstStore:
+    def test_stream_dedup_equals_batch_keep_first(
+        self, spark, sf_dir, tmp_path_factory
+    ):
+        """Drops arriving as ordered micro-batches must converge to the
+        batch exact-dedup survivor set, with the fingerprint store
+        carrying exactly one row per distinct content."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from columnar_database_project_spark.streaming.text import (
+            dedup_stream_against_store,
+            read_document_stream,
+        )
+
+        base = tmp_path_factory.mktemp("streamdedup")
+        drop_dir = base / "drops"
+        drop_dir.mkdir()
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .limit(60)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # plant cross-batch duplicates: batch1 rows 40-59 reuse the
+        # TEXT of rows 0-19 (new ids) — they must be dropped by the
+        # store anti-join, not in-batch dedup
+        docs.loc[40:59, "text"] = docs.loc[0:19, "text"].values
+        for i, sl in enumerate([slice(0, 20), slice(20, 40), slice(40, 60)]):
+            chunk = docs.iloc[sl]
+            p = drop_dir / f"b{i}.parquet"
+            pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False), str(p))
+            os.utime(p, (1_700_000_000 + i * 60,) * 2)
+
+        out = str(base / "out")
+        store = str(base / "store")
+        q = dedup_stream_against_store(
+            read_document_stream(spark, str(drop_dir)),
+            out, store, str(base / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+        got_ids = sorted(
+            r["doc_id"] for r in spark.read.parquet(out).collect()
+        )
+        # batch ground truth: keep-first by fingerprint over all drops
+        bdf = spark.createDataFrame(docs)
+        want_ids = sorted(
+            r["doc_id"]
+            for r in bdf.groupBy(F.md5("text").alias("fp"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .collect()
+        )
+        assert got_ids == want_ids
+        fps = [r["fp"] for r in spark.read.parquet(store).collect()]
+        assert len(fps) == len(set(fps)) == len(want_ids)
