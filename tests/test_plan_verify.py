@@ -360,3 +360,16 @@ class TestRound5LatePlans:
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
             "BroadcastHashJoin" in plan
         )
+
+    def test_corpus_build_single_md5_shuffle(self, spark, sf_dir):
+        from columnar_database_project_spark.operators.text import (
+            q_text_corpus_build,
+        )
+
+        df = q_text_corpus_build(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        # dedup keep-first + final rollup: the scan-side flag math is
+        # shuffle-free, so the whole composed pipeline needs <= 3
+        # exchanges (md5 group, split/source rollup, AQE reads)
+        assert count_shuffles(df) <= 3, count_shuffles(df)
