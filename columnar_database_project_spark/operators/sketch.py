@@ -48,15 +48,33 @@ def mg_reduce(counters: dict, k: int) -> dict:
     return {t: c - delta for t, c in counters.items() if c > delta}
 
 
-def _mg_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _mg_partition_summary(
+    batches: Iterator[pd.DataFrame], k: int = MG_CAPACITY
+) -> dict:
+    """Capacity-k MG summary of one partition's ``term`` stream:
+    exact value_counts per Arrow batch (vectorized), merged, reduced."""
     counters: dict = {}
     for pdf in batches:
         # exact per-batch counts, vectorized; merging exact sub-stream
         # counts then reducing is the mergeable-summaries formulation
         for term, c in pdf["term"].value_counts().items():
             counters[term] = counters.get(term, 0) + int(c)
-        counters = mg_reduce(counters, MG_CAPACITY)
+        counters = mg_reduce(counters, k)
+    return counters
+
+
+def _mg_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    counters = _mg_partition_summary(batches)
     yield pd.DataFrame({"term": list(counters.keys())})
+
+
+def _mg_summaries(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Partition kernel emitting (term, cnt) MG entries — <= K rows per
+    partition, the bounded payload a driver-side merge may collect."""
+    counters = _mg_partition_summary(batches)
+    yield pd.DataFrame(
+        {"term": list(counters.keys()), "cnt": list(counters.values())}
+    )
 
 
 def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -129,3 +129,59 @@ def dedup_stream_against_store(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def heavy_hitters_stream(
+    docs: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    capacity: int = 30,
+):
+    """Streaming Misra-Gries: maintain a BOUNDED (<= ``capacity``
+    entries) term-frequency summary across micro-batches in a
+    persistent store. Each batch's exact term counts (one small
+    aggregate — vocabulary-sized, not corpus-sized) are merged into
+    the stored summary and MG-reduced back under capacity; the
+    mergeable-summaries guarantee carries over, so any term with
+    overall frequency > n/(capacity+1) is always present in the store
+    no matter how the stream was batched. The batch operator
+    (``operators.sketch``) runs its exact verify pass against the same
+    candidates when a precise count is needed."""
+    import os
+
+    from columnar_database_project_spark.operators.sketch import (
+        _mg_summaries,
+        mg_reduce,
+    )
+    from columnar_database_project_spark.operators.text import tokens_col
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # per-partition MG kernels first: the driver collects at most
+        # capacity x partitions (term, cnt) rows, never the vocabulary
+        counts: dict = {}
+        for r in (
+            batch_df.select(F.explode(tokens_col()).alias("term"))
+            .mapInPandas(_mg_summaries, schema="term string, cnt long")
+            .collect()
+        ):
+            counts[r["term"]] = counts.get(r["term"], 0) + r["cnt"]
+        if os.path.isdir(store_path):
+            for r in spark.read.parquet(store_path).collect():
+                counts[r["term"]] = counts.get(r["term"], 0) + r["cnt"]
+        summary = mg_reduce(counts, capacity)
+        spark.createDataFrame(
+            [(t, int(c)) for t, c in summary.items()], "term string, cnt long"
+        ).coalesce(1).write.mode("overwrite").parquet(store_path + ".tmp")
+        # atomic swap so a crash never leaves a half-written summary
+        import shutil
+
+        shutil.rmtree(store_path, ignore_errors=True)
+        os.rename(store_path + ".tmp", store_path)
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -370,3 +370,54 @@ class TestStreamingDedupAgainstStore:
         assert got_ids == want_ids
         fps = [r["fp"] for r in spark.read.parquet(store).collect()]
         assert len(fps) == len(set(fps)) == len(want_ids)
+
+
+class TestStreamingHeavyHitters:
+    def test_store_keeps_every_true_heavy_hitter(
+        self, spark, sf_dir, tmp_path_factory
+    ):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from columnar_database_project_spark.streaming.text import (
+            heavy_hitters_stream,
+            read_document_stream,
+        )
+
+        base = tmp_path_factory.mktemp("hhstream")
+        drop_dir = base / "drops"
+        drop_dir.mkdir()
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .limit(90)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for i, sl in enumerate([slice(0, 30), slice(30, 60), slice(60, 90)]):
+            p = drop_dir / f"b{i}.parquet"
+            pq.write_table(
+                pa.Table.from_pandas(docs.iloc[sl], preserve_index=False), str(p)
+            )
+            os.utime(p, (1_700_000_000 + i * 60,) * 2)
+
+        store = str(base / "hh_store")
+        cap = 20
+        q = heavy_hitters_stream(
+            read_document_stream(spark, str(drop_dir)),
+            store, str(base / "ckpt"), capacity=cap,
+        )
+        q.awaitTermination(120)
+
+        kept = {r["term"] for r in spark.read.parquet(store).collect()}
+        assert 0 < len(kept) <= cap
+        # ground truth over the WHOLE stream
+        toks = [t for s in docs["text"] for t in s.strip().split()]
+        n = len(toks)
+        import collections
+
+        exact = collections.Counter(toks)
+        truth = {t for t, c in exact.items() if c * (cap + 1) > n}
+        assert truth <= kept  # MG merge guarantee across batches
