@@ -41,26 +41,57 @@ def q_events_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _with_session_ids(ev: DataFrame) -> DataFrame:
+    """Gap-based session assignment (30-minute inactivity gap): lag →
+    gap flag → cumulative session id — one hash shuffle on user_id,
+    both windows share the sorted run. Shared by the session rollup
+    and the journey extraction."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-minute inactivity gap): classic
     lag → gap flag → cumulative session id. Streaming twin: session
     window / applyInPandasWithState."""
-    ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    with_flag = ev.withColumn(
-        "new_session",
-        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
-    )
-    with_sid = with_flag.withColumn(
-        "session_id",
-        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
-    )
+    with_sid = _with_session_ids(load_table(spark, sf_dir, "events"))
     return (
         with_sid.groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 4).alias("session_value"),
+        )
+    )
+
+
+def q_events_session_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session ordered action sequences — the behavioral-modeling
+    / sequence-training extraction: every session becomes its ordered
+    event-type string (rendered '>'-joined so the oracle hash is
+    layout-independent, like ``array_agg``). Ordering is total
+    ((ts, event_id) tie-break) so the journey is deterministic.
+    Same single user_id shuffle as sessionize; the collect_list is a
+    per-(user, session) aggregate — session-sized state, map-side
+    partial, never a corpus-wide array."""
+    with_sid = _with_session_ids(load_table(spark, sf_dir, "events"))
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ),
+        lambda s: s["event_type"],
+    )
+    return (
+        with_sid.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(ordered, ">").alias("journey"),
+            F.count(F.lit(1)).alias("n_events"),
         )
     )
 
@@ -273,6 +304,7 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "events_tumbling_hour": q_events_tumbling_hour,
     "events_sessionize": q_events_sessionize,
+    "events_session_journeys": q_events_session_journeys,
     "events_json_props": q_events_json_props,
     "events_dedup_latest": q_events_dedup_latest,
     "events_funnel": q_events_funnel,
@@ -339,6 +371,31 @@ ORACLES = {
         )
         SELECT user_id, session_id, count(*) AS n_events,
                ROUND(sum(value), 4) AS session_value
+        FROM sessioned GROUP BY user_id, session_id
+    """,
+    "events_session_journeys": """
+        WITH flagged AS (
+            SELECT user_id, event_type,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR CAST(floor(epoch(ts)) AS BIGINT)
+                                - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                        THEN 1 ELSE 0 END AS new_session,
+                   ts, event_id
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessioned AS (
+            SELECT user_id, event_type, ts, event_id,
+                   CAST(sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id,
+               array_to_string(
+                   array_agg(event_type ORDER BY ts, event_id), '>'
+               ) AS journey,
+               count(*) AS n_events
         FROM sessioned GROUP BY user_id, session_id
     """,
     "events_json_props": """
