@@ -173,9 +173,52 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_BYTES = 64   # payload shard size (toy-scaled; production ~8-64 MB)
+
+
+def q_mm_payload_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload sharding: split each binary payload into fixed-size
+    chunk rows (doc_id, chunk_id, n_chunk_bytes, chunk_md5) — the
+    storage shape for blobs that exceed row-group/page limits (a 4 GB
+    video cannot live in one parquet cell; its chunks can, and ranged
+    reads fetch only the chunks a frame-sample needs). All JVM-side:
+    explode over the chunk index, binary substring, md5 per chunk.
+    Scale shape: chunking is scan-local (no shuffle at all in this
+    projection); the chunk table writes partitioned by doc_id range so
+    reassembly is a partition-local sort.
+
+    Oracle note: DuckDB lacks BLOB substring, so the oracle slices the
+    CHARACTER stand-in — byte-exact here because the test payload is
+    ASCII; the Spark side implements the real byte semantics.
+    """
+    bt = binary_table(spark, sf_dir)
+    n_chunks = F.ceil(F.col("n_bytes") / F.lit(CHUNK_BYTES)).cast("int")
+    return (
+        bt.select(
+            "doc_id",
+            "payload",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.expr(
+                f"substring(payload, chunk_id * {CHUNK_BYTES} + 1, {CHUNK_BYTES})"
+            ).alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.length("chunk").alias("n_chunk_bytes"),
+            F.md5("chunk").alias("chunk_md5"),
+        )
+    )
+
+
 QUERIES = {
     "mm_binary_meta": q_mm_binary_meta,
     "mm_payload_dedup": q_mm_payload_dedup,
+    "mm_payload_chunks": q_mm_payload_chunks,
     "mm_fake_features": q_mm_fake_features,
     "mm_frame_sample": q_mm_frame_sample,
     "mm_resize": q_mm_resize,
@@ -193,6 +236,22 @@ ORACLES = {
                count(*) AS n_copies,
                min(doc_id) AS keeper_doc_id
         FROM documents GROUP BY md5(text)
+    """,
+    "mm_payload_chunks": """
+        WITH n AS (
+            SELECT doc_id, text,
+                   CAST(ceil(octet_length(encode(text)) / 64.0) AS INT)
+                       AS n_chunks
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(i.i AS INT) AS chunk_id,
+               CAST(octet_length(encode(substring(text, i.i * 64 + 1, 64)))
+                   AS INT) AS n_chunk_bytes,
+               md5(substring(text, i.i * 64 + 1, 64)) AS chunk_md5
+        FROM n, LATERAL (
+            SELECT unnest(range(0, n.n_chunks)) AS i
+        ) i
     """,
     # byte-level features of utf-8 text: first byte = ascii code of first
     # char; mean byte value over the utf-8 encoding.

@@ -581,3 +581,49 @@ class TestMisraGries:
         out = list(_mg_candidates(iter(batches)))[0]
         cands = set(out["term"])
         assert truth <= cands  # guarantee: no heavy hitter is lost
+
+
+class TestPayloadChunks:
+    def test_chunks_reassemble_to_original_payload(self, spark, sf_dir):
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        from columnar_database_project_spark.operators.multimodal import (
+            CHUNK_BYTES,
+            binary_table,
+        )
+
+        bt = binary_table(spark, sf_dir).limit(30)
+        n_chunks = F.ceil(F.col("n_bytes") / F.lit(CHUNK_BYTES)).cast("int")
+        rows = (
+            bt.select(
+                "doc_id",
+                "payload",
+                F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+            )
+            .select(
+                "doc_id",
+                "chunk_id",
+                F.expr(
+                    f"substring(payload, chunk_id * {CHUNK_BYTES} + 1,"
+                    f" {CHUNK_BYTES})"
+                ).alias("chunk"),
+            )
+            .collect()
+        )
+        whole = {r["doc_id"]: bytes(r["payload"]) for r in bt.collect()}
+        by_doc: dict = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append((r["chunk_id"], bytes(r["chunk"])))
+        assert set(by_doc) == set(whole)
+        for doc_id, chunks in by_doc.items():
+            joined = b"".join(c for _i, c in sorted(chunks))
+            assert joined == whole[doc_id]
+            assert (
+                hashlib.md5(joined).hexdigest()
+                == hashlib.md5(whole[doc_id]).hexdigest()
+            )
+            # every chunk but the last is exactly CHUNK_BYTES
+            for i, (_cid, c) in enumerate(sorted(chunks)[:-1]):
+                assert len(c) == CHUNK_BYTES
