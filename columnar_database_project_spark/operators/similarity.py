@@ -485,6 +485,35 @@ def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization audit: per-dimension [lo, hi] bounds
+    and the mean absolute round-trip error of the 8-bit code — the
+    memory-planning query for a compressed ANN store (float32 → int8
+    cuts a 100 TB embedding corpus to 25 TB; this measures what that
+    costs in fidelity, per dimension). Two shuffles, both on the
+    64-value dim key with map-side partial agg; all arithmetic forced
+    to double on BOTH engines so the oracle is exact (float32→double
+    is lossless; float32 arithmetic is not cross-engine-stable)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(F.posexplode("embedding").alias("dim", "v")).select(
+        "dim", F.col("v").cast("double").alias("v")
+    )
+    b = e.groupBy("dim").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    span = F.col("hi") - F.col("lo")
+    qv = F.round((F.col("v") - F.col("lo")) / span * 255)
+    deq = F.col("lo") + qv * span / 255
+    return (
+        e.join(F.broadcast(b), "dim")
+        .select("dim", "lo", "hi", F.abs(F.col("v") - deq).alias("err"))
+        .groupBy("dim")
+        .agg(
+            F.round(F.min(F.col("lo")), 6).alias("lo"),
+            F.round(F.min(F.col("hi")), 6).alias("hi"),
+            F.round(F.avg("err"), 6).alias("mean_abs_err"),
+        )
+    )
+
+
 QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_hyperplane_signatures": q_sim_hyperplane_signatures,
@@ -494,6 +523,7 @@ QUERIES = {
     "sim_ivf_probes": q_sim_ivf_probes,
     "sim_ivf_topk": q_sim_ivf_topk,
     "emb_label_centroids": q_emb_label_centroids,
+    "emb_quantize_stats": q_emb_quantize_stats,
 }
 
 
@@ -626,4 +656,26 @@ ORACLES["emb_label_centroids"] = """
             FROM embeddings
         )
         GROUP BY label, dim
+    """
+
+ORACLES["emb_quantize_stats"] = """
+        WITH e AS (
+            SELECT CAST(gs - 1 AS INT) AS dim, v::DOUBLE AS v
+            FROM (
+                SELECT unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS gs
+                FROM embeddings
+            )
+        ), b AS (
+            SELECT dim, min(v) AS lo, max(v) AS hi FROM e GROUP BY dim
+        )
+        SELECT e.dim,
+               ROUND(min(lo), 6) AS lo,
+               ROUND(min(hi), 6) AS hi,
+               ROUND(avg(abs(
+                   v - (lo + round((v - lo) / (hi - lo) * 255)
+                            * (hi - lo) / 255)
+               )), 6) AS mean_abs_err
+        FROM e JOIN b USING (dim)
+        GROUP BY e.dim
     """

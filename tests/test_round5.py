@@ -627,3 +627,39 @@ class TestPayloadChunks:
             # every chunk but the last is exactly CHUNK_BYTES
             for i, (_cid, c) in enumerate(sorted(chunks)[:-1]):
                 assert len(c) == CHUNK_BYTES
+
+
+class TestQuantization:
+    def test_int8_quantized_cosine_preserves_topk_recall(self, sf_dir):
+        """The point of int8 quantization: 4x memory cut with near-no
+        ANN quality loss. Driver-side numpy proof on the real table."""
+        import numpy as np
+        import pyarrow.parquet as pq
+        import os
+
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        v = np.array([np.asarray(e, dtype=np.float64) for e in t["embedding"].to_pylist()])
+        lo, hi = v.min(axis=0), v.max(axis=0)
+        span = np.where(hi > lo, hi - lo, 1.0)
+        q = np.round((v - lo) / span * 255)
+        deq = lo + q * span / 255
+        vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+        dn = deq / np.linalg.norm(deq, axis=1, keepdims=True)
+        k = 10
+        recalls = []
+        for qi in range(5):
+            exact = np.argsort(-(vn @ vn[qi]))[1 : k + 1]
+            quant = np.argsort(-(dn @ dn[qi]))[1 : k + 1]
+            recalls.append(len(set(exact) & set(quant)) / k)
+        assert sum(recalls) / len(recalls) >= 0.8
+
+    def test_quantize_stats_error_bound(self, spark, sf_dir):
+        """Round-trip error must respect the quantization step bound:
+        mean |err| <= (hi - lo) / 255 / 2 per dimension."""
+        from columnar_database_project_spark.operators.similarity import (
+            q_emb_quantize_stats,
+        )
+
+        for r in q_emb_quantize_stats(spark, sf_dir).collect():
+            step = (r["hi"] - r["lo"]) / 255
+            assert 0.0 <= r["mean_abs_err"] <= step / 2 + 1e-9
