@@ -303,3 +303,26 @@ def write_zordered(
         .drop("_z")   # narrow projection — preserves the sort order
     )
     MicroBlockWriter(block_rows=block_rows).write(zdf, path)
+
+
+def write_hive_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+) -> None:
+    """Hive-style partitioned microblock layout (``path/col=value/...``)
+    — the third pruning mechanism next to zone maps and Z-order:
+    a filter on a partition column never LISTS the other directories,
+    so pruning happens at metadata time before any footer is read.
+    Right for low-cardinality routing columns (lang, source, date);
+    wrong for high-cardinality keys (one directory per value — small
+    files, listing storms). Blocks inside each partition still follow
+    block=file."""
+    (
+        df.write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .option("maxRecordsPerFile", block_rows)
+        .option("parquet.block.size", 1 << 30)
+        .parquet(path)
+    )
