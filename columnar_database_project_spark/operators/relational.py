@@ -623,6 +623,27 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via the Greenwald-Khanna sketch (no
+    oracle — Spark's GK summary and DuckDB's t-digest are different
+    sketches by design; the driver records the rows-only check and the
+    tolerance pytest is the correctness signal). At 100 TB this is the
+    constant-memory replacement for exact sort-based percentiles:
+    mergeable per-partition summaries, one tiny final merge."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
+            "price_pcts"
+        ),
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("qty_median"),
+    ).select(
+        F.round(F.element_at("price_pcts", 1), 2).alias("price_p50"),
+        F.round(F.element_at("price_pcts", 2), 2).alias("price_p95"),
+        F.round(F.element_at("price_pcts", 3), 2).alias("price_p99"),
+        F.round("qty_median", 2).alias("qty_median"),
+    )
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (finer than rollup/cube): totals by
     returnflag and separately by linestatus in one pass — the native
@@ -1395,6 +1416,7 @@ QUERIES = {
     "cte_top_supplier": q_cte_top_supplier,
     "sampled_agg": q_sampled_agg,
     "approx_distinct": q_approx_distinct,
+    "approx_percentile": q_approx_percentile,
     "grouping_sets": q_grouping_sets,
     "unpivot": q_unpivot,
     "array_agg": q_array_agg,

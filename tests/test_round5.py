@@ -663,3 +663,33 @@ class TestQuantization:
         for r in q_emb_quantize_stats(spark, sf_dir).collect():
             step = (r["hi"] - r["lo"]) / 255
             assert 0.0 <= r["mean_abs_err"] <= step / 2 + 1e-9
+
+
+class TestApproxPercentileTolerance:
+    """Rows-only sketch (GK summary, no cross-engine oracle) — the
+    tolerance check against exact percentiles is its correctness
+    signal, mirroring TestApproxDistinctTolerance."""
+
+    def test_within_1pct_of_exact(self, spark):
+        from pyspark.sql import functions as F
+
+        from columnar_database_project_spark.catalog import load_table
+        from columnar_database_project_spark.operators.relational import (
+            q_approx_percentile,
+        )
+
+        sf = "/root/testdata/sf0.01"
+        approx = q_approx_percentile(spark, sf).collect()[0]
+        li = load_table(spark, sf, "lineitem")
+        exact = li.agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.5, 0.95, 0.99))"
+            ).alias("p"),
+            F.expr("percentile(l_quantity, 0.5)").alias("qm"),
+        ).collect()[0]
+        for got, want in zip(
+            (approx["price_p50"], approx["price_p95"], approx["price_p99"]),
+            exact["p"],
+        ):
+            assert abs(got - want) <= 0.01 * want, (got, want)
+        assert abs(approx["qty_median"] - exact["qm"]) <= 0.01 * exact["qm"] + 1.0
