@@ -373,3 +373,25 @@ class TestRound5LatePlans:
         # shuffle-free, so the whole composed pipeline needs <= 3
         # exchanges (md5 group, split/source rollup, AQE reads)
         assert count_shuffles(df) <= 3, count_shuffles(df)
+
+    def test_quantize_stats_partial_agg_bounded_shuffles(self, spark, sf_dir):
+        from columnar_database_project_spark.operators.similarity import (
+            q_emb_quantize_stats,
+        )
+
+        df = q_emb_quantize_stats(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "partial" in plan  # map-side combine on the dim key
+        assert "BroadcastExchange" in plan  # bounds join is a broadcast
+        assert count_shuffles(df) <= 2, count_shuffles(df)
+
+    def test_approx_percentile_single_pass(self, spark, sf_dir):
+        from columnar_database_project_spark.operators.relational import (
+            q_approx_percentile,
+        )
+
+        df = q_approx_percentile(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # mergeable sketch: partial aggregation feeds one final merge
+        assert "partial_percentile_approx" in plan
+        assert count_shuffles(df) <= 1
