@@ -693,3 +693,60 @@ class TestApproxPercentileTolerance:
         ):
             assert abs(got - want) <= 0.01 * want, (got, want)
         assert abs(approx["qty_median"] - exact["qm"]) <= 0.01 * exact["qm"] + 1.0
+
+
+class TestPartitionInvariance:
+    """Operators whose intermediate state depends on partitioning (MG
+    candidate sets, per-partition top-k) must still produce identical
+    FINAL results under any partition layout — the property that makes
+    them safe on a cluster whose split count nobody controls."""
+
+    def test_heavy_hitters_invariant_to_partition_count(self, spark, sf_dir):
+        from columnar_database_project_spark.catalog import load_table
+        from columnar_database_project_spark.operators.sketch import (
+            MG_CAPACITY,
+        )
+        from columnar_database_project_spark.operators.sketch import (
+            _mg_candidates,
+        )
+        from pyspark.sql import functions as F
+
+        from columnar_database_project_spark.operators.text import tokens_col
+
+        docs = load_table(spark, sf_dir, "documents")
+        results = []
+        for n_parts in (1, 7):
+            terms = (
+                docs.repartition(n_parts)
+                .select(F.explode(tokens_col()).alias("term"))
+            )
+            cands = terms.mapInPandas(
+                _mg_candidates, schema="term string"
+            ).distinct()
+            total = terms.agg(F.count(F.lit(1)).alias("n"))
+            out = (
+                terms.join(F.broadcast(cands), "term")
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .crossJoin(F.broadcast(total))
+                .filter(F.col("cnt") * (MG_CAPACITY + 1) > F.col("n"))
+                .select("term", "cnt")
+            )
+            results.append(sorted(map(tuple, out.collect())))
+        assert results[0] == results[1]
+
+    def test_sim_topk_invariant_to_partition_count(self, spark, sf_dir):
+        from columnar_database_project_spark.operators.similarity import (
+            q_sim_topk_bruteforce,
+        )
+
+        base = sorted(map(tuple, q_sim_topk_bruteforce(spark, sf_dir).collect()))
+        old = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+        try:
+            # force many tiny scan splits → different kernel batching
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+            alt = sorted(map(tuple, q_sim_topk_bruteforce(spark, sf_dir).collect()))
+        finally:
+            if old is not None:
+                spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        assert base == alt
