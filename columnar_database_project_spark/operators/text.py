@@ -573,6 +573,55 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COND_TOP_N = 25
+
+
+def q_text_bigram_condprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-1-smoothed bigram conditional probabilities P(w2 | w1) —
+    the n-gram language-model table behind perplexity-proxy quality
+    scoring (documents scoring far from the corpus LM are outliers).
+    Deterministic top-N by probability with full tiebreak. Scale
+    shape: bigram and unigram counts are two partial-agg'd shuffles on
+    vocabulary-sized keys; V is a 1-row broadcast; the top-N is
+    TakeOrderedAndProject. P is rounded to 6dp BEFORE ranking so
+    cross-engine float noise cannot flip the cut."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n_bg = F.size(F.col("toks")) - 1
+    pairs = (
+        docs.select(toks.alias("toks"))
+        .select(
+            F.col("toks"),
+            F.explode(F.when(n_bg >= 1, F.sequence(F.lit(1), n_bg))).alias("i"),
+        )
+        .select(
+            F.element_at("toks", F.col("i")).alias("w1"),
+            F.element_at("toks", F.col("i") + 1).alias("w2"),
+        )
+    )
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        docs.select(F.explode(toks).alias("term"))
+        .agg(F.countDistinct("term").alias("v"))
+    )
+    scored = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                (F.col("c12") + 1) / (F.col("c1") + F.col("v")).cast("double"), 6
+            ).alias("p_smoothed"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("p_smoothed"), F.asc("w1"), F.asc("w2")
+    ).limit(COND_TOP_N)
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_bpe_count": q_text_bpe_count,
@@ -587,6 +636,7 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "text_gopher_quality": q_text_gopher_quality,
     "text_bigram_freq": q_text_bigram_freq,
+    "text_bigram_condprob": q_text_bigram_condprob,
     "text_split_assign": q_text_split_assign,
     "text_filter_funnel": q_text_filter_funnel,
     "text_pack_sequences": q_text_pack_sequences,
@@ -952,4 +1002,36 @@ ORACLES["text_corpus_build"] = f"""
                CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
                CAST(ceil(sum(n_tokens) / 256.0) AS BIGINT) AS n_seqs
         FROM sp GROUP BY 1, source
+    """
+
+ORACLES["text_bigram_condprob"] = f"""
+        WITH t AS (
+            SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ), pairs AS (
+            SELECT unnest(
+                CASE WHEN len(toks) >= 2 THEN
+                    list_transform(range(1, len(toks)),
+                        i -> [toks[i], toks[i+1]])
+                ELSE [] END
+            ) AS pair
+            FROM t
+        ), p2 AS (
+            SELECT pair[1] AS w1, pair[2] AS w2 FROM pairs
+        ), c12 AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+            FROM p2 GROUP BY w1, w2
+        ), c1 AS (
+            SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM p2 GROUP BY w1
+        ), v AS (
+            SELECT count(DISTINCT term) AS v FROM (
+                SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+                FROM documents
+            )
+        )
+        SELECT w1, w2, c12,
+               ROUND((c12 + 1) / CAST(c1 + v AS DOUBLE), 6) AS p_smoothed
+        FROM c12 JOIN c1 USING (w1), v
+        ORDER BY p_smoothed DESC, w1, w2
+        LIMIT {COND_TOP_N}
     """
