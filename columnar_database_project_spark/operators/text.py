@@ -622,6 +622,53 @@ def q_text_bigram_condprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(COND_TOP_N)
 
 
+def q_text_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log-probability under the corpus's add-1
+    bigram LM — the perplexity-proxy quality score: documents whose
+    token transitions are improbable under the corpus LM (noise,
+    boilerplate, wrong language) score low and get filtered. Unseen
+    bigrams take the smoothed floor ((0+1)/(c1+V)); unseen first
+    tokens the global floor (1/V). Scale shape: the LM tables are
+    vocabulary-sized broadcasts against the corpus bigram stream; the
+    per-doc mean is one partial-agg'd shuffle on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n_bg = F.size(F.col("toks")) - 1
+    pairs = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.col("toks"),
+            F.explode(F.when(n_bg >= 1, F.sequence(F.lit(1), n_bg))).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.element_at("toks", F.col("i")).alias("w1"),
+            F.element_at("toks", F.col("i") + 1).alias("w2"),
+        )
+    )
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        docs.select(F.explode(toks).alias("term"))
+        .agg(F.countDistinct("term").alias("v"))
+    )
+    p = (F.coalesce(F.col("c12"), F.lit(0)) + 1) / (
+        F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")
+    ).cast("double")
+    return (
+        pairs.join(F.broadcast(c12), ["w1", "w2"], "left")
+        .join(F.broadcast(c1), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", F.log(p).alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("mean_logprob"),
+        )
+    )
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_bpe_count": q_text_bpe_count,
@@ -637,6 +684,7 @@ QUERIES = {
     "text_gopher_quality": q_text_gopher_quality,
     "text_bigram_freq": q_text_bigram_freq,
     "text_bigram_condprob": q_text_bigram_condprob,
+    "text_lm_doc_score": q_text_lm_doc_score,
     "text_split_assign": q_text_split_assign,
     "text_filter_funnel": q_text_filter_funnel,
     "text_pack_sequences": q_text_pack_sequences,
@@ -1034,4 +1082,40 @@ ORACLES["text_bigram_condprob"] = f"""
         FROM c12 JOIN c1 USING (w1), v
         ORDER BY p_smoothed DESC, w1, w2
         LIMIT {COND_TOP_N}
+    """
+
+ORACLES["text_lm_doc_score"] = """
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ), pairs AS (
+            SELECT doc_id, unnest(
+                CASE WHEN len(toks) >= 2 THEN
+                    list_transform(range(1, len(toks)),
+                        i -> [toks[i], toks[i+1]])
+                ELSE [] END
+            ) AS pair
+            FROM t
+        ), p2 AS (
+            SELECT doc_id, pair[1] AS w1, pair[2] AS w2 FROM pairs
+        ), c12 AS (
+            SELECT w1, w2, count(*) AS c12 FROM p2 GROUP BY w1, w2
+        ), c1 AS (
+            SELECT w1, count(*) AS c1 FROM p2 GROUP BY w1
+        ), v AS (
+            SELECT count(DISTINCT term) AS v FROM (
+                SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+                FROM documents
+            )
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               ROUND(avg(ln(
+                   (COALESCE(c12, 0) + 1)
+                   / CAST(COALESCE(c1, 0) + v AS DOUBLE)
+               )), 6) AS mean_logprob
+        FROM p2
+        LEFT JOIN c12 USING (w1, w2)
+        LEFT JOIN c1 USING (w1), v
+        GROUP BY doc_id
     """
