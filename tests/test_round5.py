@@ -750,3 +750,37 @@ class TestPartitionInvariance:
             if old is not None:
                 spark.conf.set("spark.sql.files.maxPartitionBytes", old)
         assert base == alt
+
+
+class TestBigramLM:
+    def test_lm_scores_are_valid_logprobs(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from columnar_database_project_spark.catalog import load_table
+        from columnar_database_project_spark.operators.text import (
+            q_text_lm_doc_score,
+            tokens_col,
+        )
+
+        rows = {r["doc_id"]: r for r in q_text_lm_doc_score(spark, sf_dir).collect()}
+        docs = load_table(spark, sf_dir, "documents")
+        n_toks = {
+            r["doc_id"]: r["n"]
+            for r in docs.select("doc_id", F.size(tokens_col()).alias("n")).collect()
+        }
+        for doc_id, r in rows.items():
+            assert r["mean_logprob"] <= 0.0  # smoothed probs are < 1
+            assert r["n_bigrams"] == n_toks[doc_id] - 1
+
+    def test_condprob_rows_are_proper_probabilities(self, spark, sf_dir):
+        from columnar_database_project_spark.operators.text import (
+            COND_TOP_N,
+            q_text_bigram_condprob,
+        )
+
+        rows = q_text_bigram_condprob(spark, sf_dir).collect()
+        assert 0 < len(rows) <= COND_TOP_N
+        prev = 1.0
+        for r in rows:
+            assert 0.0 < r["p_smoothed"] <= prev  # sorted desc, in (0,1]
+            prev = r["p_smoothed"]
