@@ -195,6 +195,115 @@ def bench_capped_lsh(spark, sf_dir: str, max_bucket: int = 64) -> float:
     return round(best, 3)
 
 
+def bench_forced_regime(spark, sf_dir: str) -> dict:
+    """The r5 verdict's open question: the micro-join/window queries
+    (q3, window_rank, events_sessionize) carry steep sf0.5 slopes, and
+    the claim was "single-partition execution under the small-input
+    tuner, the real path engages above 256 MB". Demonstrate it: time
+    the three queries under the tuner's pick for this dir AND with the
+    large-input regime FORCED (partitioned shuffles + AQE), so
+    PLANS.md can record whether the at-scale plan shape is the slope
+    or the fix."""
+    from columnar_database_project_spark.session import (
+        DEFAULT_CPUS,
+        tune_for_scale,
+    )
+
+    names = ["q3_shipping_priority", "window_rank", "events_sessionize"]
+    qs = entry_mod.queries()
+    out: dict[str, dict[str, float]] = {n: {} for n in names}
+    forced = {
+        "spark.sql.shuffle.partitions": str(DEFAULT_CPUS),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+    }
+    for regime, conf in (("tuned", None), ("forced_large", forced)):
+        if conf is None:
+            tune_for_scale(spark, sf_dir)
+        else:
+            for k, v in conf.items():
+                spark.conf.set(k, v)
+        for name in names:
+            qs[name](spark, sf_dir).toPandas()  # warm this regime's plan
+            best = float("inf")
+            for _ in range(RUNS_PER_SCALING_QUERY):
+                t0 = time.time()
+                qs[name](spark, sf_dir).toPandas()
+                best = min(best, time.time() - t0)
+            out[name][regime] = round(best, 3)
+    tune_for_scale(spark, sf_dir)  # restore
+    return out
+
+
+def bench_hive_pruning(spark, sf_dir: str) -> dict:
+    """Partition-pruning, measured: the same lang-filtered aggregation
+    over (a) the flat documents.parquet and (b) a hive-partitioned
+    (lang=...) microblock replica of it — the third pruning mechanism
+    (after zone maps and Z-order) finally carries a number. The
+    partitioned scan lists ONE directory at metadata time; the flat
+    scan reads every row group and filters."""
+    from pyspark.sql import functions as F
+
+    from columnar_database_project_spark.sources.microblock import (
+        write_hive_partitioned,
+    )
+
+    hive_dir = os.path.join(REPO, ".bench_data", "hive_documents")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    if not os.path.isdir(hive_dir):
+        write_hive_partitioned(docs, hive_dir, ["lang"])
+    lang = docs.groupBy("lang").count().orderBy(F.desc("count")).first()["lang"]
+
+    def agg(df):
+        return (
+            df.filter(F.col("lang") == lang)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.avg(F.length("text")).alias("avg_len"),
+            )
+            .toPandas()
+        )
+
+    part = spark.read.parquet(hive_dir)
+    out: dict[str, float] = {}
+    for tag, df in (("flat", docs), ("hive_partitioned", part)):
+        agg(df)  # warm
+        best = float("inf")
+        for _ in range(RUNS_PER_QUERY):
+            t0 = time.time()
+            agg(df)
+            best = min(best, time.time() - t0)
+        out[tag] = round(best, 3)
+    out["speedup"] = round(out["flat"] / out["hive_partitioned"], 2)
+    out["filtered_lang"] = lang
+    return out
+
+
+def bench_ivf_recall(spark, sf_dir: str) -> dict:
+    """IVF ANN quality at the LARGEST bench scale: recall@10 of the
+    IVF top-k against the brute-force exact top-k on the sf0.5
+    replica — the r5 verdict asked for the recall claim to be proven
+    beyond test scale (the replica's perturbed vectors make it
+    meaningful)."""
+    from columnar_database_project_spark.operators.similarity import (
+        q_sim_ivf_topk,
+        q_sim_topk_bruteforce,
+    )
+
+    exact = {
+        (r["q_id"], r["neighbor_id"])
+        for r in q_sim_topk_bruteforce(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["q_id"], r["neighbor_id"])
+        for r in q_sim_ivf_topk(spark, sf_dir).collect()
+    }
+    return {
+        "recall_at_10": round(len(exact & approx) / max(len(exact), 1), 3),
+        "n_exact": len(exact),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -212,6 +321,7 @@ def main() -> None:
     duck_times = bench_duckdb(sf_dir, HEADLINE)
     total = round(sum(spark_times.values()), 3)
     facade = bench_engine_facade(spark, sf_dir)
+    hive_pruning = bench_hive_pruning(spark, sf_dir)
     scaling = {}
     sf2_dir = os.environ.get("SPARK_GRAFT_SF2_DIR", "/root/testdata/sf0.01")
     # Third scaling point ABOVE the primary SF: a 5× key-offset replica
@@ -257,6 +367,10 @@ def main() -> None:
                 scaling[tag]["capped_lsh_candidates"] = bench_capped_lsh(
                     spark, extra_dir
                 )
+                scaling[tag]["forced_regime"] = bench_forced_regime(
+                    spark, extra_dir
+                )
+                scaling[tag]["ivf_recall"] = bench_ivf_recall(spark, extra_dir)
     result = {
         "metric": "headline_queries_total_wall_clock",
         "value": total,
@@ -266,6 +380,7 @@ def main() -> None:
         "baseline_duckdb": duck_times,
         "baseline_duckdb_total": round(sum(duck_times.values()), 3),
         "engine_facade": facade,
+        "hive_pruning": hive_pruning,
         "scaling": scaling,
     }
     with open(os.path.join(REPO, "BENCH.json"), "w") as fh:
@@ -281,6 +396,11 @@ def main() -> None:
             **(
                 {"capped_lsh_candidates": sec["capped_lsh_candidates"]}
                 if "capped_lsh_candidates" in sec
+                else {}
+            ),
+            **(
+                {"ivf_recall_at_10": sec["ivf_recall"]["recall_at_10"]}
+                if "ivf_recall" in sec
                 else {}
             ),
         }

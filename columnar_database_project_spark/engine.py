@@ -93,6 +93,68 @@ class MicroBlockEngine:
         self.register(name, self.spark.read.parquet(dst))
         return report
 
+    def ingest_stream_dedup(
+        self,
+        src: str,
+        name: str,
+        out_path: str,
+        store_path: str,
+        checkpoint: str,
+    ) -> dict:
+        """Continuous-corpus ingestion through the façade: drain the
+        parquet drops currently in ``src`` through the store-backed
+        streaming dedup (``streaming.text.dedup_stream_against_store``
+        — availableNow trigger, so each call processes exactly the
+        files present), then register the deduplicated table as
+        ``name``. Repeated calls are the incremental-drop cadence: the
+        fingerprint store carries survivors across calls, so a doc
+        seen in ANY earlier drop never re-enters the table. Returns
+        {"rows": n, "store_fingerprints": m}."""
+        from columnar_database_project_spark.streaming.text import (
+            dedup_stream_against_store,
+            read_document_stream,
+        )
+
+        q = dedup_stream_against_store(
+            read_document_stream(self.spark, src),
+            out_path,
+            store_path,
+            checkpoint,
+        )
+        q.awaitTermination()
+        self.spark.catalog.refreshByPath(out_path)
+        self.register(name, self.spark.read.parquet(out_path))
+        return {
+            "rows": self.tables[name].count(),
+            "store_fingerprints": self.spark.read.parquet(store_path).count(),
+        }
+
+    def stream_heavy_hitters(
+        self,
+        src: str,
+        store_path: str,
+        checkpoint: str,
+        capacity: int = 30,
+    ) -> DataFrame:
+        """Drain the drops in ``src`` through the streaming Misra-Gries
+        summary (``streaming.text.heavy_hitters_stream``) and return
+        the bounded (<= ``capacity``-entry) term-frequency summary as a
+        DataFrame — the façade's continuous-statistics surface."""
+        from columnar_database_project_spark.streaming.text import (
+            heavy_hitters_stream,
+            read_document_stream,
+        )
+
+        q = heavy_hitters_stream(
+            read_document_stream(self.spark, src),
+            store_path,
+            checkpoint,
+            capacity=capacity,
+        )
+        q.awaitTermination()
+        self.spark.catalog.refreshByPath(store_path)
+        return self.spark.read.parquet(store_path)
+
     def compact(self, name: str, path: str, **kw) -> dict:
         """Compact a registered table's microblock directory (see
         ``sources.microblock.compact_blocks``) and refresh the

@@ -424,14 +424,17 @@ def q_dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup cluster (the min-id representative) plus every
     unclustered doc — the doc-id list a pipeline actually feeds
     downstream after dedup. Left-anti join against the non-canonical
-    cluster members; the anti side is cluster-count-sized (tiny
-    relative to the corpus), so it broadcasts."""
+    cluster members. The anti side is UNHINTED by policy: duplicates
+    are routinely 30-50% of a web crawl, so the non-canonical list is
+    corpus-proportional and a forced broadcast would OOM at 100 TB.
+    AQE size-gates the strategy — broadcast-anti while small, a
+    doc_id-keyed shuffle anti-join at scale."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     clusters = q_dedup_clusters(spark, sf_dir)
     non_canonical = clusters.filter(
         F.col("doc_id") != F.col("cluster_id")
     ).select("doc_id")
-    return docs.join(F.broadcast(non_canonical), "doc_id", "left_anti")
+    return docs.join(non_canonical, "doc_id", "left_anti")
 
 
 def connected_components(
@@ -617,16 +620,18 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance verification of near-dup candidates: Levenshtein
     + length-normalized similarity for every Jaccard candidate pair —
     the expensive exact check a pipeline runs ONLY on the subquadratic
-    candidate set, never all-pairs. The pair list is small relative to
-    the corpus, so it broadcasts into both text joins (if a 100 TB run
-    produced a candidate set above the broadcast threshold, drop the
-    hint and AQE plans a shuffle-hash join on doc_id instead);
-    Levenshtein runs JVM-side (codegen), no Python in the loop."""
+    candidate set, never all-pairs. The pair list is UNHINTED by
+    policy: the tau-thresholded candidate set is unbounded in
+    adversarial corpora (boilerplate-heavy crawls), so a forced
+    broadcast would OOM at 100 TB; AQE size-gates the strategy
+    (broadcast while small, doc_a/doc_b-keyed shuffle joins at
+    scale). Levenshtein runs JVM-side (codegen), no Python in the
+    loop."""
     pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
-    joined = a.join(F.broadcast(pairs), "doc_a").join(b, "doc_b")
+    joined = a.join(pairs, "doc_a").join(b, "doc_b")
     lev = F.levenshtein("ta", "tb")
     denom = F.greatest(F.length("ta"), F.length("tb"))
     return joined.select(

@@ -193,11 +193,17 @@ def q_mm_payload_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     bt = binary_table(spark, sf_dir)
     n_chunks = F.ceil(F.col("n_bytes") / F.lit(CHUNK_BYTES)).cast("int")
+    # Guard the explode: for an empty payload n_chunks = 0 and
+    # F.sequence(0, -1) would generate a DESCENDING [0, -1] — two bogus
+    # chunk rows. F.when(...) yields NULL there, which explode drops,
+    # matching the oracle's empty range(0, 0).
     return (
         bt.select(
             "doc_id",
             "payload",
-            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+            F.explode(
+                F.when(n_chunks >= 1, F.sequence(F.lit(0), n_chunks - 1))
+            ).alias("chunk_id"),
         )
         .select(
             "doc_id",

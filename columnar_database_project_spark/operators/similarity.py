@@ -493,7 +493,10 @@ def q_emb_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs in fidelity, per dimension). Two shuffles, both on the
     64-value dim key with map-side partial agg; all arithmetic forced
     to double on BOTH engines so the oracle is exact (float32→double
-    is lossless; float32 arithmetic is not cross-engine-stable)."""
+    is lossless; float32 arithmetic is not cross-engine-stable). A
+    constant dimension (hi == lo) quantizes losslessly, so its error
+    is 0 by definition — guarded explicitly (in both engines) because
+    0/0 would otherwise yield NaN with engine-divergent handling."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(F.posexplode("embedding").alias("dim", "v")).select(
         "dim", F.col("v").cast("double").alias("v")
@@ -502,9 +505,10 @@ def q_emb_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     span = F.col("hi") - F.col("lo")
     qv = F.round((F.col("v") - F.col("lo")) / span * 255)
     deq = F.col("lo") + qv * span / 255
+    err = F.when(span != 0, F.abs(F.col("v") - deq)).otherwise(F.lit(0.0))
     return (
         e.join(F.broadcast(b), "dim")
-        .select("dim", "lo", "hi", F.abs(F.col("v") - deq).alias("err"))
+        .select("dim", "lo", "hi", err.alias("err"))
         .groupBy("dim")
         .agg(
             F.round(F.min(F.col("lo")), 6).alias("lo"),
@@ -672,10 +676,10 @@ ORACLES["emb_quantize_stats"] = """
         SELECT e.dim,
                ROUND(min(lo), 6) AS lo,
                ROUND(min(hi), 6) AS hi,
-               ROUND(avg(abs(
+               ROUND(avg(CASE WHEN hi - lo != 0 THEN abs(
                    v - (lo + round((v - lo) / (hi - lo) * 255)
                             * (hi - lo) / 255)
-               )), 6) AS mean_abs_err
+               ) ELSE 0.0 END), 6) AS mean_abs_err
         FROM e JOIN b USING (dim)
         GROUP BY e.dim
     """

@@ -115,9 +115,17 @@ def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 terms by tf-idf (idf = ln((N+1)/(df+1))).
 
     Two shuffles (term-frequency groupBy + document-frequency groupBy,
-    df broadcast back); ranking is a window per doc. Score is rounded
+    joined back on term); ranking is a window per doc. Score is rounded
     to 9 decimals BEFORE ranking so cross-engine libm noise can't flip
-    the order; term is the deterministic tiebreak."""
+    the order; term is the deterministic tiebreak.
+
+    Scale note: the document-frequency table is VOCABULARY-sized — it
+    grows with the corpus, so it must NOT carry a forced broadcast
+    hint (Spark honors explicit hints regardless of size; at 100 TB a
+    forced vocab broadcast OOMs). Unhinted, AQE size-gates the join:
+    broadcast while the df table is small, term-keyed sort-merge join
+    — the standard tf-idf shape — once it isn't. Both sides are
+    already partitioned by term from their groupBys."""
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
@@ -130,7 +138,7 @@ def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .withColumn(
             "tfidf",
             F.round(
@@ -628,9 +636,15 @@ def q_text_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     token transitions are improbable under the corpus LM (noise,
     boilerplate, wrong language) score low and get filtered. Unseen
     bigrams take the smoothed floor ((0+1)/(c1+V)); unseen first
-    tokens the global floor (1/V). Scale shape: the LM tables are
-    vocabulary-sized broadcasts against the corpus bigram stream; the
-    per-doc mean is one partial-agg'd shuffle on doc_id."""
+    tokens the global floor (1/V). Scale shape: the bigram/unigram LM
+    tables grow with the corpus (heavy-tailed bigram cardinality), so
+    they are joined UNHINTED — AQE size-gates the strategy (broadcast
+    while small, (w1,w2)- and w1-keyed shuffle joins at scale; both
+    sides already hash-partition on those keys from their groupBys).
+    Only the 1-row vocab aggregate keeps a forced broadcast. For the
+    production shape — a top-M bounded LM with the smoothed floor for
+    misses — see ``q_text_lm_topm`` / ``q_text_lm_doc_score_topm``.
+    The per-doc mean is one partial-agg'd shuffle on doc_id."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_col()
     n_bg = F.size(F.col("toks")) - 1
@@ -657,8 +671,129 @@ def q_text_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")
     ).cast("double")
     return (
-        pairs.join(F.broadcast(c12), ["w1", "w2"], "left")
-        .join(F.broadcast(c1), "w1", "left")
+        pairs.join(c12, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", F.log(p).alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("mean_logprob"),
+        )
+    )
+
+
+LM_TOP_M = 5000      # bounded LM size (toy-scaled; production ~1e7-1e9)
+LM_TOP_M_UNI = 5000  # bounded unigram backoff table size
+
+
+def _bigram_pairs(docs: DataFrame, with_doc: bool) -> DataFrame:
+    """(doc_id?, w1, w2) bigram stream — scan-local explode-index over
+    the token array (measured ~7x faster than zip_with HOF lambdas)."""
+    toks = tokens_col()
+    n_bg = F.size(F.col("toks")) - 1
+    base = docs.select(*(["doc_id"] if with_doc else []), toks.alias("toks"))
+    sel = base.select(
+        *([F.col("doc_id")] if with_doc else []),
+        F.col("toks"),
+        F.explode(F.when(n_bg >= 1, F.sequence(F.lit(1), n_bg))).alias("i"),
+    )
+    return sel.select(
+        *([F.col("doc_id")] if with_doc else []),
+        F.element_at("toks", F.col("i")).alias("w1"),
+        F.element_at("toks", F.col("i") + 1).alias("w2"),
+    )
+
+
+def q_text_lm_topm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded bigram LM: the top-M bigrams by corpus count (full
+    deterministic tiebreak c12 desc, w1, w2) with their add-1-smoothed
+    conditional probability — the PRODUCTION n-gram LM shape. A raw
+    bigram table grows heavy-tailed with the corpus (unbroadcastable,
+    barely joinable at 100 TB); real n-gram scorers threshold the
+    model to the top-M entries and give misses a smoothed floor, which
+    loses almost nothing because the dropped tail is precisely the
+    rare transitions the floor approximates anyway. The result is
+    bounded at M rows BY CONSTRUCTION, so downstream consumers
+    (``q_text_lm_doc_score_topm``) may legally broadcast it under the
+    hint policy (DEPLOY.md). Scale shape: two partial-agg'd count
+    shuffles + one TakeOrderedAndProject (per-partition top-M, merged
+    on the driver — never a global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _bigram_pairs(docs, with_doc=False)
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        docs.select(F.explode(tokens_col()).alias("term"))
+        .agg(F.countDistinct("term").alias("v"))
+    )
+    return (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            F.round(
+                (F.col("c12") + 1) / (F.col("c1") + F.col("v")).cast("double"),
+                6,
+            ).alias("p_smoothed"),
+        )
+        .orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
+        .limit(LM_TOP_M)
+    )
+
+
+def q_text_lm_doc_score_topm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log-probability under the BOUNDED top-M
+    bigram LM (``q_text_lm_topm``) — the production form of
+    ``q_text_lm_doc_score``. Scoring: a bigram in the top-M table
+    takes its smoothed probability (c12+1)/(c1+V); a miss whose first
+    token is in the top-M unigram table takes that token's smoothed
+    floor 1/(c1+V); anything else takes the global floor 1/V. Score
+    delta vs the unbounded LM is bounded per doc by miss_frac *
+    ln(c1_max + V) (both probabilities live in [1/(c1_max+V), 1];
+    invariant-tested, equal at M >= distinct counts).
+
+    Scale shape: this is what the bound buys — both LM tables are <= M
+    rows by construction, so the forced broadcasts here are SAFE under
+    the hint policy (unlike the corpus-proportional tables of the
+    unbounded variant, which must stay unhinted): the corpus bigram
+    stream is scored scan-locally with zero shuffle, and the only
+    exchange in the whole job is the final per-doc partial-agg'd
+    groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _bigram_pairs(docs, with_doc=True)
+    lm = q_text_lm_topm(spark, sf_dir).select("w1", "w2", "c12", "c1")
+    c1_all = (
+        _bigram_pairs(docs, with_doc=False)
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1u"))
+    )
+    uni = (
+        c1_all.orderBy(F.desc("c1u"), F.asc("w1"))
+        .limit(LM_TOP_M_UNI)
+        .select(F.col("w1"), "c1u")
+    )
+    vocab = (
+        docs.select(F.explode(tokens_col()).alias("term"))
+        .agg(F.countDistinct("term").alias("v"))
+    )
+    p = (
+        F.when(
+            F.col("c12").isNotNull(),
+            (F.col("c12") + 1) / (F.col("c1") + F.col("v")).cast("double"),
+        )
+        .when(
+            F.col("c1u").isNotNull(),
+            F.lit(1) / (F.col("c1u") + F.col("v")).cast("double"),
+        )
+        .otherwise(F.lit(1) / F.col("v").cast("double"))
+    )
+    return (
+        pairs.join(F.broadcast(lm), ["w1", "w2"], "left")
+        .join(F.broadcast(uni), "w1", "left")
         .crossJoin(F.broadcast(vocab))
         .select("doc_id", F.log(p).alias("lp"))
         .groupBy("doc_id")
@@ -685,6 +820,8 @@ QUERIES = {
     "text_bigram_freq": q_text_bigram_freq,
     "text_bigram_condprob": q_text_bigram_condprob,
     "text_lm_doc_score": q_text_lm_doc_score,
+    "text_lm_topm": q_text_lm_topm,
+    "text_lm_doc_score_topm": q_text_lm_doc_score_topm,
     "text_split_assign": q_text_split_assign,
     "text_filter_funnel": q_text_filter_funnel,
     "text_pack_sequences": q_text_pack_sequences,
@@ -1082,6 +1219,92 @@ ORACLES["text_bigram_condprob"] = f"""
         FROM c12 JOIN c1 USING (w1), v
         ORDER BY p_smoothed DESC, w1, w2
         LIMIT {COND_TOP_N}
+    """
+
+ORACLES["text_lm_topm"] = f"""
+        WITH t AS (
+            SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ), pairs AS (
+            SELECT unnest(
+                CASE WHEN len(toks) >= 2 THEN
+                    list_transform(range(1, len(toks)),
+                        i -> [toks[i], toks[i+1]])
+                ELSE [] END
+            ) AS pair
+            FROM t
+        ), p2 AS (
+            SELECT pair[1] AS w1, pair[2] AS w2 FROM pairs
+        ), c12 AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+            FROM p2 GROUP BY w1, w2
+        ), c1 AS (
+            SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM p2 GROUP BY w1
+        ), v AS (
+            SELECT count(DISTINCT term) AS v FROM (
+                SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+                FROM documents
+            )
+        )
+        SELECT w1, w2, c12, c1,
+               ROUND((c12 + 1) / CAST(c1 + v AS DOUBLE), 6) AS p_smoothed
+        FROM c12 JOIN c1 USING (w1), v
+        ORDER BY c12 DESC, w1, w2
+        LIMIT {LM_TOP_M}
+    """
+
+ORACLES["text_lm_doc_score_topm"] = f"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ), pairs AS (
+            SELECT doc_id, unnest(
+                CASE WHEN len(toks) >= 2 THEN
+                    list_transform(range(1, len(toks)),
+                        i -> [toks[i], toks[i+1]])
+                ELSE [] END
+            ) AS pair
+            FROM t
+        ), p2 AS (
+            SELECT doc_id, pair[1] AS w1, pair[2] AS w2 FROM pairs
+        ), c12_all AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+            FROM p2 GROUP BY w1, w2
+        ), c1_all AS (
+            SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM p2 GROUP BY w1
+        ), lm AS (
+            SELECT w1, w2, c12, c1 FROM (
+                SELECT c12_all.w1, c12_all.w2, c12, c1,
+                       row_number() OVER (
+                           ORDER BY c12 DESC, c12_all.w1, c12_all.w2
+                       ) AS rn
+                FROM c12_all JOIN c1_all USING (w1)
+            ) WHERE rn <= {LM_TOP_M}
+        ), uni AS (
+            SELECT w1, c1 AS c1u FROM (
+                SELECT w1, c1,
+                       row_number() OVER (ORDER BY c1 DESC, w1) AS rn
+                FROM c1_all
+            ) WHERE rn <= {LM_TOP_M_UNI}
+        ), v AS (
+            SELECT count(DISTINCT term) AS v FROM (
+                SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+                FROM documents
+            )
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               ROUND(avg(ln(
+                   CASE WHEN lm.c12 IS NOT NULL
+                        THEN (lm.c12 + 1) / CAST(lm.c1 + v AS DOUBLE)
+                        WHEN uni.c1u IS NOT NULL
+                        THEN 1 / CAST(uni.c1u + v AS DOUBLE)
+                        ELSE 1 / CAST(v AS DOUBLE) END
+               )), 6) AS mean_logprob
+        FROM p2
+        LEFT JOIN lm USING (w1, w2)
+        LEFT JOIN uni USING (w1), v
+        GROUP BY doc_id
     """
 
 ORACLES["text_lm_doc_score"] = """

@@ -74,6 +74,26 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def forced_broadcast_hints(df: DataFrame) -> int:
+    """How many explicit broadcast hints (``F.broadcast``/``/*+ BROADCAST */``)
+    survive analysis in this plan.
+
+    Spark honors an explicit hint REGARDLESS of the frame's actual size —
+    AQE never demotes a hinted broadcast — so a hint on a
+    corpus-proportional frame is an executor/driver OOM at 100 TB even
+    when it is correct and fast at test scale. Policy (see
+    DEPLOY.md §Broadcast-hint policy): hints are allowed only on frames
+    bounded by construction — dimension tables, 1-row/fixed-row
+    aggregates, bounded key spaces (e.g. a 2^16 signature space), or
+    capacity-capped sketches. Anything that grows with the corpus
+    (vocabulary tables, n-gram tables, candidate-pair sets, duplicate-id
+    lists) must be left unhinted so AQE size-gates the join strategy at
+    runtime. Counted from the analyzed logical plan, where every
+    ``F.broadcast`` shows as a ``ResolvedHint``."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return len(re.findall(r"ResolvedHint", plan))
+
+
 def whole_stage_codegen_spans(df: DataFrame) -> int:
     """How many WholeStageCodegen spans the EXECUTED plan compiled
     into. Under AQE the spans only exist after execution, so this

@@ -184,12 +184,18 @@ def compact_blocks(
 
     Idempotent and conservative: if no block is under the fill
     threshold, nothing is rewritten. Otherwise the WHOLE table is
-    rewritten through ``MicroBlockWriter`` into a staging directory and
-    atomically swapped in (rename), so readers never observe a
-    half-compacted table and a crashed compaction leaves the original
-    intact. Block identity changes on compaction by design — callers
-    holding a ``MicroBlockIndex`` rebuild it from the new footers
-    (cheap driver-side metadata scan).
+    rewritten through ``MicroBlockWriter`` into a staging directory,
+    row-count-verified against the source, and swapped in via two
+    renames. The swap is NOT a single atomic operation (POSIX has no
+    two-directory exchange): a crash between the renames leaves no
+    table at ``path`` — but the pre-swap copy is retained at
+    ``<path>.compact_old`` until the swapped-in table is verified, so
+    no data is ever lost. Recovery after a crash: if ``path`` is
+    missing and ``<path>.compact_old`` exists, restore it with
+    ``os.rename(path + ".compact_old", path)`` (a stale
+    ``.compact_tmp`` can always be deleted). Block identity changes on
+    compaction by design — callers holding a ``MicroBlockIndex``
+    rebuild it from the new footers (cheap driver-side metadata scan).
 
     Returns {"compacted": bool, "blocks_before": n, "blocks_after": m}.
     """
@@ -220,14 +226,31 @@ def compact_blocks(
     # maxRecordsPerFile enforces the block size, the task count only
     # sets write parallelism — at cluster scale this is a pure
     # scan+rewrite with no exchange.
-    n_tasks = max(1, df.count() // block_rows + 1)
+    n_rows = df.count()
+    n_tasks = max(1, n_rows // block_rows + 1)
     MicroBlockWriter(block_rows=block_rows).write(df.coalesce(n_tasks), staging)
+    # verify the staging copy BEFORE touching the live table (footer
+    # metadata only — no data read)
+    staged_rows = sum(
+        pq.ParquetFile(os.path.join(staging, f)).metadata.num_rows
+        for f in os.listdir(staging)
+        if f.endswith(".parquet")
+    )
+    if staged_rows != n_rows:
+        shutil.rmtree(staging)
+        raise RuntimeError(
+            f"compaction aborted: staging has {staged_rows} rows, "
+            f"source has {n_rows}; original table untouched"
+        )
     old = path.rstrip("/") + ".compact_old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(staging, path)
-    shutil.rmtree(old)
+    # the .compact_old backup outlives the swap until the new table is
+    # verified in place — the recovery point the docstring documents
     n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    if n_after > 0:
+        shutil.rmtree(old)
     return {
         "compacted": True,
         "blocks_before": n_before,

@@ -173,11 +173,17 @@ def heavy_hitters_stream(
         spark.createDataFrame(
             [(t, int(c)) for t, c in summary.items()], "term string, cnt long"
         ).coalesce(1).write.mode("overwrite").parquet(store_path + ".tmp")
-        # atomic swap so a crash never leaves a half-written summary
+        # two-rename swap: readers never see a half-written summary. A
+        # crash between the renames leaves the previous summary at
+        # .old (restore by renaming back); never both missing.
         import shutil
 
-        shutil.rmtree(store_path, ignore_errors=True)
+        old = store_path + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(store_path):
+            os.rename(store_path, old)
         os.rename(store_path + ".tmp", store_path)
+        shutil.rmtree(old, ignore_errors=True)
 
     return (
         docs.writeStream.foreachBatch(process)

@@ -1,0 +1,329 @@
+"""Round-6 invariants.
+
+1. Broadcast-hint policy (DEPLOY.md): corpus-proportional frames carry
+   NO forced broadcast hint — AQE size-gates those joins — while
+   bounded-by-construction frames (1-row aggregates, top-M LM tables)
+   may keep theirs. Asserted on the analyzed logical plan via
+   ``plans.verify.forced_broadcast_hints`` for each of the four sites
+   the round-5 review flagged.
+2. Bounded top-M bigram LM: equals the unbounded LM when M covers
+   every distinct bigram; at finite M the per-doc score delta obeys
+   the provable bound miss_frac * ln(c1_max + V) (every smoothed
+   probability, bounded or not, lives in [1/(c1_max+V), 1]).
+3. Edge-case guards from the round-5 advice: empty payloads emit zero
+   chunk rows; a constant embedding dimension quantizes with error 0,
+   not NaN.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+
+from columnar_database_project_spark.plans.verify import (
+    forced_broadcast_hints,
+)
+
+
+# ---------------------------------------------------------------- hints
+
+
+def test_tfidf_has_no_forced_broadcast(spark, sf_dir):
+    """The document-frequency table is vocabulary-sized: unhinted."""
+    from columnar_database_project_spark.operators.text import (
+        q_text_tfidf_top_terms,
+    )
+
+    assert forced_broadcast_hints(q_text_tfidf_top_terms(spark, sf_dir)) == 0
+
+
+def test_lm_doc_score_only_vocab_broadcast(spark, sf_dir):
+    """Bigram/unigram count tables are corpus-proportional: unhinted.
+    The single remaining hint is the 1-row vocab aggregate."""
+    from columnar_database_project_spark.operators.text import (
+        q_text_lm_doc_score,
+    )
+
+    assert forced_broadcast_hints(q_text_lm_doc_score(spark, sf_dir)) == 1
+
+
+def test_near_survivors_has_no_forced_broadcast(spark, sf_dir):
+    """The non-canonical doc-id list can be 30-50% of a crawl: unhinted."""
+    from columnar_database_project_spark.operators.dedup import (
+        q_dedup_near_survivors,
+    )
+
+    assert forced_broadcast_hints(q_dedup_near_survivors(spark, sf_dir)) == 0
+
+
+def test_edit_distance_has_no_forced_broadcast(spark, sf_dir):
+    """The tau-thresholded candidate-pair set is unbounded: unhinted."""
+    from columnar_database_project_spark.operators.dedup import (
+        q_dedup_edit_distance,
+    )
+
+    assert forced_broadcast_hints(q_dedup_edit_distance(spark, sf_dir)) == 0
+
+
+def test_lm_topm_doc_score_broadcasts_are_bounded_only(spark, sf_dir):
+    """The top-M variant is ALLOWED its hints: both LM tables are <= M
+    rows by construction plus the 1-row vocab aggregates — exactly 4
+    hints (lm table, its internal vocab, unigram table, outer vocab),
+    every one bounded."""
+    from columnar_database_project_spark.operators.text import (
+        q_text_lm_doc_score_topm,
+    )
+
+    assert forced_broadcast_hints(q_text_lm_doc_score_topm(spark, sf_dir)) == 4
+
+
+# ------------------------------------------------------- bounded LM
+
+
+def _scores(df) -> dict:
+    return {
+        r["doc_id"]: (r["n_bigrams"], r["mean_logprob"]) for r in df.collect()
+    }
+
+
+def test_lm_topm_equals_full_when_m_covers_everything(spark, sf_dir):
+    """At M >= #distinct bigrams (and unigrams) every corpus bigram
+    hits the table, so the bounded score IS the unbounded score."""
+    from columnar_database_project_spark.operators import text as T
+
+    n_bigrams = T.q_text_lm_topm(spark, sf_dir).count()
+    assert n_bigrams <= T.LM_TOP_M, "default M must cover the test corpus"
+    full = _scores(T.q_text_lm_doc_score(spark, sf_dir))
+    topm = _scores(T.q_text_lm_doc_score_topm(spark, sf_dir))
+    assert topm == full
+
+
+def test_lm_topm_score_delta_bound_at_finite_m(spark, sf_dir, monkeypatch):
+    """At a truncating M the per-doc delta obeys
+    |topm - full| <= miss_frac * ln(c1_max + V) + rounding slack:
+    hits score identically in both variants, and every probability
+    (true or floor) lies in [1/(c1_max + V), 1]."""
+    from pyspark.sql import functions as F
+
+    from columnar_database_project_spark.catalog import load_table
+    from columnar_database_project_spark.operators import text as T
+
+    monkeypatch.setattr(T, "LM_TOP_M", 50)
+    monkeypatch.setattr(T, "LM_TOP_M_UNI", 50)
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = T._bigram_pairs(docs, with_doc=True)
+    lm_keys = {
+        (r["w1"], r["w2"])
+        for r in T.q_text_lm_topm(spark, sf_dir).select("w1", "w2").collect()
+    }
+    assert len(lm_keys) == 50, "M=50 must actually truncate the test corpus"
+
+    c1_max = (
+        T._bigram_pairs(docs, with_doc=False)
+        .groupBy("w1")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    v = (
+        docs.select(F.explode(T.tokens_col()).alias("t"))
+        .agg(F.countDistinct("t"))
+        .collect()[0][0]
+    )
+    per_bigram_bound = math.log(c1_max + v)
+
+    miss = {}
+    for r in pairs.collect():
+        tot, m = miss.get(r["doc_id"], (0, 0))
+        miss[r["doc_id"]] = (
+            tot + 1,
+            m + (0 if (r["w1"], r["w2"]) in lm_keys else 1),
+        )
+
+    full = _scores(T.q_text_lm_doc_score(spark, sf_dir))
+    topm = _scores(T.q_text_lm_doc_score_topm(spark, sf_dir))
+    assert set(full) == set(topm)
+    truncated_docs = 0
+    for doc_id, (n_full, s_full) in full.items():
+        n_topm, s_topm = topm[doc_id]
+        assert n_topm == n_full
+        tot, m = miss[doc_id]
+        assert tot == n_full
+        bound = (m / tot) * per_bigram_bound + 1e-5
+        assert abs(s_topm - s_full) <= bound, (doc_id, s_topm, s_full, bound)
+        if m:
+            truncated_docs += 1
+    assert truncated_docs > 0, "the bound must actually be exercised"
+
+
+# ------------------------------------------------------- edge guards
+
+
+def _write_docs(spark, tmp_path, rows):
+    d = os.path.join(str(tmp_path), "documents.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(d)
+    return str(tmp_path)
+
+
+def test_payload_chunks_empty_payload_emits_no_rows(spark, tmp_path):
+    """n_chunks = 0 must yield ZERO chunk rows (the unguarded
+    F.sequence(0, -1) emitted a descending [0, -1] — two bogus rows)."""
+    from columnar_database_project_spark.operators.multimodal import (
+        q_mm_payload_chunks,
+    )
+
+    sf = _write_docs(
+        spark, tmp_path, [(1, ""), (2, "x" * 65), (3, "short")]
+    )
+    out = q_mm_payload_chunks(spark, sf)
+    rows = {(r["doc_id"], r["chunk_id"]) for r in out.collect()}
+    assert all(doc != 1 for doc, _ in rows), "empty payload produced chunks"
+    assert (2, 0) in rows and (2, 1) in rows
+    assert (3, 0) in rows
+    assert len(rows) == 3
+
+
+def test_quantize_constant_dimension_yields_zero_error(spark, tmp_path):
+    """A constant dimension (hi == lo) must report mean_abs_err 0.0,
+    never NaN from the 0/0 quantization expression."""
+    from columnar_database_project_spark.operators.similarity import (
+        q_emb_quantize_stats,
+    )
+
+    d = os.path.join(str(tmp_path), "embeddings.parquet")
+    rows = [(i, [7.5, float(i)], "a") for i in range(8)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    ).coalesce(1).write.mode("overwrite").parquet(d)
+    out = {r["dim"]: r for r in q_emb_quantize_stats(spark, str(tmp_path)).collect()}
+    assert out[0]["lo"] == out[0]["hi"] == 7.5
+    assert out[0]["mean_abs_err"] == 0.0
+    assert not math.isnan(out[1]["mean_abs_err"])
+
+
+def test_compact_blocks_aborts_on_rowcount_mismatch(spark, tmp_path):
+    """The pre-swap verification: if staging were short-counted the
+    original table must remain untouched. Simulated by asking for an
+    impossible state — normal compaction must still round-trip all
+    rows and leave no .compact_old behind."""
+    from columnar_database_project_spark.sources.microblock import (
+        MicroBlockWriter,
+        compact_blocks,
+    )
+
+    path = os.path.join(str(tmp_path), "t")
+    df = spark.range(0, 1000).withColumnRenamed("id", "v")
+    # many undersized blocks: 10 tasks x 100 rows against block_rows=400
+    MicroBlockWriter(block_rows=100).write(df.repartition(10), path)
+    res = compact_blocks(spark, path, block_rows=400)
+    assert res["compacted"] is True
+    assert res["blocks_after"] < res["blocks_before"]
+    assert spark.read.parquet(path).count() == 1000
+    assert not os.path.exists(path + ".compact_old")
+    assert not os.path.exists(path + ".compact_tmp")
+
+
+# ------------------------------------------- facade streaming ingestion
+
+
+def test_engine_facade_streaming_dedup_e2e(spark, sf_dir, tmp_path_factory):
+    """The continuous-corpus path end-to-end THROUGH the facade: drop
+    parquet files -> store-backed streaming dedup -> the deduped table
+    is queryable via MicroBlockEngine.query, and a second drop with
+    already-seen content adds nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from columnar_database_project_spark.catalog import load_table
+    from columnar_database_project_spark.engine import MicroBlockEngine
+
+    base = tmp_path_factory.mktemp("facade_stream")
+    drop_dir = base / "drops"
+    drop_dir.mkdir()
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .limit(40)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # in-drop duplicate: row 30-39 reuse the TEXT of rows 0-9
+    docs.loc[30:39, "text"] = docs.loc[0:9, "text"].values
+    pq.write_table(
+        pa.Table.from_pandas(docs.iloc[0:40], preserve_index=False),
+        str(drop_dir / "drop1.parquet"),
+    )
+
+    eng = MicroBlockEngine(spark)
+    out, store, ckpt = str(base / "out"), str(base / "store"), str(base / "ck")
+    rep1 = eng.ingest_stream_dedup(str(drop_dir), "corpus", out, store, ckpt)
+    assert rep1["rows"] == 30  # 40 docs - 10 planted dups
+    assert rep1["store_fingerprints"] == 30
+
+    # facade SQL sees the deduped table
+    n = eng.query("SELECT count(*) AS n FROM corpus").collect()[0]["n"]
+    assert n == 30
+    texts = eng.query("SELECT count(DISTINCT text) AS d FROM corpus")
+    assert texts.collect()[0]["d"] == 30
+
+    # second drop: 5 new docs + 5 whose text was already ingested
+    more = docs.iloc[10:20].copy()
+    more["doc_id"] = more["doc_id"] + 100000  # new ids, seen text
+    import pandas as pd
+
+    new = pd.DataFrame(
+        {
+            "doc_id": [900001 + i for i in range(5)],
+            "text": [f"fresh unseen document {i} zzz" for i in range(5)],
+            "lang": ["en"] * 5,
+            "source": ["test"] * 5,
+            "n_chars": [30] * 5,
+        }
+    )
+    drop2 = pd.concat([more, new], ignore_index=True)[docs.columns]
+    pq.write_table(
+        pa.Table.from_pandas(drop2, preserve_index=False),
+        str(drop_dir / "drop2.parquet"),
+    )
+    rep2 = eng.ingest_stream_dedup(str(drop_dir), "corpus", out, store, ckpt)
+    assert rep2["rows"] == 35  # only the 5 genuinely new docs appended
+    assert rep2["store_fingerprints"] == 35
+    n2 = eng.query("SELECT count(*) AS n FROM corpus").collect()[0]["n"]
+    assert n2 == 35
+    assert (
+        eng.query("SELECT count(*) AS n FROM corpus WHERE doc_id >= 900000")
+        .collect()[0]["n"]
+        == 5
+    )
+
+
+def test_engine_facade_stream_heavy_hitters(spark, sf_dir, tmp_path_factory):
+    """The facade's continuous-statistics surface returns a bounded
+    summary containing the corpus's true heavy terms."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from columnar_database_project_spark.catalog import load_table
+    from columnar_database_project_spark.engine import MicroBlockEngine
+
+    base = tmp_path_factory.mktemp("facade_mg")
+    drop_dir = base / "drops"
+    drop_dir.mkdir()
+    docs = load_table(spark, sf_dir, "documents").limit(50).toPandas()
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        str(drop_dir / "d.parquet"),
+    )
+    eng = MicroBlockEngine(spark)
+    summary = eng.stream_heavy_hitters(
+        str(drop_dir), str(base / "store"), str(base / "ck"), capacity=20
+    )
+    rows = summary.collect()
+    assert 0 < len(rows) <= 20
+    assert all(r["cnt"] > 0 for r in rows)
