@@ -14,6 +14,7 @@ def all_queries():
         events,
         multimodal,
         relational,
+        selection,
         similarity,
         sketch,
         text,
@@ -21,7 +22,16 @@ def all_queries():
 
     q: dict = {}
     o: dict = {}
-    for mod in (dedup, events, multimodal, relational, similarity, sketch, text):
+    for mod in (
+        dedup,
+        events,
+        multimodal,
+        relational,
+        selection,
+        similarity,
+        sketch,
+        text,
+    ):
         dupes = set(q) & set(mod.QUERIES)
         if dupes:
             raise ValueError(f"duplicate query names: {dupes}")

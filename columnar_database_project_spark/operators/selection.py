@@ -1,0 +1,436 @@
+"""Corpus selection, retrieval, and privacy operators.
+
+Round-6 widening of the training-data pipeline surface (no reference
+analog — the reference has no text functions at all; this extends the
+same ``documents``/``embeddings`` surface as ``operators/text.py``):
+
+- PII redaction (email / phone / IPv4 regex scrub + audit counts)
+- Overlapping token-window chunking (RAG / pretraining chunk shape)
+- Deterministic importance sampling (quality-weighted keep/drop)
+- Token-budget corpus selection (highest-quality docs under a budget)
+- BM25 top-k retrieval for a fixed query
+- Cross-modal documents x embeddings join (text quality vs vector norm)
+
+All scan-local ``pyspark.sql.functions`` except where a shuffle is
+semantically required, and every broadcast is bounded by construction
+(quality-bucket table <= 20 rows, BM25 stats = 1 row) per the
+DEPLOY.md broadcast-hint policy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from columnar_database_project_spark.catalog import load_table
+from columnar_database_project_spark.operators.text import (
+    EN_MARKERS,
+    tokens_col,
+)
+
+# PII patterns — RE2 (DuckDB) and java.util.regex (Spark) both support
+# this subset (\d, \b, bounded repeats; no lookaround).
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+IPV4_RE = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+PII_TOKEN = "<PII>"
+
+CHUNK_SIZE = 32     # tokens per chunk
+CHUNK_STRIDE = 24   # tokens between chunk starts (8-token overlap)
+
+TOKEN_BUDGET = 20_000  # token-budget selection target
+N_QUALITY_BUCKETS = 20
+
+BM25_QUERY = ("spark", "query", "table")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+
+def _quality_score(toks):
+    """The shared quality-score formula (same as funnel_flag_cols /
+    text_quality): 0.6 * min(n_tokens/100, 1) + 0.4 * stopword ratio."""
+    n_tokens = F.size(toks)
+    markers = F.array(*[F.lit(m) for m in EN_MARKERS])
+    stop_ratio = F.size(
+        F.filter(toks, lambda t: F.array_contains(markers, t))
+    ) / n_tokens.cast("double")
+    return 0.6 * F.least(n_tokens / F.lit(100.0), F.lit(1.0)) + 0.4 * stop_ratio
+
+
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit: count email/phone/IPv4 matches per document and
+    fingerprint the redacted text (every match replaced by ``<PII>``)
+    so the scrub itself — not just the counts — is oracle-verified.
+    Scan-local regex work, zero shuffles; at 100 TB this is a pure
+    map stage that pipelines into any downstream write."""
+    docs = load_table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), EMAIL_RE, PII_TOKEN),
+            PHONE_RE,
+            PII_TOKEN,
+        ),
+        IPV4_RE,
+        PII_TOKEN,
+    )
+    n_email = F.regexp_count(F.col("text"), F.lit(EMAIL_RE))
+    n_phone = F.regexp_count(F.col("text"), F.lit(PHONE_RE))
+    n_ipv4 = F.regexp_count(F.col("text"), F.lit(IPV4_RE))
+    return docs.select(
+        "doc_id",
+        n_email.alias("n_email"),
+        n_phone.alias("n_phone"),
+        n_ipv4.alias("n_ipv4"),
+        ((n_email + n_phone + n_ipv4) == 0).alias("clean"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (size 32, stride 24) — the
+    standard RAG / long-context pretraining chunk shape. Chunk i
+    covers tokens [i*stride, i*stride + size); the last chunk may be
+    short. Row explosion is ~n_tokens/stride per doc and stays on the
+    document's partition (no shuffle); chunk_hash enables downstream
+    chunk-level dedup on a digest instead of text."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n_chunks = (F.floor((F.size(toks) - 1) / CHUNK_STRIDE) + 1).cast("int")
+    chunked = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(
+            # guard: sequence(0, n-1) counts DOWN when n < 1
+            F.when(n_chunks >= 1, F.sequence(F.lit(0), n_chunks - 1))
+        ).alias("chunk_id"),
+    )
+    chunk = F.slice(
+        F.col("toks"), F.col("chunk_id") * CHUNK_STRIDE + 1, CHUNK_SIZE
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size(chunk).alias("chunk_n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
+def q_text_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality-weighted importance sampling: keep a doc
+    iff hash-uniform(doc_id) < weight, weight = 0.2 + 0.8 * quality.
+    The uniform draw is a pure function of doc_id (md5 hex chars 5-12,
+    disjoint from the chars 1-4 the split/sample bucket uses, so the
+    two decisions are independent) — reproducible across engines,
+    runs, and incremental batches, unlike rand(). Scan-local filter,
+    zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    u = F.round(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 5, 8), 16, 10
+        ).cast("double")
+        / F.lit(4294967296.0),
+        6,
+    )
+    w = F.round(0.2 + 0.8 * _quality_score(toks), 6)
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            u.alias("u"),
+            w.alias("weight"),
+        )
+        .filter(F.col("u") < F.col("weight"))
+    )
+
+
+def q_text_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: take the highest-quality
+    documents (quality quantized to 20 buckets; ties broken by doc_id)
+    until the cumulative token count would exceed TOKEN_BUDGET.
+
+    Selection is DEFINED as a single cumulative sum over the global
+    order (bucket DESC, doc_id) — but a global-window cumsum is a
+    one-partition sort at 100 TB, so the implementation is the
+    scalable two-phase equivalent: (1) per-bucket token totals
+    (<= 20 rows) give each bucket's cumulative offset via a tiny
+    window, broadcast back (bounded by construction — DEPLOY.md
+    policy); (2) a PER-BUCKET window (hash-partitioned on bucket)
+    computes within-bucket cumsums. Because the quantized bucket is
+    the leading sort key, offset + within-cumsum equals the global
+    cumsum exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    bucket = F.least(
+        F.floor(_quality_score(toks) * N_QUALITY_BUCKETS),
+        F.lit(N_QUALITY_BUCKETS - 1),
+    ).cast("int")
+    per_doc = docs.select(
+        "doc_id", bucket.alias("bucket"), F.size(toks).alias("n_tokens")
+    )
+    bucket_w = W.orderBy(F.col("bucket").desc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    bucket_offsets = (
+        per_doc.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bucket_tokens"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bucket_tokens").over(bucket_w), F.lit(0)).alias(
+                "offset"
+            ),
+        )
+    )
+    within_w = (
+        W.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        per_doc.join(F.broadcast(bucket_offsets), "bucket")  # <=20 rows: bounded
+        .select(
+            "doc_id",
+            "bucket",
+            "n_tokens",
+            (F.col("offset") + F.sum("n_tokens").over(within_w)).alias(
+                "cum_tokens"
+            ),
+        )
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+    )
+
+
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval for a fixed query — the retrieval operator
+    a decontamination / targeted-selection pipeline needs. Per-doc
+    term frequencies are computed scan-local (array filter per query
+    term — no posting-list explode, no shuffle); document frequencies
+    and avgdl reduce to ONE summary row joined back by cross join
+    (1 row: bounded broadcast). The only data-bound shuffle is the
+    final TakeOrdered top-k. idf uses the +1 smoothing that keeps
+    scores positive; scores are rounded before ranking so cross-engine
+    float noise cannot flip tie order."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    def tf_of(term: str):
+        # closure per term — a `lambda t, term=term:` default would make
+        # F.filter see a 2-arg (element, index) lambda and bind the term
+        # to the positional index instead
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+    tf_cols = [
+        tf_of(term).alias(f"tf_{i}") for i, term in enumerate(BM25_QUERY)
+    ]
+    base = docs.select(
+        "doc_id", F.size(toks).alias("dl"), *tf_cols
+    )
+    stats = base.select(
+        F.avg("dl").alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(BM25_QUERY))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))  # 1 row: bounded
+    norm = BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    score = None
+    for i in range(len(BM25_QUERY)):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+            + 1.0
+        )
+        part = idf * F.col(f"tf_{i}") * (BM25_K1 + 1) / (
+            F.col(f"tf_{i}") + norm
+        )
+        score = part if score is None else score + part
+    ranked = scored.select(
+        "doc_id", "dl", F.round(score, 6).alias("bm25")
+    )
+    # TakeOrderedAndProject top-k first (per-partition heaps, no global
+    # sort shuffle); the rank window then runs over only K rows.
+    top = ranked.orderBy(F.col("bm25").desc(), "doc_id").limit(BM25_TOP_K)
+    w = W.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def q_emb_doc_modality_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal join: documents x embeddings on doc_id = vec_id,
+    rolled up per (lang, label) with doc-quality and vector-norm
+    stats — the 'does text quality correlate with embedding geometry'
+    audit a multimodal pipeline runs. One equi-join shuffle on the id
+    key (both sides corpus-sized: NO broadcast hint, AQE picks the
+    strategy) + a tiny group-by."""
+    docs = load_table(spark, sf_dir, "documents")
+    embs = load_table(spark, sf_dir, "embeddings")
+    toks = tokens_col()
+    d = docs.select(
+        "doc_id", "lang", F.size(toks).alias("n_tokens")
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    e = embs.select(
+        F.col("vec_id").alias("doc_id"), "label", norm.alias("norm")
+    )
+    return (
+        d.join(e, "doc_id")
+        .groupBy("lang", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
+    )
+
+
+QUERIES = {
+    "text_pii_redact": q_text_pii_redact,
+    "text_chunk_windows": q_text_chunk_windows,
+    "text_importance_sample": q_text_importance_sample,
+    "text_token_budget_select": q_text_token_budget_select,
+    "text_bm25_topk": q_text_bm25_topk,
+    "emb_doc_modality_join": q_emb_doc_modality_join,
+}
+
+_MARKERS_SQL = ", ".join(f"'{m}'" for m in EN_MARKERS)
+
+_QUALITY_SQL = (
+    "0.6 * least(len(toks) / 100.0, 1.0) + 0.4 * "
+    f"(len(list_filter(toks, x -> x IN ({_MARKERS_SQL})))"
+    " / CAST(len(toks) AS DOUBLE))"
+)
+
+ORACLES = {
+    "text_pii_redact": f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INT) AS n_email,
+               CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS INT) AS n_phone,
+               CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS INT) AS n_ipv4,
+               len(regexp_extract_all(text, '{EMAIL_RE}'))
+                 + len(regexp_extract_all(text, '{PHONE_RE}'))
+                 + len(regexp_extract_all(text, '{IPV4_RE}')) = 0 AS clean,
+               md5(regexp_replace(regexp_replace(regexp_replace(
+                   text, '{EMAIL_RE}', '{PII_TOKEN}', 'g'),
+                   '{PHONE_RE}', '{PII_TOKEN}', 'g'),
+                   '{IPV4_RE}', '{PII_TOKEN}', 'g')) AS redacted_fp
+        FROM documents
+    """,
+    "text_chunk_windows": f"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ), c AS (
+            SELECT doc_id, toks,
+                   unnest(range(0,
+                       CAST(floor((len(toks) - 1) / {CHUNK_STRIDE}) AS BIGINT) + 1
+                   )) AS chunk_id
+            FROM t
+        )
+        SELECT doc_id, chunk_id,
+               CAST(len(toks[chunk_id * {CHUNK_STRIDE} + 1 :
+                           chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}]) AS INT)
+                   AS chunk_n_tokens,
+               md5(array_to_string(
+                   toks[chunk_id * {CHUNK_STRIDE} + 1 :
+                        chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}], ' '))
+                   AS chunk_hash
+        FROM c
+    """,
+    "text_importance_sample": f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks,
+                   ROUND(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 8))::BIGINT
+                         / 4294967296.0, 6) AS u
+            FROM documents
+        )
+        SELECT doc_id, lang, u,
+               ROUND(0.2 + 0.8 * ({_QUALITY_SQL}), 6) AS weight
+        FROM t
+        WHERE u < ROUND(0.2 + 0.8 * ({_QUALITY_SQL}), 6)
+    """,
+    "text_token_budget_select": f"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ), b AS (
+            SELECT doc_id,
+                   CAST(least(floor(({_QUALITY_SQL}) * {N_QUALITY_BUCKETS}),
+                              {N_QUALITY_BUCKETS - 1}) AS INT) AS bucket,
+                   len(toks) AS n_tokens
+            FROM t
+        )
+        SELECT doc_id, bucket, n_tokens,
+               CAST(cum_tokens AS BIGINT) AS cum_tokens
+        FROM (
+            SELECT doc_id, bucket, n_tokens,
+                   SUM(n_tokens) OVER (
+                       ORDER BY bucket DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_tokens
+            FROM b
+        ) WHERE cum_tokens <= {TOKEN_BUDGET}
+    """,
+    "text_bm25_topk": f"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ), base AS (
+            SELECT doc_id, len(toks) AS dl,
+                   {", ".join(
+                       f"len(list_filter(toks, x -> x = '{term}')) AS tf_{i}"
+                       for i, term in enumerate(BM25_QUERY)
+                   )}
+            FROM t
+        ), stats AS (
+            SELECT avg(dl) AS avgdl, count(*) AS n_docs,
+                   {", ".join(
+                       f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+                       for i in range(len(BM25_QUERY))
+                   )}
+            FROM base
+        ), scored AS (
+            SELECT doc_id, dl,
+                   ROUND({" + ".join(
+                       f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+                       f" * tf_{i} * ({BM25_K1} + 1)"
+                       f" / (tf_{i} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))"
+                       for i in range(len(BM25_QUERY))
+                   )}, 6) AS bm25
+            FROM base CROSS JOIN stats
+        )
+        SELECT doc_id, dl, bm25, rank FROM (
+            SELECT doc_id, dl, bm25,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+            FROM scored
+        ) WHERE rank <= {BM25_TOP_K}
+    """,
+    "emb_doc_modality_join": """
+        WITH d AS (
+            SELECT doc_id, lang,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+            FROM documents
+        ), e AS (
+            SELECT vec_id AS doc_id, label,
+                   sqrt(list_sum(list_transform(
+                       embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                   ))) AS norm
+            FROM embeddings
+        )
+        SELECT lang, label,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               ROUND(avg(norm), 4) AS avg_norm,
+               ROUND(avg(n_tokens), 4) AS avg_tokens
+        FROM d JOIN e USING (doc_id)
+        GROUP BY lang, label
+    """,
+}

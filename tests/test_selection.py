@@ -1,0 +1,233 @@
+"""Invariants for the round-6 selection/retrieval/privacy operators.
+
+Beyond the oracle twins (which the driver checks at sf0.01), these pin
+the semantic properties the oracles cannot see on the synthetic corpus:
+PII redaction on text that actually CONTAINS PII (the testdata word
+salad has none), chunk coverage/reassembly, budget-selection
+equivalence to its single-window definition, BM25 monotonicity, and
+importance-sampling determinism.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from columnar_database_project_spark.operators.selection import (
+    BM25_TOP_K,
+    CHUNK_SIZE,
+    CHUNK_STRIDE,
+    PII_TOKEN,
+    TOKEN_BUDGET,
+    q_emb_doc_modality_join,
+    q_text_bm25_topk,
+    q_text_chunk_windows,
+    q_text_importance_sample,
+    q_text_pii_redact,
+    q_text_token_budget_select,
+)
+
+
+# ------------------------------------------------------------ PII
+
+
+def _pii_docs(spark):
+    rows = [
+        (1, "contact me at alice@example.com or bob.smith+x@sub.dom.org", "en",
+         "s", 10),
+        (2, "call 555-123-4567 today or 800.555.0199 now", "en", "s", 10),
+        (3, "server at 10.0.0.1 and 192.168.255.3 is up", "en", "s", 10),
+        (4, "no pii here just words", "en", "s", 10),
+        (5, "mix: a@b.co then 111-222-3333 then 8.8.8.8 done", "en", "s", 10),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_pii_redact_counts_and_scrub(spark, tmp_path):
+    docs = _pii_docs(spark)
+    out_dir = str(tmp_path / "pii")
+    docs.write.parquet(out_dir + "/documents.parquet")
+    got = {
+        r["doc_id"]: r
+        for r in q_text_pii_redact(spark, out_dir).collect()
+    }
+    assert (got[1]["n_email"], got[1]["n_phone"], got[1]["n_ipv4"]) == (2, 0, 0)
+    assert (got[2]["n_email"], got[2]["n_phone"], got[2]["n_ipv4"]) == (0, 2, 0)
+    assert (got[3]["n_email"], got[3]["n_phone"], got[3]["n_ipv4"]) == (0, 0, 2)
+    assert got[4]["clean"] and not got[5]["clean"]
+    assert (got[5]["n_email"], got[5]["n_phone"], got[5]["n_ipv4"]) == (1, 1, 1)
+    # the scrub itself: a clean doc's fingerprint is md5 of its own
+    # text; a dirty doc's differs (something was replaced)
+    import hashlib
+
+    assert got[4]["redacted_fp"] == hashlib.md5(
+        b"no pii here just words"
+    ).hexdigest()
+    assert got[5]["redacted_fp"] == hashlib.md5(
+        f"mix: {PII_TOKEN} then {PII_TOKEN} then {PII_TOKEN} done".encode()
+    ).hexdigest()
+
+
+# ------------------------------------------------------------ chunking
+
+
+def test_chunk_windows_cover_and_overlap(spark, sf_dir):
+    from columnar_database_project_spark.operators.text import (
+        q_text_token_stats,
+    )
+
+    chunks = q_text_chunk_windows(spark, sf_dir)
+    stats = q_text_token_stats(spark, sf_dir).select("doc_id", "n_tokens")
+    per_doc = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max("chunk_id").alias("max_id"),
+            F.min("chunk_n_tokens").alias("min_len"),
+            F.max("chunk_n_tokens").alias("max_len"),
+        )
+        .join(stats, "doc_id")
+        .collect()
+    )
+    assert per_doc
+    for r in per_doc:
+        # chunk ids are dense 0..n-1
+        assert r["max_id"] == r["n_chunks"] - 1
+        # every chunk <= size; full coverage: strides span all tokens
+        assert r["max_len"] <= CHUNK_SIZE
+        assert (r["n_chunks"] - 1) * CHUNK_STRIDE < r["n_tokens"]
+        assert (r["n_chunks"] - 1) * CHUNK_STRIDE + r["min_len"] >= 1
+        # total coverage: last chunk reaches the final token
+        last_start = (r["n_chunks"] - 1) * CHUNK_STRIDE
+        assert last_start + CHUNK_SIZE >= r["n_tokens"]
+
+
+# ------------------------------------------------------ budget select
+
+
+def test_token_budget_matches_single_window_definition(spark, sf_dir):
+    """The scalable two-phase implementation must equal the defining
+    single global-window cumsum exactly."""
+    got = q_text_token_budget_select(spark, sf_dir)
+    # reference: the defining global window over ALL docs
+    from pyspark.sql import Window as W
+
+    from columnar_database_project_spark.catalog import load_table
+    from columnar_database_project_spark.operators.selection import (
+        N_QUALITY_BUCKETS,
+        _quality_score,
+    )
+    from columnar_database_project_spark.operators.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    bucket = F.least(
+        F.floor(_quality_score(toks) * N_QUALITY_BUCKETS),
+        F.lit(N_QUALITY_BUCKETS - 1),
+    ).cast("int")
+    all_docs = docs.select(
+        "doc_id", bucket.alias("bucket"), F.size(toks).alias("n_tokens")
+    )
+    w = W.orderBy(F.col("bucket").desc(), "doc_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    ref = (
+        all_docs.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+    )
+    got_rows = sorted(
+        (r["doc_id"], r["cum_tokens"]) for r in got.collect()
+    )
+    ref_rows = sorted(
+        (r["doc_id"], r["cum_tokens"]) for r in ref.collect()
+    )
+    assert got_rows == ref_rows
+    assert got_rows, "budget selected nothing — budget too small for testdata"
+    # and the budget is respected
+    assert max(c for _, c in got_rows) <= TOKEN_BUDGET
+
+
+def test_token_budget_no_global_corpus_window(spark, sf_dir):
+    """The plan must not move the corpus to one partition: the only
+    unpartitioned window runs over the <=20-row bucket-offsets frame.
+    Asserted structurally: the corpus-sized window is partitioned."""
+    plan = q_text_token_budget_select(spark, sf_dir)._jdf.queryExecution(
+    ).executedPlan().toString()
+    # every Window over the doc frame carries a partition spec
+    import re
+
+    windows = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    # at least one window partitioned by bucket exists
+    assert any("bucket" in w for w in windows), plan
+
+
+# ------------------------------------------------------------ BM25
+
+
+def test_bm25_topk_shape_and_monotonicity(spark, sf_dir):
+    rows = q_text_bm25_topk(spark, sf_dir).collect()
+    assert len(rows) == BM25_TOP_K
+    assert [r["rank"] for r in rows] == list(range(1, BM25_TOP_K + 1))
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s >= 0 for s in scores)
+
+
+def test_bm25_rewards_term_frequency(spark, tmp_path):
+    """Same length docs: more query-term hits => higher score."""
+    rows = [
+        (1, "spark query table spark query table aa bb cc dd", "en", "s", 1),
+        (2, "spark aa bb cc dd ee ff gg hh ii", "en", "s", 1),
+        (3, "aa bb cc dd ee ff gg hh ii jj", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path / "bm")
+    docs.write.parquet(out + "/documents.parquet")
+    got = {r["doc_id"]: r["bm25"] for r in q_text_bm25_topk(spark, out).collect()}
+    assert got[1] > got[2] > got[3]
+    assert got[3] == 0.0
+
+
+# ------------------------------------------------- importance sampling
+
+
+def test_importance_sample_deterministic_and_weighted(spark, sf_dir):
+    a = sorted(r["doc_id"] for r in q_text_importance_sample(spark, sf_dir).collect())
+    b = sorted(r["doc_id"] for r in q_text_importance_sample(spark, sf_dir).collect())
+    assert a == b, "sampling must be a pure function of doc_id"
+    kept = q_text_importance_sample(spark, sf_dir)
+    # every kept row satisfies the rule
+    bad = kept.filter(~(F.col("u") < F.col("weight"))).count()
+    assert bad == 0
+    assert len(a) > 0
+
+
+# ------------------------------------------------------ modality join
+
+
+def test_modality_join_groups_complete(spark, sf_dir):
+    out = q_emb_doc_modality_join(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r["n_docs"] > 0
+        assert r["avg_norm"] is not None and r["avg_norm"] > 0
+        assert r["avg_tokens"] > 0
+
+
+def test_selection_queries_registered():
+    from columnar_database_project_spark.operators import all_queries
+
+    q, o = all_queries()
+    for name in (
+        "text_pii_redact",
+        "text_chunk_windows",
+        "text_importance_sample",
+        "text_token_budget_select",
+        "text_bm25_topk",
+        "emb_doc_modality_join",
+    ):
+        assert name in q and name in o
