@@ -218,6 +218,26 @@ def test_modality_join_groups_complete(spark, sf_dir):
         assert r["avg_tokens"] > 0
 
 
+def test_selection_broadcast_hint_policy(spark, sf_dir):
+    """DEPLOY.md hint policy: hints ONLY on bounded-by-construction
+    frames — budget-select's <=20-row bucket-offset table and BM25's
+    1-row stats aggregate; every corpus-proportional frame unhinted."""
+    from columnar_database_project_spark.plans.verify import (
+        forced_broadcast_hints,
+    )
+
+    expected = {
+        q_text_pii_redact: 0,
+        q_text_chunk_windows: 0,
+        q_text_importance_sample: 0,
+        q_text_token_budget_select: 1,  # bucket offsets, <= 20 rows
+        q_text_bm25_topk: 1,  # 1-row corpus stats
+        q_emb_doc_modality_join: 0,  # both sides corpus-sized
+    }
+    for fn, n in expected.items():
+        assert forced_broadcast_hints(fn(spark, sf_dir)) == n, fn.__name__
+
+
 def test_selection_queries_registered():
     from columnar_database_project_spark.operators import all_queries
 
