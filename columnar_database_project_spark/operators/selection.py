@@ -58,13 +58,11 @@ def _quality_score(toks):
     return 0.6 * F.least(n_tokens / F.lit(100.0), F.lit(1.0)) + 0.4 * stop_ratio
 
 
-def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrub audit: count email/phone/IPv4 matches per document and
-    fingerprint the redacted text (every match replaced by ``<PII>``)
-    so the scrub itself — not just the counts — is oracle-verified.
-    Scan-local regex work, zero shuffles; at 100 TB this is a pure
-    map stage that pipelines into any downstream write."""
-    docs = load_table(spark, sf_dir, "documents")
+def pii_audit(docs: DataFrame) -> DataFrame:
+    """PII scrub over a ``documents``-shaped frame — shared by the
+    batch query below and the streaming twin
+    (``streaming/text.py:pii_redact_stream``), so both execution modes
+    apply the identical scrub definition. Pure stateless map work."""
     redacted = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(F.col("text"), EMAIL_RE, PII_TOKEN),
@@ -87,14 +85,19 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping token-window chunking (size 32, stride 24) — the
-    standard RAG / long-context pretraining chunk shape. Chunk i
-    covers tokens [i*stride, i*stride + size); the last chunk may be
-    short. Row explosion is ~n_tokens/stride per doc and stays on the
-    document's partition (no shuffle); chunk_hash enables downstream
-    chunk-level dedup on a digest instead of text."""
-    docs = load_table(spark, sf_dir, "documents")
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit: count email/phone/IPv4 matches per document and
+    fingerprint the redacted text (every match replaced by ``<PII>``)
+    so the scrub itself — not just the counts — is oracle-verified.
+    Scan-local regex work, zero shuffles; at 100 TB this is a pure
+    map stage that pipelines into any downstream write."""
+    return pii_audit(load_table(spark, sf_dir, "documents"))
+
+
+def chunk_windows(docs: DataFrame) -> DataFrame:
+    """Overlapping token-window chunking over a ``documents``-shaped
+    frame — shared by the batch query below and the streaming twin.
+    Stateless explode: rows stay on the document's partition."""
     toks = tokens_col()
     n_chunks = (F.floor((F.size(toks) - 1) / CHUNK_STRIDE) + 1).cast("int")
     chunked = docs.select(
@@ -114,6 +117,16 @@ def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).alias("chunk_n_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
     )
+
+
+def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (size 32, stride 24) — the
+    standard RAG / long-context pretraining chunk shape. Chunk i
+    covers tokens [i*stride, i*stride + size); the last chunk may be
+    short. Row explosion is ~n_tokens/stride per doc and stays on the
+    document's partition (no shuffle); chunk_hash enables downstream
+    chunk-level dedup on a digest instead of text."""
+    return chunk_windows(load_table(spark, sf_dir, "documents"))
 
 
 def q_text_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

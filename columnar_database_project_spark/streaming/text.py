@@ -191,3 +191,24 @@ def heavy_hitters_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def pii_redact_stream(docs: DataFrame) -> DataFrame:
+    """Streaming twin of ``selection.q_text_pii_redact`` — the SAME
+    scrub transformer (``selection.pii_audit``) applied to the stream.
+    Stateless map work: no watermark, no state store; the scrub runs
+    as documents arrive instead of as a backfill."""
+    from columnar_database_project_spark.operators.selection import pii_audit
+
+    return pii_audit(docs)
+
+
+def chunk_windows_stream(docs: DataFrame) -> DataFrame:
+    """Streaming twin of ``selection.q_text_chunk_windows`` — the SAME
+    chunk transformer on the stream. The explode is stateless and
+    partition-local, so chunking scales with arrival rate."""
+    from columnar_database_project_spark.operators.selection import (
+        chunk_windows,
+    )
+
+    return chunk_windows(docs)

@@ -421,3 +421,58 @@ class TestStreamingHeavyHitters:
         exact = collections.Counter(toks)
         truth = {t for t, c in exact.items() if c * (cap + 1) > n}
         assert truth <= kept  # MG merge guarantee across batches
+
+
+class TestStreamingSelectionTwins:
+    """Streaming PII scrub and chunking must equal the batch
+    operators row-for-row (shared transformers, stateless maps)."""
+
+    def test_pii_redact_stream_matches_batch(
+        self, spark, sf_dir, docs_stream_dir
+    ):
+        from columnar_database_project_spark.operators.selection import (
+            q_text_pii_redact,
+        )
+        from columnar_database_project_spark.streaming.text import (
+            pii_redact_stream,
+            read_document_stream,
+        )
+
+        stream = pii_redact_stream(read_document_stream(spark, docs_stream_dir))
+        q = run_to_memory(stream, "pii_stream", "append")
+        try:
+            got = sorted(
+                tuple(r) for r in spark.table("pii_stream").collect()
+            )
+        finally:
+            q.stop()
+        want = sorted(
+            tuple(r) for r in q_text_pii_redact(spark, sf_dir).collect()
+        )
+        assert got == want
+
+    def test_chunk_windows_stream_matches_batch(
+        self, spark, sf_dir, docs_stream_dir
+    ):
+        from columnar_database_project_spark.operators.selection import (
+            q_text_chunk_windows,
+        )
+        from columnar_database_project_spark.streaming.text import (
+            chunk_windows_stream,
+            read_document_stream,
+        )
+
+        stream = chunk_windows_stream(
+            read_document_stream(spark, docs_stream_dir)
+        )
+        q = run_to_memory(stream, "chunk_stream", "append")
+        try:
+            got = sorted(
+                tuple(r) for r in spark.table("chunk_stream").collect()
+            )
+        finally:
+            q.stop()
+        want = sorted(
+            tuple(r) for r in q_text_chunk_windows(spark, sf_dir).collect()
+        )
+        assert got == want
