@@ -280,27 +280,24 @@ def bench_hive_pruning(spark, sf_dir: str) -> dict:
 
 
 def bench_ivf_recall(spark, sf_dir: str) -> dict:
-    """IVF ANN quality at the LARGEST bench scale: recall@10 of the
-    IVF top-k against the brute-force exact top-k on the sf0.5
-    replica — the r5 verdict asked for the recall claim to be proven
-    beyond test scale (the replica's perturbed vectors make it
-    meaningful)."""
+    """IVF ANN quality at the LARGEST bench scale: the full
+    recall@10-vs-probe-count curve (one scan via
+    q_sim_ivf_recall_curve) on the sf0.5 replica. recall_at_10 is the
+    default-N_PROBE point (continuity with the r5 record); the curve
+    is the tuning table — on this near-isotropic synthetic data
+    recall grows ~linearly with probed fraction (a data property;
+    see PLANS.md round-6 notes)."""
     from columnar_database_project_spark.operators.similarity import (
-        q_sim_ivf_topk,
-        q_sim_topk_bruteforce,
+        N_PROBE,
+        q_sim_ivf_recall_curve,
     )
 
-    exact = {
-        (r["q_id"], r["neighbor_id"])
-        for r in q_sim_topk_bruteforce(spark, sf_dir).collect()
-    }
-    approx = {
-        (r["q_id"], r["neighbor_id"])
-        for r in q_sim_ivf_topk(spark, sf_dir).collect()
-    }
+    rows = q_sim_ivf_recall_curve(spark, sf_dir).collect()
+    curve = {int(r["n_probe"]): float(r["recall"]) for r in rows}
     return {
-        "recall_at_10": round(len(exact & approx) / max(len(exact), 1), 3),
-        "n_exact": len(exact),
+        "recall_at_10": curve.get(N_PROBE),
+        "curve": curve,
+        "n_exact": int(rows[0]["n_exact"]) if rows else 0,
     }
 
 

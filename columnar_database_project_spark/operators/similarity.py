@@ -467,6 +467,99 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PROBE_LEVELS = (1, 2, 3, 4, 6, 8, 12, 16)
+
+
+def q_sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality audit: recall@TOP_K of the IVF search as a function
+    of probe count — the tuning table an operator reads to pick the
+    n_probe that hits a recall target on THEIR data (on clustered
+    embeddings recall saturates early; on isotropic data it grows
+    ~linearly with the probed fraction, which is a data property, not
+    an index defect — r6 measured exactly that on the synthetic
+    corpus, see PLANS.md).
+
+    Cost shape: ground truth NEEDS the exact scan, so a recall audit
+    is inherently O(Q x N) like the brute-force baseline it compares
+    against — it runs over the bounded N_QUERIES sample, never
+    per-corpus-vector. ONE corpus scan emits each (query, vector)
+    cosine tagged with the probe rank of the vector's cell for that
+    query; every probe level then reduces from the same persisted
+    frame (per-level top-k windows over Q x N rows, output
+    len(PROBE_LEVELS) rows). Approximate-op audit → rows-only driver
+    check; invariants (monotone, exact at full probe, agreement with
+    q_sim_ivf_topk at N_PROBE) are pytest-asserted."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(sf_dir)
+    q_ids, q_raw = _query_vectors(sf_dir)
+    q_mat = normalize_rows(q_raw)
+    q_sims = np.round(q_mat @ cents.T, IVF_SIM_DECIMALS)
+    # cell_rank[qi, c] = 1-based probe rank of cell c for query qi,
+    # same deterministic (rounded sim, cell) ordering as q_sim_ivf_probes
+    cell_rank = np.empty((len(q_ids), N_IVF_CELLS), dtype=np.int32)
+    for qi in range(len(q_ids)):
+        order = np.lexsort((np.arange(N_IVF_CELLS), -q_sims[qi]))
+        cell_rank[qi, order] = np.arange(1, N_IVF_CELLS + 1)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            v = normalize_rows(stack_embeddings(pdf["embedding"]))
+            cell = np.argmax(np.round(v @ cents.T, IVF_SIM_DECIMALS), axis=1)
+            sims = q_mat @ v.T                          # (Q, batch)
+            nq, nb = sims.shape
+            qi_idx = np.repeat(np.arange(nq), nb)
+            bi_idx = np.tile(np.arange(nb), nq)
+            yield pd.DataFrame(
+                {
+                    "q_id": q_ids[qi_idx],
+                    "vec_id": pdf["vec_id"].values[bi_idx],
+                    "cosine_raw": sims[qi_idx, bi_idx],
+                    "cell_rank": cell_rank[qi_idx, cell[bi_idx]],
+                }
+            )
+
+    scored = (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(
+            score,
+            schema="q_id long, vec_id long, cosine_raw double, cell_rank int",
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .persist()
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), "vec_id")
+    exact_k = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id")
+    )
+    n_exact = exact_k.select(F.count(F.lit(1)).alias("n_exact"))
+    levels = None
+    for p in PROBE_LEVELS:
+        topp = (
+            scored.filter(F.col("cell_rank") <= p)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select(F.lit(p).alias("n_probe"), "q_id", "vec_id")
+        )
+        levels = topp if levels is None else levels.unionByName(topp)
+    hits = (
+        levels.join(exact_k, ["q_id", "vec_id"], "left_semi")
+        .groupBy("n_probe")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        hits.crossJoin(F.broadcast(n_exact))  # 1 row: bounded
+        .select(
+            "n_probe",
+            "n_hits",
+            "n_exact",
+            F.round(F.col("n_hits") / F.col("n_exact"), 4).alias("recall"),
+        )
+        .orderBy("n_probe")
+    )
+
+
 def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding (mean-pooled class centroid) as flat
     (label, dim, centroid) rows — the building block for class
@@ -526,6 +619,7 @@ QUERIES = {
     "sim_ivf_assignments": q_sim_ivf_assignments,
     "sim_ivf_probes": q_sim_ivf_probes,
     "sim_ivf_topk": q_sim_ivf_topk,
+    "sim_ivf_recall_curve": q_sim_ivf_recall_curve,
     "emb_label_centroids": q_emb_label_centroids,
     "emb_quantize_stats": q_emb_quantize_stats,
 }

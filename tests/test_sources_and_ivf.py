@@ -92,3 +92,48 @@ class TestIVF:
             pairs.sort()
             cosines = [c for _, c in pairs]
             assert cosines == sorted(cosines, reverse=True)
+
+
+class TestIVFRecallCurve:
+    """The recall-curve audit must be internally consistent with the
+    operators it audits."""
+
+    def test_curve_monotone_and_exact_at_full_probe(self, spark, sf_dir):
+        from columnar_database_project_spark.operators.similarity import (
+            N_IVF_CELLS,
+            q_sim_ivf_recall_curve,
+        )
+
+        rows = sorted(
+            q_sim_ivf_recall_curve(spark, sf_dir).collect(),
+            key=lambda r: r["n_probe"],
+        )
+        recalls = [r["recall"] for r in rows]
+        assert recalls == sorted(recalls), "recall must rise with probes"
+        full = [r for r in rows if r["n_probe"] == N_IVF_CELLS]
+        assert full and full[0]["recall"] == 1.0, (
+            "probing every cell IS the exact search"
+        )
+
+    def test_curve_agrees_with_ivf_topk_at_default_probe(self, spark, sf_dir):
+        from columnar_database_project_spark.operators.similarity import (
+            N_PROBE,
+            q_sim_ivf_recall_curve,
+            q_sim_ivf_topk,
+            q_sim_topk_bruteforce,
+        )
+
+        exact = {
+            (r["q_id"], r["neighbor_id"])
+            for r in q_sim_topk_bruteforce(spark, sf_dir).collect()
+        }
+        approx = {
+            (r["q_id"], r["neighbor_id"])
+            for r in q_sim_ivf_topk(spark, sf_dir).collect()
+        }
+        measured = len(exact & approx) / len(exact)
+        curve = {
+            r["n_probe"]: r["recall"]
+            for r in q_sim_ivf_recall_curve(spark, sf_dir).collect()
+        }
+        assert abs(curve[N_PROBE] - measured) < 1e-6
