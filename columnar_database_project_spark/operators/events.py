@@ -109,6 +109,32 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_pivot_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) surface: per-user event-type count matrix —
+    the feature-vector shape a per-user model consumes. The pivot
+    value list is EXPLICIT: with it, Spark skips the extra
+    distinct-values job an unlisted pivot runs first (a full shuffle
+    at 100 TB) and the aggregation is a single hash-partial groupBy
+    on user_id. Absent combinations coalesce to 0 so the wide row is
+    dense, matching the conditional-sum oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
 def q_events_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-latest-per-key dedup (CDC upsert shape): last event per
     (user_id, event_type) by time. Streaming twin: dropDuplicates
@@ -306,6 +332,7 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_session_journeys": q_events_session_journeys,
     "events_json_props": q_events_json_props,
+    "events_pivot_user_counts": q_events_pivot_user_counts,
     "events_dedup_latest": q_events_dedup_latest,
     "events_funnel": q_events_funnel,
     "events_asof_join": q_events_asof_join,
@@ -477,3 +504,14 @@ ORACLES = {
         WHERE s.sd > 0 AND abs((e.value - s.mu) / s.sd) >= {ANOMALY_Z}
     """,
 }
+
+ORACLES["events_pivot_user_counts"] = """
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        FROM events
+        GROUP BY user_id
+    """

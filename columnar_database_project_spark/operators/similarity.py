@@ -560,6 +560,46 @@ def q_sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle Gram matrix G = sum_v v v^T over the embedding
+    column — the one-pass building block for PCA/whitening/covariance
+    drift audits (covariance = G/n - mean mean^T, means from
+    q_emb_label_centroids' machinery).
+
+    Scale shape — the map-side partial-aggregation pattern: each Arrow
+    batch contributes ONE D x D partial (a local matmul, BLAS), so the
+    shuffle carries tasks x D(D+1)/2 partial cells, independent of row
+    count; the final groupBy(dim_i, dim_j) sums ~2k cells. The naive
+    alternative (explode to row x dim_i x dim_j) would shuffle
+    rows x D^2 — 4096x the corpus — which is why this one is a kernel,
+    not a DataFrame explode."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = None
+        for pdf in batches:
+            v = stack_embeddings(pdf["embedding"])
+            g = v.T @ v
+            acc = g if acc is None else acc + g
+        if acc is None:
+            return
+        iu = np.triu_indices(acc.shape[0])
+        yield pd.DataFrame(
+            {
+                "dim_i": iu[0].astype(np.int32),
+                "dim_j": iu[1].astype(np.int32),
+                "partial": acc[iu],
+            }
+        )
+
+    return (
+        emb.select("embedding")
+        .mapInPandas(partial, schema="dim_i int, dim_j int, partial double")
+        .groupBy("dim_i", "dim_j")
+        .agg(F.round(F.sum("partial"), 4).alias("gram"))
+    )
+
+
 def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding (mean-pooled class centroid) as flat
     (label, dim, centroid) rows — the building block for class
@@ -622,6 +662,7 @@ QUERIES = {
     "sim_ivf_recall_curve": q_sim_ivf_recall_curve,
     "emb_label_centroids": q_emb_label_centroids,
     "emb_quantize_stats": q_emb_quantize_stats,
+    "emb_gram_matrix": q_emb_gram_matrix,
 }
 
 
@@ -776,4 +817,18 @@ ORACLES["emb_quantize_stats"] = """
                ) ELSE 0.0 END), 6) AS mean_abs_err
         FROM e JOIN b USING (dim)
         GROUP BY e.dim
+    """
+
+ORACLES["emb_gram_matrix"] = """
+        WITH e AS (
+            SELECT vec_id,
+                   unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS gs
+            FROM embeddings
+        )
+        SELECT CAST(a.gs - 1 AS INT) AS dim_i,
+               CAST(b.gs - 1 AS INT) AS dim_j,
+               ROUND(sum(a.v::DOUBLE * b.v::DOUBLE), 4) AS gram
+        FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.gs <= b.gs
+        GROUP BY 1, 2
     """

@@ -251,3 +251,53 @@ def test_selection_queries_registered():
         "emb_doc_modality_join",
     ):
         assert name in q and name in o
+
+
+# --------------------------------------------- round-6 extra operators
+
+
+def test_events_pivot_row_sums_equal_event_count(spark, sf_dir):
+    from columnar_database_project_spark.catalog import load_table
+    from columnar_database_project_spark.operators.events import (
+        EVENT_TYPES,
+        q_events_pivot_user_counts,
+    )
+
+    wide = q_events_pivot_user_counts(spark, sf_dir)
+    total_wide = (
+        wide.select(
+            sum(F.col(f"n_{t}") for t in EVENT_TYPES).alias("s")
+        )
+        .agg(F.sum("s"))
+        .collect()[0][0]
+    )
+    total_events = load_table(spark, sf_dir, "events").count()
+    assert total_wide == total_events
+    # one row per user, no nulls anywhere
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert wide.count() == users
+    for t in EVENT_TYPES:
+        assert wide.filter(F.col(f"n_{t}").isNull()).count() == 0
+
+
+def test_gram_matrix_diagonal_and_symmetry_contract(spark, sf_dir):
+    """Upper triangle only; diagonal = sum of squares (>= 0); the
+    (0,0) cell equals the numpy ground truth."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from columnar_database_project_spark.operators.similarity import (
+        EMB_DIM,
+        q_emb_gram_matrix,
+    )
+
+    rows = q_emb_gram_matrix(spark, sf_dir).collect()
+    assert len(rows) == EMB_DIM * (EMB_DIM + 1) // 2
+    got = {(r["dim_i"], r["dim_j"]): r["gram"] for r in rows}
+    assert all(i <= j for i, j in got)
+    assert all(got[(d, d)] >= 0 for d in range(EMB_DIM))
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    v = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    want = v.T @ v
+    assert abs(got[(0, 0)] - round(float(want[0, 0]), 4)) < 1e-3
+    assert abs(got[(0, EMB_DIM - 1)] - round(float(want[0, EMB_DIM - 1]), 4)) < 1e-3
