@@ -129,6 +129,36 @@ def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_windows(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_chunk_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring fraction per document: the share of a
+    doc's token-window chunks whose hash also appears in ANOTHER
+    document — the chunk-level (substring) dedup signal that catches
+    boilerplate and near-copies exact-doc dedup misses. Composition:
+    the chunking operator feeds a chunk_hash → n_docs table
+    (corpus-proportional, so the join back is UNHINTED — AQE
+    size-gates it) and a per-doc rollup. Two shuffles (hash groupBy +
+    join), both on the md5 digest, never on text bytes."""
+    chunks = chunk_windows(load_table(spark, sf_dir, "documents"))
+    hash_docs = chunks.groupBy("chunk_hash").agg(
+        F.countDistinct("doc_id").alias("n_docs_with_hash")
+    )
+    return (
+        chunks.join(hash_docs, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("n_docs_with_hash") > 1).cast("long")).alias(
+                "n_dup_chunks"
+            ),
+            F.round(
+                F.sum((F.col("n_docs_with_hash") > 1).cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_chunk_frac"),
+        )
+    )
+
+
 def q_text_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic quality-weighted importance sampling: keep a doc
     iff hash-uniform(doc_id) < weight, weight = 0.2 + 0.8 * quality.
@@ -308,6 +338,7 @@ def q_emb_doc_modality_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "text_pii_redact": q_text_pii_redact,
     "text_chunk_windows": q_text_chunk_windows,
+    "text_chunk_dup_rate": q_text_chunk_dup_rate,
     "text_importance_sample": q_text_importance_sample,
     "text_token_budget_select": q_text_token_budget_select,
     "text_bm25_topk": q_text_bm25_topk,
@@ -357,6 +388,37 @@ ORACLES = {
                         chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}], ' '))
                    AS chunk_hash
         FROM c
+    """,
+    "text_chunk_dup_rate": f"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ), c AS (
+            SELECT doc_id,
+                   md5(array_to_string(
+                       toks[chunk_id * {CHUNK_STRIDE} + 1 :
+                            chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}], ' '))
+                       AS chunk_hash
+            FROM (
+                SELECT doc_id, toks,
+                       unnest(range(0,
+                           CAST(floor((len(toks) - 1) / {CHUNK_STRIDE}) AS BIGINT) + 1
+                       )) AS chunk_id
+                FROM t
+            )
+        ), h AS (
+            SELECT chunk_hash,
+                   count(DISTINCT doc_id) AS n_docs_with_hash
+            FROM c GROUP BY chunk_hash
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN n_docs_with_hash > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_chunks,
+               ROUND(sum(CASE WHEN n_docs_with_hash > 1 THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS dup_chunk_frac
+        FROM c JOIN h USING (chunk_hash)
+        GROUP BY doc_id
     """,
     "text_importance_sample": f"""
         WITH t AS (

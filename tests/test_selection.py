@@ -301,3 +301,29 @@ def test_gram_matrix_diagonal_and_symmetry_contract(spark, sf_dir):
     want = v.T @ v
     assert abs(got[(0, 0)] - round(float(want[0, 0]), 4)) < 1e-3
     assert abs(got[(0, EMB_DIM - 1)] - round(float(want[0, EMB_DIM - 1]), 4)) < 1e-3
+
+
+def test_chunk_dup_rate_detects_planted_duplicates(spark, tmp_path):
+    """Two docs sharing their full text must show dup_chunk_frac 1.0;
+    a unique doc 0.0."""
+    shared = " ".join(f"w{i}" for i in range(40))
+    unique = " ".join(f"u{i}" for i in range(40))
+    rows = [
+        (1, shared, "en", "s", 1),
+        (2, shared, "en", "s", 1),
+        (3, unique, "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path / "cdr")
+    docs.write.parquet(out + "/documents.parquet")
+    from columnar_database_project_spark.operators.selection import (
+        q_text_chunk_dup_rate,
+    )
+
+    got = {
+        r["doc_id"]: r["dup_chunk_frac"]
+        for r in q_text_chunk_dup_rate(spark, out).collect()
+    }
+    assert got[1] == 1.0 and got[2] == 1.0 and got[3] == 0.0
