@@ -139,21 +139,27 @@ def q_text_chunk_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     size-gates it) and a per-doc rollup. Two shuffles (hash groupBy +
     join), both on the md5 digest, never on text bytes."""
     chunks = chunk_windows(load_table(spark, sf_dir, "documents"))
-    hash_docs = chunks.groupBy("chunk_hash").agg(
-        F.countDistinct("doc_id").alias("n_docs_with_hash")
+    # Single corpus scan: pre-aggregate to (hash, doc) with
+    # per-doc occurrence counts (map-side partial), count distinct
+    # docs per hash as a window ROW count over that deduped frame
+    # (countDistinct-over-window unsupported; this is its exact
+    # equivalent), then roll up per doc — no self-join, so the
+    # chunking+md5 work runs once, not twice.
+    per = chunks.groupBy("chunk_hash", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
+    n_docs = F.count(F.lit(1)).over(W.partitionBy("chunk_hash"))
+    dup_occ = F.when(F.col("n_docs_with_hash") > 1, F.col("n_occ")).otherwise(
+        F.lit(0)
     )
     return (
-        chunks.join(hash_docs, "chunk_hash")
+        per.withColumn("n_docs_with_hash", n_docs)
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum((F.col("n_docs_with_hash") > 1).cast("long")).alias(
-                "n_dup_chunks"
-            ),
+            F.sum("n_occ").alias("n_chunks"),
+            F.sum(dup_occ).alias("n_dup_chunks"),
             F.round(
-                F.sum((F.col("n_docs_with_hash") > 1).cast("long"))
-                / F.count(F.lit(1)).cast("double"),
-                6,
+                F.sum(dup_occ) / F.sum("n_occ").cast("double"), 6
             ).alias("dup_chunk_frac"),
         )
     )
