@@ -194,6 +194,44 @@ def q_text_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Target per-language keep rates for corpus mixing — the knob a
+# pretraining data recipe sets (upsample the target language, damp the
+# long tail). Deterministic hash thresholds, not rand(): incremental
+# batches and backfills make identical decisions.
+DOMAIN_MIX_WEIGHTS = {
+    "en": 1.0,
+    "fr": 0.6,
+    "de": 0.6,
+    "es": 0.6,
+    "zh": 0.3,
+}
+DOMAIN_MIX_DEFAULT = 0.5  # unlisted languages
+
+
+def q_text_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/language mixing: rebalance the corpus to target per-lang
+    rates by keeping each doc iff hash-uniform(doc_id) < rate(lang).
+    The uniform draw uses md5 hex chars 13-20 — disjoint from the
+    split bucket (chars 1-4) and the importance-sample draw (5-12), so
+    the three decisions are mutually independent. Scan-local filter,
+    zero shuffles; the weight lookup is a CASE expression, not a join."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.round(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 13, 8), 16, 10
+        ).cast("double")
+        / F.lit(4294967296.0),
+        6,
+    )
+    w = F.lit(DOMAIN_MIX_DEFAULT)
+    for lang, rate in DOMAIN_MIX_WEIGHTS.items():
+        w = F.when(F.col("lang") == lang, F.lit(rate)).otherwise(w)
+    return (
+        docs.select("doc_id", "lang", u.alias("u"), w.alias("rate"))
+        .filter(F.col("u") < F.col("rate"))
+    )
+
+
 def q_text_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget corpus selection: take the highest-quality
     documents (quality quantized to 20 buckets; ties broken by doc_id)
@@ -346,6 +384,7 @@ QUERIES = {
     "text_chunk_windows": q_text_chunk_windows,
     "text_chunk_dup_rate": q_text_chunk_dup_rate,
     "text_importance_sample": q_text_importance_sample,
+    "text_domain_mix_sample": q_text_domain_mix_sample,
     "text_token_budget_select": q_text_token_budget_select,
     "text_bm25_topk": q_text_bm25_topk,
     "emb_doc_modality_join": q_emb_doc_modality_join,
@@ -438,6 +477,22 @@ ORACLES = {
                ROUND(0.2 + 0.8 * ({_QUALITY_SQL}), 6) AS weight
         FROM t
         WHERE u < ROUND(0.2 + 0.8 * ({_QUALITY_SQL}), 6)
+    """,
+    "text_domain_mix_sample": f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   ROUND(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 13, 8))::BIGINT
+                         / 4294967296.0, 6) AS u,
+                   CASE lang
+                       {" ".join(
+                           f"WHEN '{lang}' THEN {rate}"
+                           for lang, rate in DOMAIN_MIX_WEIGHTS.items()
+                       )}
+                       ELSE {DOMAIN_MIX_DEFAULT}
+                   END AS rate
+            FROM documents
+        )
+        SELECT doc_id, lang, u, rate FROM t WHERE u < rate
     """,
     "text_token_budget_select": f"""
         WITH t AS (

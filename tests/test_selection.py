@@ -327,3 +327,35 @@ def test_chunk_dup_rate_detects_planted_duplicates(spark, tmp_path):
         for r in q_text_chunk_dup_rate(spark, out).collect()
     }
     assert got[1] == 1.0 and got[2] == 1.0 and got[3] == 0.0
+
+
+def test_domain_mix_rates_and_determinism(spark, sf_dir):
+    from columnar_database_project_spark.catalog import load_table
+    from columnar_database_project_spark.operators.selection import (
+        DOMAIN_MIX_WEIGHTS,
+        q_text_domain_mix_sample,
+    )
+
+    a = sorted(r["doc_id"] for r in q_text_domain_mix_sample(spark, sf_dir).collect())
+    b = sorted(r["doc_id"] for r in q_text_domain_mix_sample(spark, sf_dir).collect())
+    assert a == b and a
+    kept = q_text_domain_mix_sample(spark, sf_dir)
+    # every kept row satisfies its own rate rule
+    assert kept.filter(~(F.col("u") < F.col("rate"))).count() == 0
+    # rebalancing direction: keep-rate for en strictly above zh
+    totals = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    kept_by = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if "en" in totals and "zh" in totals and totals["zh"] >= 10:
+        en_rate = kept_by.get("en", 0) / totals["en"]
+        zh_rate = kept_by.get("zh", 0) / totals["zh"]
+        assert en_rate > zh_rate
+        assert en_rate > 0.9  # weight 1.0 keeps ~everything
