@@ -345,6 +345,83 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w))
 
 
+WEIGHTED_SAMPLE_K = 50
+
+
+def q_text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis–Spirakis:
+    each doc draws key = u^(1/w) (u hash-uniform, w = 0.2+0.8*quality)
+    and the K largest keys win — a one-pass, shuffle-light exact
+    algorithm (the heavier a doc's weight, the likelier a large key).
+    Unlike rejection/importance sampling this hits the sample size K
+    exactly. The uniform draw uses md5 hex chars 21-28 — disjoint from
+    the split bucket (1-4), the importance draw (5-12), and the
+    domain-mix draw (13-20), so all four decisions are independent.
+    Scale shape: keys are scan-local; the only shuffle is the
+    TakeOrderedAndProject top-K (per-partition heaps carry K rows each
+    — no global sort); the rank window then runs over K rows only.
+    Keys are rounded to 6dp BEFORE ranking (doc_id tiebreak) so
+    cross-engine pow() noise cannot flip the cut."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    u = F.round(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 21, 8), 16, 10
+        ).cast("double")
+        / F.lit(4294967296.0),
+        6,
+    )
+    w = F.round(0.2 + 0.8 * _quality_score(toks), 6)
+    key = F.round(F.pow(u, 1.0 / w), 6)
+    scored = docs.select(
+        "doc_id", w.alias("weight"), key.alias("es_key")
+    )
+    top = scored.orderBy(
+        F.col("es_key").desc(), "doc_id"
+    ).limit(WEIGHTED_SAMPLE_K)
+    win = W.orderBy(F.col("es_key").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(win))
+
+
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the nightly corpus-lifecycle audit: which docs
+    were added, removed, or changed between two corpus versions. The
+    two snapshots are derived deterministically from ``documents`` so
+    the diff is oracle-checkable: the OLD snapshot lacks doc_id%10==0
+    (→ those surface as ``added``), the NEW snapshot lacks
+    doc_id%10==5 (→ ``removed``) and carries an edited text for
+    doc_id%10==1 (→ ``changed``). Comparison is by md5 fingerprint, so
+    the full-outer join shuffles ~24 bytes/row (id + digest), never
+    the text — at 100 TB the diff costs two fingerprint scans plus one
+    id-keyed exchange, not a text shuffle. Unchanged rows are dropped
+    post-join (the overwhelming majority at scale, so the output is
+    delta-sized)."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 10
+    old = docs.filter(m != 0).select(
+        "doc_id", F.md5("text").alias("fp_old")
+    )
+    new = docs.filter(m != 5).select(
+        "doc_id",
+        F.md5(
+            F.when(m == 1, F.concat(F.col("text"), F.lit(" v2"))).otherwise(
+                F.col("text")
+            )
+        ).alias("fp_new"),
+    )
+    status = (
+        F.when(F.col("fp_old").isNull(), F.lit("added"))
+        .when(F.col("fp_new").isNull(), F.lit("removed"))
+        .when(F.col("fp_old") != F.col("fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        old.join(new, "doc_id", "full_outer")
+        .select("doc_id", status.alias("status"))
+        .filter(F.col("status") != "unchanged")
+    )
+
+
 def q_emb_doc_modality_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal join: documents x embeddings on doc_id = vec_id,
     rolled up per (lang, label) with doc-quality and vector-norm
@@ -387,6 +464,8 @@ QUERIES = {
     "text_domain_mix_sample": q_text_domain_mix_sample,
     "text_token_budget_select": q_text_token_budget_select,
     "text_bm25_topk": q_text_bm25_topk,
+    "text_weighted_sample": q_text_weighted_sample,
+    "corpus_snapshot_diff": q_corpus_snapshot_diff,
     "emb_doc_modality_join": q_emb_doc_modality_join,
 }
 
@@ -549,6 +628,48 @@ ORACLES = {
                    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
             FROM scored
         ) WHERE rank <= {BM25_TOP_K}
+    """,
+    "text_weighted_sample": f"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   ROUND(0.2 + 0.8 * ({_QUALITY_SQL}), 6) AS weight,
+                   ROUND(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 21, 8))::BIGINT
+                         / 4294967296.0, 6) AS u
+            FROM t
+        ), k AS (
+            SELECT doc_id, weight,
+                   ROUND(pow(u, 1.0 / weight), 6) AS es_key
+            FROM s
+        )
+        SELECT doc_id, weight, es_key, rank FROM (
+            SELECT doc_id, weight, es_key,
+                   row_number() OVER (ORDER BY es_key DESC, doc_id) AS rank
+            FROM k
+        ) WHERE rank <= {WEIGHTED_SAMPLE_K}
+    """,
+    "corpus_snapshot_diff": """
+        WITH old AS (
+            SELECT doc_id, md5(text) AS fp_old
+            FROM documents WHERE doc_id % 10 != 0
+        ), new AS (
+            SELECT doc_id,
+                   md5(CASE WHEN doc_id % 10 = 1 THEN text || ' v2'
+                            ELSE text END) AS fp_new
+            FROM documents WHERE doc_id % 10 != 5
+        )
+        SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+               CASE WHEN fp_old IS NULL THEN 'added'
+                    WHEN fp_new IS NULL THEN 'removed'
+                    WHEN fp_old != fp_new THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+        WHERE (CASE WHEN fp_old IS NULL THEN 'added'
+                    WHEN fp_new IS NULL THEN 'removed'
+                    WHEN fp_old != fp_new THEN 'changed'
+                    ELSE 'unchanged' END) != 'unchanged'
     """,
     "emb_doc_modality_join": """
         WITH d AS (

@@ -359,3 +359,53 @@ def test_domain_mix_rates_and_determinism(spark, sf_dir):
         zh_rate = kept_by.get("zh", 0) / totals["zh"]
         assert en_rate > zh_rate
         assert en_rate > 0.9  # weight 1.0 keeps ~everything
+
+
+def test_weighted_sample_size_determinism_and_bias(spark, sf_dir):
+    from columnar_database_project_spark.operators.selection import (
+        WEIGHTED_SAMPLE_K,
+        _quality_score,
+        q_text_weighted_sample,
+    )
+    from columnar_database_project_spark.catalog import load_table
+    from columnar_database_project_spark.operators.text import tokens_col
+
+    a = q_text_weighted_sample(spark, sf_dir).collect()
+    b = q_text_weighted_sample(spark, sf_dir).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    # exact sample size (the without-replacement guarantee) + dense ranks
+    assert len(a) == WEIGHTED_SAMPLE_K
+    assert [r["rank"] for r in a] == list(range(1, WEIGHTED_SAMPLE_K + 1))
+    # keys are sorted descending (rank order == key order)
+    keys = [r["es_key"] for r in a]
+    assert keys == sorted(keys, reverse=True)
+    # weighting bias: the sampled docs' mean weight exceeds the corpus mean
+    corpus_mean = (
+        load_table(spark, sf_dir, "documents")
+        .select(_quality_score(tokens_col()).alias("q"))
+        .agg(F.avg(0.2 + 0.8 * F.col("q")))
+        .first()[0]
+    )
+    sample_mean = sum(r["weight"] for r in a) / len(a)
+    assert sample_mean > corpus_mean
+
+
+def test_snapshot_diff_statuses_follow_construction(spark, sf_dir):
+    from columnar_database_project_spark.operators.selection import (
+        q_corpus_snapshot_diff,
+    )
+    from columnar_database_project_spark.catalog import load_table
+
+    got = {
+        r["doc_id"]: r["status"]
+        for r in q_corpus_snapshot_diff(spark, sf_dir).collect()
+    }
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    for i in ids:
+        expect = {0: "added", 5: "removed", 1: "changed"}.get(i % 10)
+        assert got.get(i) == expect, (i, got.get(i), expect)
+    # nothing else surfaces — unchanged docs are dropped
+    assert set(got) == {i for i in ids if i % 10 in (0, 1, 5)}
