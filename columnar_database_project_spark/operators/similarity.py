@@ -651,6 +651,203 @@ def q_emb_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 5
+
+
+def _seed_centroids(sf_dir: str) -> np.ndarray:
+    """Deterministic k-means init: the first KMEANS_K vectors by
+    vec_id, read driver-side with a pushdown-filtered pyarrow scan
+    (same bounded pattern as ``_query_vectors`` — the centroids are a
+    K x D parameter of the job, not a Spark stage)."""
+    import pyarrow.dataset as ds
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    t = (
+        ds.dataset(path)
+        .to_table(
+            columns=["vec_id", "embedding"],
+            filter=ds.field("vec_id") < KMEANS_K,
+        )
+        .sort_by("vec_id")
+    )
+    return np.array(
+        [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]
+    )
+
+
+def _kmeans_partials(cents: np.ndarray):
+    """mapInPandas kernel: assign each vector to its nearest centroid
+    (L2, rounded to 6dp with lowest-centroid-id tiebreak so assignment
+    is reproducible cross-engine) and emit per-batch PARTIAL sums —
+    (cluster_id, dim, psum, pcnt) — the Gram-matrix pattern: the
+    shuffle carries O(tasks x K x D) cells regardless of row count.
+    Distances use the direct (v-c)^2 form, not the expanded-dot-product
+    form, to match the oracle's summation error profile."""
+    C = np.ascontiguousarray(cents, dtype=np.float64)  # (K, D)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc_sum: np.ndarray | None = None
+        acc_cnt: np.ndarray | None = None
+        for pdf in batches:
+            V = stack_embeddings(pdf["embedding"])  # (n, D)
+            d2 = np.empty((V.shape[0], C.shape[0]))
+            for k in range(C.shape[0]):
+                diff = V - C[k]
+                d2[:, k] = np.einsum("ij,ij->i", diff, diff)
+            assign = np.round(np.sqrt(d2), 6).argmin(axis=1)  # first-min = low cid
+            if acc_sum is None:
+                acc_sum = np.zeros((C.shape[0], C.shape[1]))
+                acc_cnt = np.zeros(C.shape[0], dtype=np.int64)
+            np.add.at(acc_sum, assign, V)
+            np.add.at(acc_cnt, assign, 1)
+        if acc_sum is None:
+            return
+        ks, ds_ = np.nonzero(np.broadcast_to(acc_cnt[:, None] > 0, acc_sum.shape))
+        yield pd.DataFrame(
+            {
+                "cluster_id": ks.astype(np.int32),
+                "dim": ds_.astype(np.int32),
+                "psum": acc_sum[ks, ds_],
+                "pcnt": acc_cnt[ks],
+            }
+        )
+
+    return fn
+
+
+_PARTIAL_SCHEMA = "cluster_id int, dim int, psum double, pcnt long"
+
+
+def q_emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration from the deterministic seed centroids:
+    assign every vector to its nearest centroid, output the updated
+    per-(cluster, dim) mean and member count — the oracle-checkable
+    unit of the k-means loop (``kmeans_fit`` iterates exactly this).
+    Scale shape: a single corpus scan; the kernel pre-aggregates to
+    K x D partials per task, so the one shuffle is row-count
+    independent. The K-row centroid set rides into executors as a
+    closure constant (bounded by construction: K x D doubles)."""
+    cents = _seed_centroids(sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    partials = emb.select("embedding").mapInPandas(
+        _kmeans_partials(cents), schema=_PARTIAL_SCHEMA
+    )
+    return partials.groupBy("cluster_id", "dim").agg(
+        F.sum("pcnt").alias("n_members"),
+        F.round(F.sum("psum") / F.sum("pcnt"), 6).alias("centroid"),
+    )
+
+
+def kmeans_fit(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> tuple[np.ndarray, list[float]]:
+    """Distributed Lloyd's algorithm: ``iters`` rounds of one-scan
+    partial-aggregated assignment (see ``q_emb_kmeans_step``). The
+    driver collects only the K x D partial table per round (bounded
+    control plane, like the connected-components fixed-point probe);
+    vectors never leave executors. Empty clusters keep their previous
+    centroid. Returns (centroids, per-round inertia) — inertia is
+    non-increasing by Lloyd's convergence argument, asserted in
+    tests/test_round6.py."""
+    cents = _seed_centroids(sf_dir)[:k]
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    inertias: list[float] = []
+    for _ in range(iters):
+        rows = (
+            emb.mapInPandas(
+                _kmeans_summary(cents), schema=_SUMMARY_SCHEMA
+            )
+            .groupBy("cluster_id", "dim")
+            .agg(
+                F.sum("psum").alias("ssum"),
+                F.sum("pcnt").alias("scnt"),
+                F.sum("pd2").alias("sd2"),
+            )
+            .collect()
+        )  # ≤ K x D rows — bounded driver collect
+        new = cents.copy()
+        inertia = 0.0
+        for r in rows:
+            new[r["cluster_id"], r["dim"]] = r["ssum"] / r["scnt"]
+            if r["dim"] == 0:
+                inertia += r["sd2"]
+        inertias.append(inertia)
+        cents = new
+    return cents, inertias
+
+
+def _kmeans_summary(cents: np.ndarray):
+    """Like ``_kmeans_partials`` but also carries the batch's summed
+    squared distance (inertia partial) on each cluster's dim-0 row."""
+    C = np.ascontiguousarray(cents, dtype=np.float64)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc_sum: np.ndarray | None = None
+        acc_cnt: np.ndarray | None = None
+        acc_d2: np.ndarray | None = None
+        for pdf in batches:
+            V = stack_embeddings(pdf["embedding"])
+            d2 = np.empty((V.shape[0], C.shape[0]))
+            for k in range(C.shape[0]):
+                diff = V - C[k]
+                d2[:, k] = np.einsum("ij,ij->i", diff, diff)
+            assign = np.round(np.sqrt(d2), 6).argmin(axis=1)
+            if acc_sum is None:
+                acc_sum = np.zeros((C.shape[0], C.shape[1]))
+                acc_cnt = np.zeros(C.shape[0], dtype=np.int64)
+                acc_d2 = np.zeros(C.shape[0])
+            np.add.at(acc_sum, assign, V)
+            np.add.at(acc_cnt, assign, 1)
+            np.add.at(acc_d2, assign, d2[np.arange(len(assign)), assign])
+        if acc_sum is None:
+            return
+        ks, ds_ = np.nonzero(np.broadcast_to(acc_cnt[:, None] > 0, acc_sum.shape))
+        yield pd.DataFrame(
+            {
+                "cluster_id": ks.astype(np.int32),
+                "dim": ds_.astype(np.int32),
+                "psum": acc_sum[ks, ds_],
+                "pcnt": acc_cnt[ks],
+                "pd2": np.where(ds_ == 0, acc_d2[ks], 0.0),
+            }
+        )
+
+    return fn
+
+
+_SUMMARY_SCHEMA = _PARTIAL_SCHEMA + ", pd2 double"
+
+
+def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full k-means fit (KMEANS_ITERS Lloyd rounds) followed by a
+    final assignment pass: per-cluster member count and mean distance
+    to the fitted centroid — the semantic-clustering audit that
+    SemDeDup-style dedup and cluster-balanced sampling build on.
+    Iterative, so no SQL oracle (rows-only driver check); the Lloyd
+    invariant (non-increasing inertia) is the pytest correctness
+    signal."""
+    cents, _ = kmeans_fit(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    return (
+        emb.mapInPandas(_kmeans_summary(cents), schema=_SUMMARY_SCHEMA)
+        .groupBy("cluster_id")
+        .agg(
+            F.sum(F.when(F.col("dim") == 0, F.col("pcnt"))).alias("n_members"),
+            F.round(
+                F.sqrt(
+                    F.sum("pd2")
+                    / F.sum(F.when(F.col("dim") == 0, F.col("pcnt")))
+                ),
+                6,
+            ).alias("rms_dist"),
+        )
+    )
+
+
 QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_hyperplane_signatures": q_sim_hyperplane_signatures,
@@ -663,6 +860,8 @@ QUERIES = {
     "emb_label_centroids": q_emb_label_centroids,
     "emb_quantize_stats": q_emb_quantize_stats,
     "emb_gram_matrix": q_emb_gram_matrix,
+    "emb_kmeans_step": q_emb_kmeans_step,
+    "emb_kmeans": q_emb_kmeans,
 }
 
 
@@ -783,6 +982,38 @@ def _ivf_oracle_sqls() -> dict[str, str]:
 
 
 ORACLES.update(_ivf_oracle_sqls())
+
+ORACLES["emb_kmeans_step"] = f"""
+        WITH c AS (
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+            FROM embeddings WHERE vec_id < {KMEANS_K}
+        ), a AS (
+            SELECT e.vec_id, c.cid, e.embedding,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND(list_distance(e.embedding::DOUBLE[], c.cv), 6),
+                                c.cid
+                   ) AS rn
+            FROM embeddings e CROSS JOIN c
+        ), m AS (
+            SELECT CAST(cid AS INT) AS cluster_id, embedding
+            FROM a WHERE rn = 1
+        )
+        SELECT cluster_id, CAST(gs - 1 AS INT) AS dim,
+               count(*) AS n_members,
+               ROUND(avg(v), 6) AS centroid
+        FROM (
+            SELECT cluster_id,
+                   unnest(embedding::DOUBLE[]) AS v,
+                   generate_subscripts(embedding, 1) AS gs
+            FROM m
+        )
+        GROUP BY cluster_id, dim
+    """
+
+# emb_kmeans: iterative (KMEANS_ITERS Lloyd rounds) — not SQL-
+# expressible without recursion; rows-only driver check + the Lloyd
+# inertia invariant in tests/test_round6.py.
 
 ORACLES["emb_label_centroids"] = """
         SELECT label,

@@ -327,3 +327,44 @@ def test_engine_facade_stream_heavy_hitters(spark, sf_dir, tmp_path_factory):
     rows = summary.collect()
     assert 0 < len(rows) <= 20
     assert all(r["cnt"] > 0 for r in rows)
+
+
+def test_kmeans_inertia_non_increasing(spark, sf_dir):
+    from columnar_database_project_spark.operators.similarity import (
+        KMEANS_ITERS,
+        kmeans_fit,
+    )
+
+    cents, inertias = kmeans_fit(spark, sf_dir)
+    assert len(inertias) == KMEANS_ITERS
+    for a, b in zip(inertias, inertias[1:]):
+        assert b <= a + 1e-6, inertias
+    # the fit moved: final inertia strictly below the seed assignment's
+    assert inertias[-1] < inertias[0]
+
+
+def test_kmeans_step_agrees_with_fit_round_one(spark, sf_dir):
+    import numpy as np
+
+    from columnar_database_project_spark.operators.similarity import (
+        kmeans_fit,
+        q_emb_kmeans_step,
+    )
+
+    step = {
+        (r["cluster_id"], r["dim"]): r["centroid"]
+        for r in q_emb_kmeans_step(spark, sf_dir).collect()
+    }
+    cents, _ = kmeans_fit(spark, sf_dir, iters=1)
+    for (cid, dim), v in step.items():
+        assert abs(cents[cid, dim] - v) < 1e-5
+
+
+def test_kmeans_final_assignment_covers_corpus(spark, sf_dir):
+    from columnar_database_project_spark.catalog import load_table
+    from columnar_database_project_spark.operators.similarity import q_emb_kmeans
+
+    rows = q_emb_kmeans(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_members"] for r in rows) == n
+    assert all(r["rms_dist"] >= 0 for r in rows)
