@@ -27,7 +27,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from columnar_database_project_spark.catalog import load_table
@@ -95,8 +95,45 @@ def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SKEW_TOP_N = 10
+
+
+def q_stats_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew profile for the shuffle key a pipeline is about to
+    join/aggregate on (here: events.user_id) — the diagnostic that
+    decides whether a key needs salting or AQE skew-join before a
+    100 TB run. One partial-agg'd shuffle builds per-key counts; the
+    global summary (rows, distinct keys) reduces to ONE row (bounded
+    broadcast); the top-N is TakeOrderedAndProject. Output per hot
+    key: count, share of all rows, and skew factor (count / mean
+    count per key — a value ≫1 means salt this key)."""
+    events = load_table(spark, sf_dir, "events")
+    per_key = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    summary = per_key.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    top = (
+        per_key.orderBy(F.col("cnt").desc(), "user_id")
+        .limit(SKEW_TOP_N)
+        .crossJoin(F.broadcast(summary))  # 1 row: bounded
+    )
+    w = W.orderBy(F.col("cnt").desc(), F.col("user_id"))
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        "user_id",
+        "cnt",
+        F.round(F.col("cnt") / F.col("n_rows"), 6).alias("share"),
+        F.round(
+            F.col("cnt") * F.col("n_keys") / F.col("n_rows").cast("double"), 4
+        ).alias("skew_factor"),
+        "n_keys",
+    )
+
+
 QUERIES = {
     "sketch_heavy_hitters": q_sketch_heavy_hitters,
+    "stats_key_skew": q_stats_key_skew,
 }
 
 ORACLES = {
@@ -110,5 +147,24 @@ ORACLES = {
             SELECT count(*) AS n FROM tf
         )
         SELECT term, cnt FROM c, n WHERE cnt * {MG_CAPACITY + 1} > n
+    """,
+    "stats_key_skew": f"""
+        WITH per_key AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY user_id
+        ), summary AS (
+            SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_keys
+            FROM per_key
+        )
+        SELECT rank, user_id, cnt,
+               ROUND(cnt / CAST(n_rows AS DOUBLE), 6) AS share,
+               ROUND(cnt * n_keys / CAST(n_rows AS DOUBLE), 4) AS skew_factor,
+               n_keys
+        FROM (
+            SELECT user_id, cnt, n_rows, n_keys,
+                   row_number() OVER (ORDER BY cnt DESC, user_id) AS rank
+            FROM per_key CROSS JOIN summary
+        ) WHERE rank <= {SKEW_TOP_N}
     """,
 }

@@ -368,3 +368,31 @@ def test_kmeans_final_assignment_covers_corpus(spark, sf_dir):
     n = load_table(spark, sf_dir, "embeddings").count()
     assert sum(r["n_members"] for r in rows) == n
     assert all(r["rms_dist"] >= 0 for r in rows)
+
+
+def test_key_skew_profile_internal_consistency(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from columnar_database_project_spark.catalog import load_table
+    from columnar_database_project_spark.operators.sketch import (
+        SKEW_TOP_N,
+        q_stats_key_skew,
+    )
+
+    rows = q_stats_key_skew(spark, sf_dir).collect()
+    assert len(rows) == SKEW_TOP_N
+    events = load_table(spark, sf_dir, "events")
+    n_rows = events.count()
+    n_keys = events.select("user_id").distinct().count()
+    counts = sorted(r["cnt"] for r in rows)
+    assert counts == sorted(counts)  # ordered set sanity
+    for r in rows:
+        assert r["n_keys"] == n_keys
+        assert abs(r["share"] - r["cnt"] / n_rows) < 1e-5
+        assert abs(r["skew_factor"] - r["cnt"] * n_keys / n_rows) < 1e-3
+    # top-1 really is the modal key
+    top_true = (
+        events.groupBy("user_id").count().orderBy(F.col("count").desc(), "user_id")
+        .first()
+    )
+    assert rows[0]["user_id"] == top_true["user_id"]
