@@ -702,50 +702,65 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMB_TILE = 2048
 
 
-def _cosine_pairs_in_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Pairwise cosine within one blocking group, pairs with
-    round(cos, 4) >= COSINE_TAU, vec_a < vec_b. Exact semantics; the
-    n×n similarity matrix is computed in EMB_TILE-square tiles so peak
-    memory stays bounded for oversized groups (the 100 TB skew
-    guard)."""
+def _cosine_pairs_kernel(block_col: str, block_np_dtype: str):
+    """Factory for the in-group pairwise-cosine kernel, parameterized
+    by the blocking column carried through to the output (``label``
+    for the label-blocked dedup, ``cluster_id`` for the k-means
+    semantic dedup). Pairs with round(cos, 4) >= COSINE_TAU,
+    vec_a < vec_b. Exact semantics; the n×n similarity matrix is
+    computed in EMB_TILE-square tiles so peak memory stays bounded for
+    oversized groups (the 100 TB skew guard)."""
     import numpy as np
 
-    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-    n = len(pdf)
-    if n < 2:
-        return pd.DataFrame(
-            {"vec_a": [], "vec_b": [], "label": [], "cosine": []}
-        ).astype({"vec_a": "int64", "vec_b": "int64", "label": "int32", "cosine": "float64"})
-    m = normalize_rows(stack_embeddings(pdf["embedding"]))
-    ids = pdf["vec_id"].values
-    labels = pdf["label"].values
-    va, vb, la, cos = [], [], [], []
-    for i0 in range(0, n, EMB_TILE):
-        i1 = min(i0 + EMB_TILE, n)
-        for j0 in range(i0, n, EMB_TILE):
-            j1 = min(j0 + EMB_TILE, n)
-            sims = np.round(m[i0:i1] @ m[j0:j1].T, 4)
-            ia, ib = np.nonzero(sims >= COSINE_TAU)
-            if i0 == j0:
-                keep = ia < ib  # upper triangle inside the diagonal tile
-                ia, ib = ia[keep], ib[keep]
-            if len(ia):
-                va.append(ids[i0:i1][ia])
-                vb.append(ids[j0:j1][ib])
-                la.append(labels[i0:i1][ia])
-                cos.append(sims[ia, ib])
-    if not va:
-        return pd.DataFrame(
-            {"vec_a": [], "vec_b": [], "label": [], "cosine": []}
-        ).astype({"vec_a": "int64", "vec_b": "int64", "label": "int32", "cosine": "float64"})
-    return pd.DataFrame(
+    empty = pd.DataFrame(
+        {"vec_a": [], "vec_b": [], block_col: [], "cosine": []}
+    ).astype(
         {
-            "vec_a": np.concatenate(va),
-            "vec_b": np.concatenate(vb),
-            "label": np.concatenate(la),
-            "cosine": np.concatenate(cos),
+            "vec_a": "int64",
+            "vec_b": "int64",
+            block_col: block_np_dtype,
+            "cosine": "float64",
         }
     )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return empty
+        m = normalize_rows(stack_embeddings(pdf["embedding"]))
+        ids = pdf["vec_id"].values
+        blocks = pdf[block_col].values
+        va, vb, la, cos = [], [], [], []
+        for i0 in range(0, n, EMB_TILE):
+            i1 = min(i0 + EMB_TILE, n)
+            for j0 in range(i0, n, EMB_TILE):
+                j1 = min(j0 + EMB_TILE, n)
+                sims = np.round(m[i0:i1] @ m[j0:j1].T, 4)
+                ia, ib = np.nonzero(sims >= COSINE_TAU)
+                if i0 == j0:
+                    keep = ia < ib  # upper triangle inside the diagonal tile
+                    ia, ib = ia[keep], ib[keep]
+                if len(ia):
+                    va.append(ids[i0:i1][ia])
+                    vb.append(ids[j0:j1][ib])
+                    la.append(blocks[i0:i1][ia])
+                    cos.append(sims[ia, ib])
+        if not va:
+            return empty
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(va),
+                "vec_b": np.concatenate(vb),
+                block_col: np.concatenate(la),
+                "cosine": np.concatenate(cos),
+            }
+        )
+
+    return fn
+
+
+_cosine_pairs_in_group = _cosine_pairs_kernel("label", "int32")
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -759,6 +774,49 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.groupBy("label").applyInPandas(
         _cosine_pairs_in_group,
         schema="vec_a long, vec_b long, label int, cosine double",
+    )
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup candidates: block the corpus
+    by nearest k-means centroid (the deterministic seed-step
+    assignment from ``operators/similarity.q_emb_kmeans_step``, so the
+    blocking is oracle-reproducible), then emit intra-cluster pairs
+    with cosine >= COSINE_TAU. This is the published SemDeDup recipe
+    (Abbas et al. 2023): cluster once, compare only within clusters —
+    pairwise work drops from O(n²) to sum of per-cluster squares, and
+    at 100 TB the per-group tiled matmul plus the EMB_TILE cap bound
+    executor memory regardless of cluster skew. One scan assigns
+    (kernel closure holds the K x D centroids — bounded), one shuffle
+    on cluster_id groups for the pair kernel."""
+    from columnar_database_project_spark.operators.similarity import (
+        _seed_centroids,
+        stack_embeddings as _stack,
+    )
+    import numpy as np
+
+    C = _seed_centroids(sf_dir)
+
+    def assign(batches):
+        for pdf in batches:
+            V = _stack(pdf["embedding"])
+            d2 = np.empty((V.shape[0], C.shape[0]))
+            for k in range(C.shape[0]):
+                diff = V - C[k]
+                d2[:, k] = np.einsum("ij,ij->i", diff, diff)
+            pdf = pdf[["vec_id", "embedding"]].copy()
+            pdf["cluster_id"] = np.round(np.sqrt(d2), 6).argmin(axis=1).astype(
+                np.int32
+            )
+            yield pdf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = emb.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id long, embedding array<float>, cluster_id int"
+    )
+    return assigned.groupBy("cluster_id").applyInPandas(
+        _cosine_pairs_kernel("cluster_id", "int32"),
+        schema="vec_a long, vec_b long, cluster_id int, cosine double",
     )
 
 
@@ -832,6 +890,7 @@ QUERIES = {
     "dedup_near_survivors": q_dedup_near_survivors,
     "dedup_incremental": q_dedup_incremental,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_semantic": q_dedup_semantic,
 }
 
 # ---------------------------------------------------------------- oracles
@@ -939,6 +998,43 @@ ORACLES = {
               >= {COSINE_TAU}
     """,
 }
+
+# dedup_semantic: same pair predicate, blocked by the k-means seed-step
+# assignment (nearest of the first KMEANS_K vectors, L2 rounded to 6dp
+# with lowest-centroid-id tiebreak — identical to the emb_kmeans_step
+# oracle's assignment CTE).
+
+
+def _dedup_semantic_oracle() -> str:
+    from columnar_database_project_spark.operators.similarity import KMEANS_K
+
+    return f"""
+        WITH c AS (
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+            FROM embeddings WHERE vec_id < {KMEANS_K}
+        ), a AS (
+            SELECT e.vec_id, c.cid, e.embedding,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND(list_distance(e.embedding::DOUBLE[], c.cv), 6),
+                                c.cid
+                   ) AS rn
+            FROM embeddings e CROSS JOIN c
+        ), m AS (
+            SELECT vec_id, CAST(cid AS INT) AS cluster_id, embedding
+            FROM a WHERE rn = 1
+        )
+        SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.cluster_id,
+               ROUND(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4)
+                   AS cosine
+        FROM m x JOIN m y
+          ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+        WHERE ROUND(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4)
+              >= {COSINE_TAU}
+    """
+
+
+ORACLES["dedup_semantic"] = _dedup_semantic_oracle()
 
 
 # Shared SimHash CTE chain (signature per doc) — used by the signature

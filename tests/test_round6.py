@@ -396,3 +396,36 @@ def test_key_skew_profile_internal_consistency(spark, sf_dir):
         .first()
     )
     assert rows[0]["user_id"] == top_true["user_id"]
+
+
+def test_semantic_dedup_finds_planted_twin(spark, tmp_path):
+    """An identical-embedding pair must land in one cluster and surface
+    with cosine 1.0; pairs never cross cluster boundaries."""
+    import numpy as np
+
+    from columnar_database_project_spark.operators.dedup import (
+        COSINE_TAU,
+        q_dedup_semantic,
+    )
+    from columnar_database_project_spark.operators.similarity import (
+        EMB_DIM,
+        KMEANS_K,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(KMEANS_K + 20):
+        v = [float(round(x, 4)) for x in rng.randn(EMB_DIM)]
+        rows.append((i, v, i % 3))
+    twin = rows[KMEANS_K][1]
+    rows.append((900, list(twin), 0))  # exact duplicate of vec KMEANS_K
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = str(tmp_path / "sem")
+    emb.write.parquet(out + "/embeddings.parquet")
+    pairs = q_dedup_semantic(spark, out).collect()
+    got = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in pairs}
+    assert got.get((KMEANS_K, 900)) == 1.0
+    assert all(r["cosine"] >= COSINE_TAU for r in pairs)
+    assert all(0 <= r["cluster_id"] < KMEANS_K for r in pairs)
