@@ -160,3 +160,42 @@ def ingest_documents_csv(
     writer.write(normalized, dst)
     quarantine.write.mode("overwrite").parquet(dst.rstrip("/") + "_quarantine")
     return {"rows": normalized.count(), "quarantined": quarantine.count()}
+
+
+def read_documents_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC variant of the document-drop reader. ORC is already typed
+    and self-describing, so there is no corrupt-record carrier —
+    schema enforcement happens structurally (missing columns surface
+    as nulls via the contract select in ``normalize_documents``;
+    type mismatches fail fast at scan time, which is the correct
+    behavior for a typed columnar drop)."""
+    df = spark.read.orc(path)
+    for field in DOCUMENTS_INGEST_SCHEMA.fields:
+        if field.name == CORRUPT_COL:
+            continue
+        if field.name not in df.columns:
+            df = df.withColumn(field.name, F.lit(None).cast(field.dataType))
+    return df
+
+
+def ingest_documents_orc(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    block_rows: int | None = None,
+) -> dict:
+    """ORC drop → normalized documents microblocks. No staging step:
+    ORC is already columnar, so re-reads are cheap and there is no
+    one-parse-only constraint (that exists for raw-text formats) —
+    the contract normalize runs straight off the scan. Rows failing
+    the contract (null id/text) are quarantined as parquet, mirroring
+    the JSONL/CSV shape so downstream triage is format-agnostic."""
+    parsed = read_documents_orc(spark, src)
+    normalized = normalize_documents(parsed)
+    quarantine = parsed.filter(
+        F.col("doc_id").isNull() | F.col("text").isNull()
+    )
+    writer = MicroBlockWriter(**({"block_rows": block_rows} if block_rows else {}))
+    writer.write(normalized, dst)
+    quarantine.write.mode("overwrite").parquet(dst.rstrip("/") + "_quarantine")
+    return {"rows": normalized.count(), "quarantined": quarantine.count()}

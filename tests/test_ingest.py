@@ -122,3 +122,33 @@ def test_csv_ingestion_shares_the_contract(spark, tmp_path_factory):
     rows = {r["doc_id"]: r for r in spark.read.parquet(dst).collect()}
     assert rows[2]["lang"] == "und"
     assert rows[2]["n_chars"] == len("delta words here")
+
+
+def test_ingest_orc_roundtrip(spark, sf_dir, tmp_path_factory):
+    from columnar_database_project_spark.catalog import load_table
+    from columnar_database_project_spark.sources.ingest import (
+        ingest_documents_orc,
+    )
+
+    tmp = tmp_path_factory.mktemp("orc")
+    drop = str(tmp / "drop.orc")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.orc(drop)
+    # plant two contract violations (null id / null text)
+    bad = spark.createDataFrame(
+        [(None, "x", "en", "s", 1), (77777, None, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    bad.write.mode("append").orc(drop)
+    dst = str(tmp / "documents")
+    report = ingest_documents_orc(spark, drop, dst)
+    assert report["quarantined"] == 2
+    assert report["rows"] == docs.count()
+    back = spark.read.parquet(dst)
+    assert back.count() == docs.count()
+    assert set(back.columns) == {"doc_id", "text", "lang", "source", "n_chars"}
+    # content identity on a fingerprint rollup
+    import pyspark.sql.functions as F
+    fp = lambda d: d.select(F.md5(F.concat_ws("|", "doc_id", "text"))
+                            .alias("h")).agg(F.sum(F.conv(F.substring("h", 1, 8), 16, 10))).first()[0]
+    assert fp(back) == fp(docs)
