@@ -429,3 +429,45 @@ def test_semantic_dedup_finds_planted_twin(spark, tmp_path):
     assert got.get((KMEANS_K, 900)) == 1.0
     assert all(r["cosine"] >= COSINE_TAU for r in pairs)
     assert all(0 <= r["cluster_id"] < KMEANS_K for r in pairs)
+
+
+def test_new_operator_broadcast_policy_pins(spark, sf_dir):
+    """DEPLOY.md broadcast-hint policy for the round-6 additions:
+    corpus-proportional frames carry NO forced hint; the only hinted
+    frames are 1-row summaries (skew profiler) — bounded by
+    construction."""
+    from columnar_database_project_spark.operators.dedup import q_dedup_semantic
+    from columnar_database_project_spark.operators.selection import (
+        q_corpus_snapshot_diff,
+        q_text_weighted_sample,
+    )
+    from columnar_database_project_spark.operators.similarity import (
+        q_emb_kmeans_step,
+    )
+    from columnar_database_project_spark.operators.sketch import q_stats_key_skew
+
+    assert forced_broadcast_hints(q_corpus_snapshot_diff(spark, sf_dir)) == 0
+    assert forced_broadcast_hints(q_text_weighted_sample(spark, sf_dir)) == 0
+    assert forced_broadcast_hints(q_emb_kmeans_step(spark, sf_dir)) == 0
+    assert forced_broadcast_hints(q_dedup_semantic(spark, sf_dir)) == 0
+    assert forced_broadcast_hints(q_stats_key_skew(spark, sf_dir)) == 1
+
+
+def test_snapshot_diff_shuffles_digests_not_text(spark, sf_dir):
+    """The full-outer diff must not carry the text column through the
+    exchange — only doc_id + fingerprints (the at-scale guarantee that
+    the diff is digest-sized)."""
+    from columnar_database_project_spark.operators.selection import (
+        q_corpus_snapshot_diff,
+    )
+    from columnar_database_project_spark.plans.verify import formatted_plan
+
+    plan = formatted_plan(q_corpus_snapshot_diff(spark, sf_dir))
+    import re
+
+    # formatted-plan detail blocks: "(4) Exchange\nInput [2]: [...]"
+    blocks = re.findall(r"\(\d+\) Exchange[^\n]*\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert blocks, "no Exchange detail blocks found — plan format changed?"
+    for cols in blocks:
+        assert "text#" not in cols, cols
+        assert "fp_old" in cols or "fp_new" in cols
