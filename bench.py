@@ -301,6 +301,34 @@ def bench_ivf_recall(spark, sf_dir: str) -> dict:
     }
 
 
+ROUND6_EXTRAS = [
+    "emb_kmeans_step",
+    "dedup_semantic",
+    "corpus_snapshot_diff",
+    "text_weighted_sample",
+    "stats_key_skew",
+]
+
+
+def bench_round6_extras(spark, sf_dir: str) -> dict:
+    """Measured numbers for the round-6 operator additions, OUTSIDE
+    the headline gate set (the headline composition stays stable
+    across rounds for ratio continuity; these are sub-second fixed-
+    cost-dominated queries at bench scale, so folding them into the
+    aggregate would measure Spark's per-query constant, not operator
+    throughput — the three-point decomposition in PLANS.md covers
+    that)."""
+    return {
+        "spark": bench_spark(
+            spark, sf_dir, ROUND6_EXTRAS,
+            runs=RUNS_PER_SCALING_QUERY, warm_sweeps=1,
+        ),
+        "duckdb": bench_duckdb(
+            sf_dir, ROUND6_EXTRAS, runs=RUNS_PER_SCALING_QUERY, warm_sweeps=1
+        ),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -319,6 +347,7 @@ def main() -> None:
     total = round(sum(spark_times.values()), 3)
     facade = bench_engine_facade(spark, sf_dir)
     hive_pruning = bench_hive_pruning(spark, sf_dir)
+    extras_r6 = bench_round6_extras(spark, sf_dir)
     scaling = {}
     sf2_dir = os.environ.get("SPARK_GRAFT_SF2_DIR", "/root/testdata/sf0.01")
     # Third scaling point ABOVE the primary SF: a 5× key-offset replica
@@ -378,6 +407,7 @@ def main() -> None:
         "baseline_duckdb_total": round(sum(duck_times.values()), 3),
         "engine_facade": facade,
         "hive_pruning": hive_pruning,
+        "extras_r6": extras_r6,
         "scaling": scaling,
     }
     with open(os.path.join(REPO, "BENCH.json"), "w") as fh:
@@ -386,6 +416,10 @@ def main() -> None:
     # LAST line = compact headline, guaranteed to fit a ~2 KB tail
     # buffer whole: scaling collapsed to per-SF spark/duckdb totals.
     compact = dict(result)
+    compact["extras_r6"] = {
+        "spark_total": round(sum(extras_r6["spark"].values()), 3),
+        "duckdb_total": round(sum(extras_r6["duckdb"].values()), 3),
+    }
     compact["scaling"] = {
         tag: {
             "spark_total": round(sum(sec["queries"].values()), 3),

@@ -848,6 +848,58 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CLUSTER_SAMPLE_M = 20
+
+
+def q_emb_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling: up to CLUSTER_SAMPLE_M vectors per
+    k-means cell (seed-step assignment, so the blocking is
+    oracle-reproducible), chosen by a deterministic hash-uniform draw
+    — the diversity-sampling recipe that keeps a downsampled corpus
+    covering every semantic region instead of letting the head
+    clusters dominate. Scale shape: one scan assigns (K x D closure
+    constant), one shuffle on cluster_id; the per-cluster window sorts
+    only within cells. The hash draw (md5 of vec_id) makes the sample
+    stable across runs and incremental batches."""
+    import numpy as np
+
+    C = _seed_centroids(sf_dir)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            V = stack_embeddings(pdf["embedding"])
+            d2 = np.empty((V.shape[0], C.shape[0]))
+            for k in range(C.shape[0]):
+                diff = V - C[k]
+                d2[:, k] = np.einsum("ij,ij->i", diff, diff)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "cluster_id": np.round(np.sqrt(d2), 6)
+                    .argmin(axis=1)
+                    .astype(np.int32),
+                }
+            )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = emb.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id long, cluster_id int"
+    )
+    u = F.round(
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        / F.lit(4294967296.0),
+        6,
+    )
+    w = W.partitionBy("cluster_id").orderBy("u", "vec_id")
+    return (
+        assigned.select("vec_id", "cluster_id", u.alias("u"))
+        .withColumn("samp_rank", F.row_number().over(w))
+        .filter(F.col("samp_rank") <= CLUSTER_SAMPLE_M)
+    )
+
+
 QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_hyperplane_signatures": q_sim_hyperplane_signatures,
@@ -862,6 +914,7 @@ QUERIES = {
     "emb_gram_matrix": q_emb_gram_matrix,
     "emb_kmeans_step": q_emb_kmeans_step,
     "emb_kmeans": q_emb_kmeans,
+    "emb_cluster_sample": q_emb_cluster_sample,
 }
 
 
@@ -1014,6 +1067,36 @@ ORACLES["emb_kmeans_step"] = f"""
 # emb_kmeans: iterative (KMEANS_ITERS Lloyd rounds) — not SQL-
 # expressible without recursion; rows-only driver check + the Lloyd
 # inertia invariant in tests/test_round6.py.
+
+ORACLES["emb_cluster_sample"] = f"""
+        WITH c AS (
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+            FROM embeddings WHERE vec_id < {KMEANS_K}
+        ), a AS (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND(list_distance(e.embedding::DOUBLE[], c.cv), 6),
+                                c.cid
+                   ) AS rn
+            FROM embeddings e CROSS JOIN c
+        ), m AS (
+            SELECT vec_id, CAST(cid AS INT) AS cluster_id
+            FROM a WHERE rn = 1
+        ), drawn AS (
+            SELECT vec_id, cluster_id,
+                   ROUND(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+                         / 4294967296.0, 6) AS u
+            FROM m
+        )
+        SELECT vec_id, cluster_id, u, samp_rank FROM (
+            SELECT vec_id, cluster_id, u,
+                   row_number() OVER (
+                       PARTITION BY cluster_id ORDER BY u, vec_id
+                   ) AS samp_rank
+            FROM drawn
+        ) WHERE samp_rank <= {CLUSTER_SAMPLE_M}
+    """
 
 ORACLES["emb_label_centroids"] = """
         SELECT label,

@@ -804,8 +804,53 @@ def q_text_lm_doc_score_topm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DRIFT_TOP_N = 20
+
+
+def q_text_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between two corpus halves (doc_id
+    parity stands in for the two snapshot dates) — the drift monitor a
+    continuously-fed pipeline runs to catch a source going bad or a
+    scraper change shifting the vocabulary. Per-term add-1-smoothed
+    unigram probabilities in each half; top-N terms by absolute
+    probability shift. Scale shape: ONE term-keyed shuffle with
+    map-side partial agg builds both halves' counts (conditional sums
+    — no join of two count tables); the totals reduce to 1 row
+    (bounded broadcast); the top-N is TakeOrderedAndProject. Drift is
+    rounded to 6dp BEFORE ranking (term tiebreak) so cross-engine
+    float noise cannot flip the cut."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    t = docs.select(
+        (F.col("doc_id") % 2).alias("h"), F.explode(toks).alias("term")
+    )
+    g = t.groupBy("term").agg(
+        F.sum(F.when(F.col("h") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("h") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    s = g.agg(
+        F.sum("c0").alias("n0"),
+        F.sum("c1").alias("n1"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    p0 = (F.col("c0") + 1) / (F.col("n0") + F.col("v")).cast("double")
+    p1 = (F.col("c1") + 1) / (F.col("n1") + F.col("v")).cast("double")
+    scored = g.crossJoin(F.broadcast(s)).select(  # 1 row: bounded
+        "term",
+        "c0",
+        "c1",
+        F.round(p0, 6).alias("p0"),
+        F.round(p1, 6).alias("p1"),
+        F.round(F.abs(p0 - p1), 6).alias("drift"),
+    )
+    top = scored.orderBy(F.col("drift").desc(), "term").limit(DRIFT_TOP_N)
+    w = W.orderBy(F.col("drift").desc(), F.col("term"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
+    "text_term_drift": q_text_term_drift,
     "text_bpe_count": q_text_bpe_count,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -1341,4 +1386,34 @@ ORACLES["text_lm_doc_score"] = """
         LEFT JOIN c12 USING (w1, w2)
         LEFT JOIN c1 USING (w1), v
         GROUP BY doc_id
+    """
+
+ORACLES["text_term_drift"] = f"""
+        WITH t AS (
+            SELECT doc_id % 2 AS h,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+            FROM documents
+        ), g AS (
+            SELECT term,
+                   CAST(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+                   CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+            FROM t GROUP BY term
+        ), s AS (
+            SELECT CAST(sum(c0) AS BIGINT) AS n0,
+                   CAST(sum(c1) AS BIGINT) AS n1,
+                   CAST(count(*) AS BIGINT) AS v
+            FROM g
+        ), scored AS (
+            SELECT term, c0, c1,
+                   ROUND((c0 + 1) / CAST(n0 + v AS DOUBLE), 6) AS p0,
+                   ROUND((c1 + 1) / CAST(n1 + v AS DOUBLE), 6) AS p1,
+                   ROUND(abs((c0 + 1) / CAST(n0 + v AS DOUBLE)
+                             - (c1 + 1) / CAST(n1 + v AS DOUBLE)), 6) AS drift
+            FROM g CROSS JOIN s
+        )
+        SELECT term, c0, c1, p0, p1, drift, rank FROM (
+            SELECT term, c0, c1, p0, p1, drift,
+                   row_number() OVER (ORDER BY drift DESC, term) AS rank
+            FROM scored
+        ) WHERE rank <= {DRIFT_TOP_N}
     """

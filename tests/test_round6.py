@@ -471,3 +471,56 @@ def test_snapshot_diff_shuffles_digests_not_text(spark, sf_dir):
     for cols in blocks:
         assert "text#" not in cols, cols
         assert "fp_old" in cols or "fp_new" in cols
+
+
+def test_cluster_sample_caps_and_determinism(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from columnar_database_project_spark.operators.similarity import (
+        CLUSTER_SAMPLE_M,
+        KMEANS_K,
+        q_emb_cluster_sample,
+    )
+
+    a = q_emb_cluster_sample(spark, sf_dir)
+    rows = a.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["cluster_id"], []).append(r["samp_rank"])
+        assert 0 <= r["cluster_id"] < KMEANS_K
+    for cid, ranks in per.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= CLUSTER_SAMPLE_M
+    b = {(r["vec_id"], r["samp_rank"]) for r in q_emb_cluster_sample(spark, sf_dir).collect()}
+    assert {(r["vec_id"], r["samp_rank"]) for r in rows} == b
+    # a corpus larger than K*M must hit the cap somewhere
+    from columnar_database_project_spark.catalog import load_table
+    n = load_table(spark, sf_dir, "embeddings").count()
+    if n >= KMEANS_K * CLUSTER_SAMPLE_M * 2:
+        assert any(len(r) == CLUSTER_SAMPLE_M for r in per.values())
+
+
+def test_term_drift_probabilities_are_smoothed_and_consistent(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from columnar_database_project_spark.catalog import load_table
+    from columnar_database_project_spark.operators.text import (
+        DRIFT_TOP_N,
+        q_text_term_drift,
+        tokens_col,
+    )
+
+    rows = q_text_term_drift(spark, sf_dir).collect()
+    assert [r["rank"] for r in rows] == list(range(1, DRIFT_TOP_N + 1))
+    drifts = [r["drift"] for r in rows]
+    assert drifts == sorted(drifts, reverse=True)
+    # recompute the smoothing denominators independently
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select((F.col("doc_id") % 2).alias("h"), F.explode(tokens_col()).alias("term"))
+    n0 = t.filter("h = 0").count()
+    n1 = t.filter("h = 1").count()
+    v = t.select("term").distinct().count()
+    for r in rows[:5]:
+        assert abs(r["p0"] - (r["c0"] + 1) / (n0 + v)) < 2e-6
+        assert abs(r["p1"] - (r["c1"] + 1) / (n1 + v)) < 2e-6
+        assert abs(r["drift"] - abs(r["p0"] - r["p1"])) < 3e-6
