@@ -321,11 +321,43 @@ def bench_round6_extras(spark, sf_dir: str) -> dict:
     return {
         "spark": bench_spark(
             spark, sf_dir, ROUND6_EXTRAS,
-            runs=RUNS_PER_SCALING_QUERY, warm_sweeps=1,
+            runs=RUNS_PER_SCALING_QUERY, warm_sweeps=2,
         ),
         "duckdb": bench_duckdb(
-            sf_dir, ROUND6_EXTRAS, runs=RUNS_PER_SCALING_QUERY, warm_sweeps=1
+            sf_dir, ROUND6_EXTRAS, runs=RUNS_PER_SCALING_QUERY, warm_sweeps=2
         ),
+    }
+
+
+def bench_tpch_suite(spark, sf_dir: str) -> dict:
+    """Opt-in analysis tool (not part of the recorded BENCH.json): the
+    full TPC-H-shaped Q1-Q22 suite on both engines. At bench scale
+    every one of these is a sub-100 MB micro-join where Spark's
+    per-query constant and single-partition small-regime sort dominate
+    (measured r6: 17.1 s vs 1.3 s at sf0.1, 22.5 s vs 2.7 s at sf0.5 —
+    the RATIO falls 13.6x → 8.3x as data grows, and the forced-regime
+    experiment in PLANS.md locates the partitioned-path crossover at a
+    few hundred MB per input). Recorded and interpreted in PLANS.md
+    §Round-6 rather than BENCH.json so the aggregate can't be read as
+    an at-scale throughput claim; the headline set samples q1/q3/q5/q6
+    per-query."""
+    names = [n for n in entry_mod.queries() if n.startswith("q") and
+             n[1].isdigit()]
+    names.sort(key=lambda n: int("".join(ch for ch in n.split("_")[0] if ch.isdigit())))
+    spark_t = bench_spark(
+        spark, sf_dir, names, runs=RUNS_PER_SCALING_QUERY, warm_sweeps=1
+    )
+    duck_t = bench_duckdb(
+        sf_dir, names, runs=RUNS_PER_SCALING_QUERY, warm_sweeps=1
+    )
+    st, dt = round(sum(spark_t.values()), 3), round(sum(duck_t.values()), 3)
+    return {
+        "n_queries": len(names),
+        "spark_total": st,
+        "duckdb_total": dt,
+        "ratio": round(st / dt, 3) if dt else None,
+        "spark": spark_t,
+        "duckdb": duck_t,
     }
 
 
