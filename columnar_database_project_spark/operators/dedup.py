@@ -39,6 +39,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from columnar_database_project_spark.functions.broadcast_policy import (
+    bounded_broadcast,
+)
 from columnar_database_project_spark.catalog import (
     cache_put,
     file_freshness,
@@ -845,7 +848,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = docs.agg(
         F.floor((F.max("doc_id") + 1) * INCR_SPLIT_FRAC).cast("bigint").alias("t")
     )
-    d = docs.crossJoin(F.broadcast(split))
+    d = docs.crossJoin(bounded_broadcast(split, 1, "1-row id-split threshold"))
     new_fp = d.filter(F.col("doc_id") >= F.col("t")).select(
         "doc_id", F.md5("text").alias("fp")
     )
@@ -855,7 +858,9 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("dup_of"))
     )
     exact = new_fp.join(old_fp, "fp", "left").select("doc_id", "dup_of")
-    bk = _band_keys(spark, sf_dir).crossJoin(F.broadcast(split))
+    bk = _band_keys(spark, sf_dir).crossJoin(
+        bounded_broadcast(split, 1, "1-row id-split threshold")
+    )
     bk_new = bk.filter(F.col("doc_id") >= F.col("t")).select(
         "doc_id", "band", "band_key"
     )

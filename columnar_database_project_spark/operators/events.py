@@ -20,6 +20,9 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from columnar_database_project_spark.catalog import load_table
+from columnar_database_project_spark.functions.broadcast_policy import (
+    bounded_broadcast,
+)
 
 
 def q_events_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,7 +223,7 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ev.join(
-            F.broadcast(tiers),
+            bounded_broadcast(tiers, 16, "literal tier lookup table"),
             (ev.value >= tiers.lo) & (ev.value < tiers.hi),
         )
         .groupBy("tier")
@@ -316,7 +319,10 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z = (F.col("value") - F.col("mu")) / F.col("sd")
     return (
-        ev.join(F.broadcast(stats), "event_type")
+        ev.join(
+        bounded_broadcast(stats, 1000, "per-event-type stats (type vocab is a small constant)"),
+        "event_type",
+    )
         .filter((F.col("sd") > 0) & (F.abs(z) >= ANOMALY_Z))
         .select(
             "event_id",

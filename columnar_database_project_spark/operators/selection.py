@@ -23,6 +23,9 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from columnar_database_project_spark.catalog import load_table
+from columnar_database_project_spark.functions.broadcast_policy import (
+    bounded_broadcast,
+)
 from columnar_database_project_spark.operators.text import (
     EN_MARKERS,
     tokens_col,
@@ -275,7 +278,14 @@ def q_text_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(W.unboundedPreceding, 0)
     )
     return (
-        per_doc.join(F.broadcast(bucket_offsets), "bucket")  # <=20 rows: bounded
+        per_doc.join(
+            bounded_broadcast(
+                bucket_offsets,
+                N_QUALITY_BUCKETS,
+                "quality-bucket offset table",
+            ),
+            "bucket",
+        )
         .select(
             "doc_id",
             "bucket",
@@ -320,7 +330,9 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(len(BM25_QUERY))
         ],
     )
-    scored = base.crossJoin(F.broadcast(stats))  # 1 row: bounded
+    scored = base.crossJoin(
+        bounded_broadcast(stats, 1, "1-row BM25 corpus stats")
+    )
     norm = BM25_K1 * (
         1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
     )

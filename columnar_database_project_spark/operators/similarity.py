@@ -27,6 +27,9 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from columnar_database_project_spark.catalog import load_table
+from columnar_database_project_spark.functions.broadcast_policy import (
+    bounded_broadcast,
+)
 from columnar_database_project_spark.functions.vector import (
     cosine_matrix,
     normalize_rows,
@@ -229,7 +232,13 @@ def q_sim_bucket_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("signature")
     )
     return (
-        sigs.join(F.broadcast(multi), "signature", "left_semi")
+        sigs.join(
+            bounded_broadcast(
+                multi, 2**N_PLANES, "signature space is 2^N_PLANES"
+            ),
+            "signature",
+            "left_semi",
+        )
         .groupBy("signature")
         .applyInPandas(
             bucket_pairs,
@@ -549,7 +558,7 @@ def q_sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     return (
-        hits.crossJoin(F.broadcast(n_exact))  # 1 row: bounded
+        hits.crossJoin(bounded_broadcast(n_exact, 1, "1-row exact-pair count"))
         .select(
             "n_probe",
             "n_hits",
@@ -640,7 +649,7 @@ def q_emb_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     deq = F.col("lo") + qv * span / 255
     err = F.when(span != 0, F.abs(F.col("v") - deq)).otherwise(F.lit(0.0))
     return (
-        e.join(F.broadcast(b), "dim")
+        e.join(bounded_broadcast(b, EMB_DIM, "per-dimension bounds table"), "dim")
         .select("dim", "lo", "hi", err.alias("err"))
         .groupBy("dim")
         .agg(

@@ -31,6 +31,9 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from columnar_database_project_spark.catalog import load_table
+from columnar_database_project_spark.functions.broadcast_policy import (
+    bounded_broadcast,
+)
 from columnar_database_project_spark.operators.text import tokens_col
 
 MG_CAPACITY = 30     # K: guarantees survival of items with freq > n/(K+1)
@@ -86,10 +89,17 @@ def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = terms.mapInPandas(_mg_candidates, schema="term string").distinct()
     total = terms.agg(F.count(F.lit(1)).alias("n"))
     return (
-        terms.join(F.broadcast(candidates), "term")   # verify ONLY candidates
+        terms.join(
+            bounded_broadcast(
+                candidates,
+                MG_CAPACITY * 4096,
+                "MG candidates <= capacity x partitions",
+            ),
+            "term",
+        )  # verify ONLY candidates
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .crossJoin(F.broadcast(total))
+        .crossJoin(bounded_broadcast(total, 1, "1-row corpus token count"))
         .filter(F.col("cnt") * (MG_CAPACITY + 1) > F.col("n"))
         .select("term", "cnt")
     )
@@ -116,7 +126,7 @@ def q_stats_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = (
         per_key.orderBy(F.col("cnt").desc(), "user_id")
         .limit(SKEW_TOP_N)
-        .crossJoin(F.broadcast(summary))  # 1 row: bounded
+        .crossJoin(bounded_broadcast(summary, 1, "1-row key-population summary"))
     )
     w = W.orderBy(F.col("cnt").desc(), F.col("user_id"))
     return top.select(

@@ -17,6 +17,9 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from columnar_database_project_spark.catalog import load_table
+from columnar_database_project_spark.functions.broadcast_policy import (
+    bounded_broadcast,
+)
 
 # Tiny English-marker list used by the language-ID heuristic. The score
 # is a deterministic formula so the oracle reproduces it exactly.
@@ -567,7 +570,7 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = tf.orderBy(F.desc("cnt"), F.asc("term")).limit(VOCAB_TOP_N)
     w = W.orderBy(F.desc("cnt"), F.asc("term"))
     return (
-        top.crossJoin(F.broadcast(total))
+        top.crossJoin(bounded_broadcast(total, 1, "global token-count aggregate"))
         .select(
             "term",
             F.row_number().over(w).alias("rnk"),
@@ -615,7 +618,7 @@ def q_text_bigram_condprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         c12.join(c1, "w1")
-        .crossJoin(F.broadcast(vocab))
+        .crossJoin(bounded_broadcast(vocab, 1, "1-row vocab-size aggregate"))
         .select(
             "w1",
             "w2",
@@ -673,7 +676,7 @@ def q_text_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(c12, ["w1", "w2"], "left")
         .join(c1, "w1", "left")
-        .crossJoin(F.broadcast(vocab))
+        .crossJoin(bounded_broadcast(vocab, 1, "1-row vocab-size aggregate"))
         .select("doc_id", F.log(p).alias("lp"))
         .groupBy("doc_id")
         .agg(
@@ -729,7 +732,7 @@ def q_text_lm_topm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         c12.join(c1, "w1")
-        .crossJoin(F.broadcast(vocab))
+        .crossJoin(bounded_broadcast(vocab, 1, "1-row vocab-size aggregate"))
         .select(
             "w1",
             "w2",
@@ -792,9 +795,17 @@ def q_text_lm_doc_score_topm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(1) / F.col("v").cast("double"))
     )
     return (
-        pairs.join(F.broadcast(lm), ["w1", "w2"], "left")
-        .join(F.broadcast(uni), "w1", "left")
-        .crossJoin(F.broadcast(vocab))
+        pairs.join(
+            bounded_broadcast(lm, LM_TOP_M, "top-M bigram LM table"),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            bounded_broadcast(uni, LM_TOP_M_UNI, "top-M unigram table"),
+            "w1",
+            "left",
+        )
+        .crossJoin(bounded_broadcast(vocab, 1, "1-row vocab-size aggregate"))
         .select("doc_id", F.log(p).alias("lp"))
         .groupBy("doc_id")
         .agg(
@@ -835,7 +846,9 @@ def q_text_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p0 = (F.col("c0") + 1) / (F.col("n0") + F.col("v")).cast("double")
     p1 = (F.col("c1") + 1) / (F.col("n1") + F.col("v")).cast("double")
-    scored = g.crossJoin(F.broadcast(s)).select(  # 1 row: bounded
+    scored = g.crossJoin(
+        bounded_broadcast(s, 1, "1-row per-half totals aggregate")
+    ).select(
         "term",
         "c0",
         "c1",

@@ -109,7 +109,10 @@ def anomaly_stream(
     ``stats`` must carry (event_type, mu, sd)."""
     zcol = (F.col("value") - F.col("mu")) / F.col("sd")
     return (
-        events.join(F.broadcast(stats), "event_type")
+        events.join(
+        bounded_broadcast(stats, 1000, "per-event-type stats (type vocab is a small constant)"),
+        "event_type",
+    )
         .filter((F.col("sd") > 0) & (F.abs(zcol) >= z))
         .select(
             "event_id",

@@ -524,3 +524,63 @@ def test_term_drift_probabilities_are_smoothed_and_consistent(spark, sf_dir):
         assert abs(r["p0"] - (r["c0"] + 1) / (n0 + v)) < 2e-6
         assert abs(r["p1"] - (r["c1"] + 1) / (n1 + v)) < 2e-6
         assert abs(r["drift"] - abs(r["p0"] - r["p1"])) < 3e-6
+
+
+def test_bounded_broadcast_check_mode_validates_all_pipeline_hints(
+    spark, sf_dir, monkeypatch
+):
+    """With SPARK_GRAFT_CHECK_BROADCAST_BOUNDS=1 every bounded_broadcast
+    site COUNTS its frame against the declared bound at plan-build
+    time. Building + executing one query per converted module proves
+    every stated bound actually holds on real data."""
+    from columnar_database_project_spark.functions import broadcast_policy as BP
+
+    monkeypatch.setenv(BP.CHECK_ENV, "1")
+    from columnar_database_project_spark.operators.dedup import q_dedup_incremental
+    from columnar_database_project_spark.operators.events import (
+        q_events_anomaly,
+        q_events_range_join,
+    )
+    from columnar_database_project_spark.operators.selection import (
+        q_text_bm25_topk,
+        q_text_token_budget_select,
+    )
+    from columnar_database_project_spark.operators.similarity import (
+        q_emb_quantize_stats,
+        q_sim_bucket_rerank,
+    )
+    from columnar_database_project_spark.operators.sketch import (
+        q_sketch_heavy_hitters,
+        q_stats_key_skew,
+    )
+    from columnar_database_project_spark.operators.text import (
+        q_text_lm_doc_score_topm,
+        q_text_term_drift,
+    )
+
+    for q in (
+        q_text_lm_doc_score_topm,
+        q_text_term_drift,
+        q_sketch_heavy_hitters,
+        q_stats_key_skew,
+        q_text_bm25_topk,
+        q_text_token_budget_select,
+        q_emb_quantize_stats,
+        q_sim_bucket_rerank,
+        q_dedup_incremental,
+        q_events_range_join,
+        q_events_anomaly,
+    ):
+        assert q(spark, sf_dir).count() >= 0, q.__name__
+
+
+def test_bounded_broadcast_raises_on_violated_bound(spark, monkeypatch):
+    from columnar_database_project_spark.functions import broadcast_policy as BP
+
+    monkeypatch.setenv(BP.CHECK_ENV, "1")
+    df = spark.range(100)
+    with pytest.raises(BP.BroadcastBoundExceeded):
+        BP.bounded_broadcast(df, 10, "deliberately wrong bound")
+    # off by default: no counting, no error
+    monkeypatch.delenv(BP.CHECK_ENV)
+    BP.bounded_broadcast(df, 10, "unchecked")
