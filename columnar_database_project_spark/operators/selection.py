@@ -61,12 +61,11 @@ def _quality_score(toks):
     return 0.6 * F.least(n_tokens / F.lit(100.0), F.lit(1.0)) + 0.4 * stop_ratio
 
 
-def pii_audit(docs: DataFrame) -> DataFrame:
-    """PII scrub over a ``documents``-shaped frame — shared by the
-    batch query below and the streaming twin
-    (``streaming/text.py:pii_redact_stream``), so both execution modes
-    apply the identical scrub definition. Pure stateless map work."""
-    redacted = F.regexp_replace(
+def redacted_text_col():
+    """The scrubbed-text expression (every email/phone/IPv4 match →
+    ``<PII>``) — shared by the audit, the streaming twin, and the
+    composed corpus recipe, so one scrub definition exists."""
+    return F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(F.col("text"), EMAIL_RE, PII_TOKEN),
             PHONE_RE,
@@ -75,6 +74,14 @@ def pii_audit(docs: DataFrame) -> DataFrame:
         IPV4_RE,
         PII_TOKEN,
     )
+
+
+def pii_audit(docs: DataFrame) -> DataFrame:
+    """PII scrub over a ``documents``-shaped frame — shared by the
+    batch query below and the streaming twin
+    (``streaming/text.py:pii_redact_stream``), so both execution modes
+    apply the identical scrub definition. Pure stateless map work."""
+    redacted = redacted_text_col()
     n_email = F.regexp_count(F.col("text"), F.lit(EMAIL_RE))
     n_phone = F.regexp_count(F.col("text"), F.lit(PHONE_RE))
     n_ipv4 = F.regexp_count(F.col("text"), F.lit(IPV4_RE))
@@ -434,6 +441,66 @@ def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_corpus_build_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MODERN pretraining-recipe composition as one job, extending
+    ``text.q_text_corpus_build`` with the two stages a current data
+    recipe adds: PII scrub BEFORE fingerprinting (so near-identical
+    docs differing only in scrubbed PII dedup together — the reason
+    scrub-then-dedup is the production order) and per-language
+    domain-mix resampling after dedup. Stages, every one reusing the
+    standalone operator's shared expression:
+
+        scrub (redacted_text_col) → quality funnel (funnel_flag_cols,
+        over the SCRUBBED text) → exact dedup keep-first → domain-mix
+        (DOMAIN_MIX_WEIGHTS, hash draw) → split (split_col) →
+        per-(split, lang) packing summary (SEQ_LEN).
+
+    Scale shape: one corpus scan computes scrub + flags + fingerprint
+    (all scan-local); the ONLY data-bound shuffle is the dedup
+    keep-first on md5; mix + split are pure column functions of
+    doc_id/lang; the final rollup is a tiny (3 x langs) aggregate —
+    two exchanges end to end, asserted by the plan test."""
+    from columnar_database_project_spark.operators.text import (
+        SEQ_LEN,
+        funnel_flag_cols,
+        split_col,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", redacted_text_col()
+    )
+    _len_ok, _rep_ok, keep = funnel_flag_cols()
+    n_tokens = F.size(tokens_col())
+    kept = docs.filter(keep).select(
+        "doc_id", "lang", F.md5("text").alias("fp"), n_tokens.alias("n_tokens")
+    )
+    survivors = (
+        kept.groupBy("fp")
+        .agg(F.min_by(F.struct("doc_id", "lang", "n_tokens"), "doc_id").alias("s"))
+        .select(F.col("s.doc_id").alias("doc_id"), "s.lang", "s.n_tokens")
+    )
+    u = F.round(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 13, 8), 16, 10
+        ).cast("double")
+        / F.lit(4294967296.0),
+        6,
+    )
+    rate = F.lit(DOMAIN_MIX_DEFAULT)
+    for lang, r in DOMAIN_MIX_WEIGHTS.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    mixed = survivors.filter(u < rate)
+    return (
+        mixed.select(split_col().alias("split"), "lang", "n_tokens")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.ceil(F.sum("n_tokens") / F.lit(SEQ_LEN)).alias("n_seqs"),
+        )
+    )
+
+
 def q_emb_doc_modality_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal join: documents x embeddings on doc_id = vec_id,
     rolled up per (lang, label) with doc-quality and vector-norm
@@ -478,6 +545,7 @@ QUERIES = {
     "text_bm25_topk": q_text_bm25_topk,
     "text_weighted_sample": q_text_weighted_sample,
     "corpus_snapshot_diff": q_corpus_snapshot_diff,
+    "text_corpus_build_full": q_text_corpus_build_full,
     "emb_doc_modality_join": q_emb_doc_modality_join,
 }
 
@@ -682,6 +750,63 @@ ORACLES = {
                     WHEN fp_new IS NULL THEN 'removed'
                     WHEN fp_old != fp_new THEN 'changed'
                     ELSE 'unchanged' END) != 'unchanged'
+    """,
+    "text_corpus_build_full": f"""
+        WITH scrubbed AS (
+            SELECT doc_id, lang,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       text, '{EMAIL_RE}', '{PII_TOKEN}', 'g'),
+                       '{PHONE_RE}', '{PII_TOKEN}', 'g'),
+                       '{IPV4_RE}', '{PII_TOKEN}', 'g') AS text
+            FROM documents
+        ), t AS (
+            SELECT doc_id, lang, md5(text) AS fp,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM scrubbed
+        ), s AS (
+            SELECT doc_id, lang, fp,
+                   len(toks) AS n_tokens,
+                   len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+                       AS distinct_ratio,
+                   len(list_filter(toks, x -> x IN ({_MARKERS_SQL})))
+                       / CAST(len(toks) AS DOUBLE) AS stop_ratio
+            FROM t
+        ), kept AS (
+            SELECT doc_id, lang, fp, n_tokens
+            FROM s
+            WHERE n_tokens >= 30 AND distinct_ratio >= 0.4
+              AND 0.6 * least(n_tokens / 100.0, 1.0) + 0.4 * stop_ratio >= 0.3
+        ), survivors AS (
+            SELECT doc_id, lang, n_tokens,
+                   row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM kept
+        ), mixed AS (
+            SELECT doc_id, lang, n_tokens
+            FROM survivors
+            WHERE rn = 1
+              AND ROUND(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 13, 8))::BIGINT
+                        / 4294967296.0, 6)
+                  < (CASE lang
+                         {" ".join(
+                             f"WHEN '{lang}' THEN {rate}"
+                             for lang, rate in DOMAIN_MIX_WEIGHTS.items()
+                         )}
+                         ELSE {DOMAIN_MIX_DEFAULT}
+                     END)
+        ), sp AS (
+            SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                       % 100 AS bucket,
+                   lang, n_tokens
+            FROM mixed
+        )
+        SELECT CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'val'
+                    ELSE 'test' END AS split,
+               lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(ceil(sum(n_tokens) / 256.0) AS BIGINT) AS n_seqs
+        FROM sp GROUP BY 1, lang
     """,
     "emb_doc_modality_join": """
         WITH d AS (

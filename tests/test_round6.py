@@ -584,3 +584,32 @@ def test_bounded_broadcast_raises_on_violated_bound(spark, monkeypatch):
     # off by default: no counting, no error
     monkeypatch.delenv(BP.CHECK_ENV)
     BP.bounded_broadcast(df, 10, "unchecked")
+
+
+def test_corpus_build_full_two_exchanges_and_composition(spark, sf_dir):
+    """The modern-recipe composition stays shuffle-light: scrub, funnel
+    flags, fingerprint, mix, and split are all scan-local, so only the
+    dedup keep-first and the final rollup exchange data. Also checks
+    the composition against its pieces: full-recipe survivors can
+    never exceed the scrub-less build's survivors per split (the mix
+    stage only removes docs; scrubbing can only merge more dups)."""
+    from columnar_database_project_spark.operators.selection import (
+        q_text_corpus_build_full,
+    )
+    from columnar_database_project_spark.operators.text import (
+        q_text_corpus_build,
+    )
+    from columnar_database_project_spark.plans.verify import count_shuffles
+
+    df = q_text_corpus_build_full(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert count_shuffles(df) <= 3, count_shuffles(df)
+    full = {}
+    for r in df.collect():
+        full[r["split"]] = full.get(r["split"], 0) + r["n_docs"]
+    base = {}
+    for r in q_text_corpus_build(spark, sf_dir).collect():
+        base[r["split"]] = base.get(r["split"], 0) + r["n_docs"]
+    for split, n in full.items():
+        assert n <= base.get(split, 0), (split, n, base)
