@@ -361,6 +361,46 @@ def bench_tpch_suite(spark, sf_dir: str) -> dict:
     }
 
 
+def bench_streaming_throughput(spark, sf_dir: str) -> dict:
+    """Structured-Streaming throughput on the events table: the full
+    corpus replayed as an 8-file parquet drop through (a) the
+    stateless tumbling-window aggregation and (b) the
+    applyInPandasWithState sessionizer, availableNow-triggered to
+    drain everything. Reported as rows/sec so the streaming surface
+    carries a measured capacity number, not just twin-equality tests.
+    (Micro-batch scheduling overhead dominates at this input size —
+    the number is a floor, not a ceiling.)"""
+    from columnar_database_project_spark.catalog import load_table
+    from columnar_database_project_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory,
+        sessionize_stateful,
+        tumbling_counts,
+    )
+
+    stream_src = os.path.join(REPO, ".bench_data", "stream_events")
+    ev = load_table(spark, sf_dir, "events")
+    n_rows = ev.count()
+    if not os.path.isdir(stream_src):
+        ev.repartition(8).write.mode("overwrite").parquet(stream_src)
+    out: dict[str, dict] = {"n_rows": n_rows}
+    jobs = (
+        ("tumbling_counts", lambda s: tumbling_counts(s), "complete"),
+        ("sessionize_stateful", lambda s: sessionize_stateful(s), "update"),
+    )
+    for label, builder, mode in jobs:
+        stream = read_event_stream(spark, stream_src, max_files_per_trigger=4)
+        t0 = time.time()
+        q = run_to_memory(builder(stream), f"bench_{label}", mode)
+        dt = time.time() - t0
+        q.stop()
+        out[label] = {
+            "sec": round(dt, 3),
+            "rows_per_sec": int(n_rows / dt) if dt else None,
+        }
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -380,6 +420,7 @@ def main() -> None:
     facade = bench_engine_facade(spark, sf_dir)
     hive_pruning = bench_hive_pruning(spark, sf_dir)
     extras_r6 = bench_round6_extras(spark, sf_dir)
+    streaming = bench_streaming_throughput(spark, sf_dir)
     scaling = {}
     sf2_dir = os.environ.get("SPARK_GRAFT_SF2_DIR", "/root/testdata/sf0.01")
     # Third scaling point ABOVE the primary SF: a 5× key-offset replica
@@ -440,6 +481,7 @@ def main() -> None:
         "engine_facade": facade,
         "hive_pruning": hive_pruning,
         "extras_r6": extras_r6,
+        "streaming": streaming,
         "scaling": scaling,
     }
     with open(os.path.join(REPO, "BENCH.json"), "w") as fh:
@@ -451,6 +493,11 @@ def main() -> None:
     compact["extras_r6"] = {
         "spark_total": round(sum(extras_r6["spark"].values()), 3),
         "duckdb_total": round(sum(extras_r6["duckdb"].values()), 3),
+    }
+    compact["streaming"] = {
+        k: v["rows_per_sec"]
+        for k, v in streaming.items()
+        if isinstance(v, dict)
     }
     compact["scaling"] = {
         tag: {
