@@ -155,6 +155,57 @@ class MicroBlockEngine:
         self.spark.catalog.refreshByPath(store_path)
         return self.spark.read.parquet(store_path)
 
+    def merge_into(
+        self,
+        name: str,
+        updates: DataFrame,
+        key: str,
+        dst: str,
+    ) -> dict:
+        """MERGE/upsert — the DML surface the lifecycle was missing:
+        rows of ``updates`` replace same-``key`` rows of registered
+        table ``name`` (WHEN MATCHED THEN UPDATE SET *), unmatched
+        update rows are appended (WHEN NOT MATCHED THEN INSERT *).
+
+        Plan shape: ONE key-equi ``left_anti`` shuffle against the
+        updates' keys plus a zero-shuffle union — the standard
+        copy-on-write merge (what Delta/Iceberg do per touched file,
+        here per table since microblock stores are snapshot-granular
+        like ``compact``/``snapshot_diff``). No broadcast hints:
+        ``updates`` is corpus-proportional in a backfill, so AQE
+        size-gates the join strategy (see DEPLOY.md broadcast policy).
+
+        Writes the merged snapshot as microblocks at ``dst`` (a NEW
+        directory — the source snapshot stays intact, same recovery
+        story as ``compact``'s staging), re-registers ``name`` at it,
+        and returns {"target_rows", "update_rows", "merged_rows",
+        "inserted"} (updated = update_rows - inserted).
+        """
+        from columnar_database_project_spark.sources.microblock import (
+            MicroBlockWriter,
+        )
+
+        target = self.table(name)
+        if set(updates.columns) != set(target.columns):
+            raise ValueError(
+                f"merge_into: updates columns {sorted(updates.columns)} "
+                f"!= target columns {sorted(target.columns)}"
+            )
+        survivors = target.join(updates.select(key), on=key, how="left_anti")
+        merged = survivors.unionByName(updates)
+        MicroBlockWriter().write(merged, dst)
+        self.spark.catalog.refreshByPath(dst)
+        self.register(name, self.spark.read.parquet(dst))
+        n_target = target.count()
+        n_updates = updates.count()
+        n_merged = self.tables[name].count()
+        return {
+            "target_rows": n_target,
+            "update_rows": n_updates,
+            "merged_rows": n_merged,
+            "inserted": n_merged - n_target,
+        }
+
     def compact(self, name: str, path: str, **kw) -> dict:
         """Compact a registered table's microblock directory (see
         ``sources.microblock.compact_blocks``) and refresh the

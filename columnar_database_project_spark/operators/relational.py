@@ -29,6 +29,8 @@ the value hash.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -1317,6 +1319,62 @@ def q_engine_sql_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.query(ENGINE_SQL)
 
 
+def q_engine_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert through the engine façade (copy-on-write DML,
+    ``MicroBlockEngine.merge_into``): a deterministic update batch
+    (every 10th order re-priced and re-statused) plus an insert batch
+    (every 97th order cloned to a new key) is merged into the orders
+    snapshot; the returned aggregate reads the WRITTEN microblock
+    snapshot back, so the oracle row checks the full
+    read→merge→write→read cycle, not just the plan.
+
+    Scale shape: one key-equi anti-join shuffle + zero-shuffle union +
+    block-sized parquet write — no broadcast hints (the update batch
+    is corpus-proportional in a backfill; AQE size-gates)."""
+    import tempfile
+
+    from columnar_database_project_spark.engine import MicroBlockEngine
+
+    eng = MicroBlockEngine(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    eng.register("orders_merge_demo", orders)
+    # update/insert prices use exactly-representable double arithmetic
+    # (+1000.0, /2) — a per-row ROUND(x * 1.1, 2) diverged between
+    # Spark (BigDecimal HALF_UP) and DuckDB (C round on the binary
+    # double) on exact-half boundaries, ~5 rows in 1500 at sf0.01
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("M").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        "o_orderdate",
+        F.lit("0-MERGED").alias("o_orderpriority"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        (F.col("o_totalprice") / 2).alias("o_totalprice"),
+        "o_orderdate",
+        F.lit("9-INSERTED").alias("o_orderpriority"),
+    )
+    dst = os.path.join(
+        tempfile.gettempdir(), f"cdps_merge_upsert_{os.getpid()}"
+    )
+    eng.merge_into(
+        "orders_merge_demo", updates.unionByName(inserts), "o_orderkey", dst
+    )
+    return (
+        eng.table("orders_merge_demo")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LAG/LEAD/NTILE over a per-customer order timeline — the
     remaining analytic-window family (rank/running/share are covered
@@ -1389,6 +1447,60 @@ def q_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SALT_BUCKETS = 8
+
+
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted shuffle join — the manual skew mechanism as a
+    first-class operator (AQE's skew-join split covers sort-merge
+    stragglers at runtime, but salting is the portable form that also
+    works when AQE is off, on aggregations, and on engines without
+    runtime re-planning).
+
+    Mechanism: the fact side (events) gets a deterministic salt
+    ``pmod(event_id, S)``; the dim side (customer) is replicated S
+    times, once per salt value, via ``explode(sequence(0, S-1))`` — a
+    bounded S× blow-up of the SMALL side only. Joining on
+    ``(key, salt)`` spreads every hot key over S reducers instead of
+    one. The ``merge`` hint pins the shuffle-join shape the mechanism
+    exists for (an auto-broadcast of the dim would bypass the salt and
+    hide the demonstration; at 100 TB a corpus-grown customer table
+    would not qualify for broadcast anyway, and sort-merge keeps
+    per-task memory bounded — no hash-build cliff).
+
+    Salting is pure physical re-distribution: the result is
+    row-identical to the plain unsalted join, which is exactly what
+    the oracle runs.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    salted_dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1))).alias("salt"),
+    )
+    fact = ev.select(
+        "user_id",
+        "value",
+        F.pmod(F.col("event_id"), F.lit(SALT_BUCKETS)).cast("int").alias("salt"),
+    )
+    joined = fact.join(
+        salted_dim.hint("merge"),
+        (fact["user_id"] == salted_dim["c_custkey"])
+        & (fact["salt"] == salted_dim["salt"]),
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1420,6 +1532,7 @@ QUERIES = {
     "join_anti": q_join_anti,
     "join_left_outer": q_join_left_outer,
     "join_full_outer": q_join_full_outer,
+    "join_skew_salted": q_join_skew_salted,
     "self_join": q_self_join,
     "window_rank": q_window_rank,
     "window_running": q_window_running,
@@ -1448,6 +1561,7 @@ QUERIES = {
     "q14_promo_revenue": q14_promo_revenue,
     "q19_bracket_revenue": q19_bracket_revenue,
     "engine_sql_roundtrip": q_engine_sql_roundtrip,
+    "engine_merge_upsert": q_engine_merge_upsert,
     "q10_returned_items": q10_returned_items,
     "q12_late_lines_by_priority": q12_late_lines_by_priority,
     "q16_supplier_variety": q16_supplier_variety,
@@ -1644,6 +1758,15 @@ ORACLES = {
                n_customers, n_suppliers
         FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
     """,
+    "join_skew_salted": """
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               ROUND(sum(value), 2) AS revenue
+        FROM events JOIN customer ON user_id = c_custkey
+        WHERE event_type = 'purchase'
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
     "join_left_outer": """
         SELECT c_custkey, count(o_orderkey) AS n_orders,
                ROUND(coalesce(sum(o_totalprice), 0.0), 4) AS spend
@@ -1818,6 +1941,27 @@ ORACLES = {
         FROM lineitem GROUP BY l_returnflag
     """,
     "engine_sql_roundtrip": ENGINE_SQL,
+    "engine_merge_upsert": """
+        WITH upd AS (
+            SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
+                   o_totalprice + 1000.0 AS o_totalprice,
+                   o_orderdate, '0-MERGED' AS o_orderpriority
+            FROM orders WHERE o_orderkey % 10 = 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, o_custkey, 'N',
+                   o_totalprice / 2, o_orderdate, '9-INSERTED'
+            FROM orders WHERE o_orderkey % 97 = 0
+        ), merged AS (
+            SELECT * FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM upd u
+                              WHERE u.o_orderkey = o.o_orderkey)
+            UNION ALL
+            SELECT * FROM upd
+        )
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+               ROUND(sum(o_totalprice), 2) AS total
+        FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
     "q14_promo_revenue": """
         SELECT ROUND(
             100.0 * sum(CASE WHEN p.p_type = 'PROMO'

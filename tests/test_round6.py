@@ -613,3 +613,105 @@ def test_corpus_build_full_two_exchanges_and_composition(spark, sf_dir):
         base[r["split"]] = base.get(r["split"], 0) + r["n_docs"]
     for split, n in full.items():
         assert n <= base.get(split, 0), (split, n, base)
+
+
+# ------------------------------------------------- salted join + MERGE
+
+
+def test_join_skew_salted_matches_plain_join_and_plan(spark, sf_dir):
+    """Salting is pure physical re-distribution: row-identical to the
+    unsalted join, executed as a sort-merge join whose keys include
+    the salt, with no broadcast anywhere (a dim broadcast would bypass
+    the salt and void the demonstration)."""
+    from pyspark.sql import functions as F
+
+    from columnar_database_project_spark.catalog import load_table
+    from columnar_database_project_spark.operators.relational import (
+        q_join_skew_salted,
+    )
+
+    salted = q_join_skew_salted(spark, sf_dir)
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "salt" in plan
+    plain = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .join(
+            load_table(spark, sf_dir, "customer"),
+            F.col("user_id") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+    assert [tuple(r) for r in salted.collect()] == [
+        tuple(r) for r in plain.collect()
+    ]
+
+
+def test_engine_merge_upsert_semantics(spark, sf_dir, tmp_path):
+    """MERGE through the facade: matched keys take the update row,
+    unmatched update keys are inserted, untouched rows survive
+    unchanged, and the write is a NEW snapshot (source rows intact)."""
+    from pyspark.sql import functions as F
+
+    from columnar_database_project_spark.catalog import load_table
+    from columnar_database_project_spark.engine import MicroBlockEngine
+
+    eng = MicroBlockEngine(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    n_orders = orders.count()
+    eng.register("orders_merge_t", orders)
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("M").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        "o_orderdate",
+        F.lit("0-MERGED").alias("o_orderpriority"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        (F.col("o_totalprice") / 2).alias("o_totalprice"),
+        "o_orderdate",
+        F.lit("9-INSERTED").alias("o_orderpriority"),
+    )
+    n_upd, n_ins = updates.count(), inserts.count()
+    rep = eng.merge_into(
+        "orders_merge_t",
+        updates.unionByName(inserts),
+        "o_orderkey",
+        str(tmp_path / "merged"),
+    )
+    assert rep["merged_rows"] == n_orders + n_ins
+    assert rep["inserted"] == n_ins
+    merged = eng.table("orders_merge_t")
+    # every matched key carries the update row now
+    assert merged.filter(F.col("o_orderpriority") == "0-MERGED").count() == n_upd
+    assert (
+        merged.filter(
+            (F.col("o_orderkey") % 10 == 0)
+            & (F.col("o_orderkey") < 10_000_000)
+            & (F.col("o_orderstatus") != "M")
+        ).count()
+        == 0
+    )
+    # inserts present at offset keys
+    assert merged.filter(F.col("o_orderkey") >= 10_000_000).count() == n_ins
+    # schema mismatch rejected
+    with pytest.raises(ValueError):
+        eng.merge_into(
+            "orders_merge_t",
+            updates.drop("o_orderdate"),
+            "o_orderkey",
+            str(tmp_path / "bad"),
+        )
+    # source snapshot untouched
+    assert load_table(spark, sf_dir, "orders").count() == n_orders
