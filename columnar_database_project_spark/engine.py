@@ -206,6 +206,37 @@ class MicroBlockEngine:
             "inserted": n_merged - n_target,
         }
 
+    def delete_where(self, name: str, predicate, dst: str) -> dict:
+        """DELETE — the third DML verb: rewrite registered table
+        ``name`` without the rows matching ``predicate`` (a Column or
+        a SQL boolean string), as a copy-on-write snapshot at ``dst``
+        (same recovery story as ``merge_into``). SQL DELETE semantics:
+        rows where the predicate is NULL are KEPT (only TRUE deletes).
+
+        Plan shape: one pushdown-eligible scan + filter + block-sized
+        write — no shuffle at all; at 100 TB this is the cheapest of
+        the DML verbs and partition pruning applies when the predicate
+        covers the partition column."""
+        from pyspark.sql import functions as F
+
+        from columnar_database_project_spark.sources.microblock import (
+            MicroBlockWriter,
+        )
+
+        target = self.table(name)
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        kept = target.filter(~F.coalesce(cond, F.lit(False)))
+        MicroBlockWriter().write(kept, dst)
+        self.spark.catalog.refreshByPath(dst)
+        self.register(name, self.spark.read.parquet(dst))
+        n_target = target.count()
+        n_kept = self.tables[name].count()
+        return {
+            "target_rows": n_target,
+            "deleted": n_target - n_kept,
+            "remaining": n_kept,
+        }
+
     def compact(self, name: str, path: str, **kw) -> dict:
         """Compact a registered table's microblock directory (see
         ``sources.microblock.compact_blocks``) and refresh the

@@ -1375,6 +1375,37 @@ def q_engine_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_engine_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE through the engine façade (``delete_where``): drop every
+    low-value finished order, write the surviving snapshot, read it
+    back and aggregate — the oracle checks SQL DELETE semantics (only
+    predicate-TRUE rows go) over the written result. Scan + filter +
+    write, zero shuffles before the final 5-group aggregate."""
+    import tempfile
+
+    from columnar_database_project_spark.engine import MicroBlockEngine
+
+    eng = MicroBlockEngine(spark)
+    eng.register("orders_delete_demo", load_table(spark, sf_dir, "orders"))
+    dst = os.path.join(
+        tempfile.gettempdir(), f"cdps_delete_where_{os.getpid()}"
+    )
+    eng.delete_where(
+        "orders_delete_demo",
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 50000.0),
+        dst,
+    )
+    return (
+        eng.table("orders_delete_demo")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LAG/LEAD/NTILE over a per-customer order timeline — the
     remaining analytic-window family (rank/running/share are covered
@@ -1562,6 +1593,7 @@ QUERIES = {
     "q19_bracket_revenue": q19_bracket_revenue,
     "engine_sql_roundtrip": q_engine_sql_roundtrip,
     "engine_merge_upsert": q_engine_merge_upsert,
+    "engine_delete_where": q_engine_delete_where,
     "q10_returned_items": q10_returned_items,
     "q12_late_lines_by_priority": q12_late_lines_by_priority,
     "q16_supplier_variety": q16_supplier_variety,
@@ -1961,6 +1993,13 @@ ORACLES = {
         SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
                ROUND(sum(o_totalprice), 2) AS total
         FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "engine_delete_where": """
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+               ROUND(min(o_totalprice), 2) AS min_price
+        FROM orders
+        WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000.0)
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
     "q14_promo_revenue": """
         SELECT ROUND(

@@ -715,3 +715,24 @@ def test_engine_merge_upsert_semantics(spark, sf_dir, tmp_path):
         )
     # source snapshot untouched
     assert load_table(spark, sf_dir, "orders").count() == n_orders
+
+
+def test_engine_delete_where_semantics(spark, sf_dir, tmp_path):
+    """DELETE keeps NULL-predicate rows (SQL semantics), deletes only
+    TRUE rows, and rewrites as a new snapshot."""
+    from pyspark.sql import functions as F
+
+    from columnar_database_project_spark.engine import MicroBlockEngine
+
+    eng = MicroBlockEngine(spark)
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 99.0), (4, 5.0)], "id int, v double"
+    )
+    eng.register("del_t", base)
+    rep = eng.delete_where("del_t", F.col("v") < 50.0, str(tmp_path / "d1"))
+    # v<50 TRUE for ids 1,4; NULL for id 2 (kept); FALSE for id 3
+    assert rep == {"target_rows": 4, "deleted": 2, "remaining": 2}
+    assert sorted(r["id"] for r in eng.table("del_t").collect()) == [2, 3]
+    # string predicate form
+    rep2 = eng.delete_where("del_t", "v IS NULL", str(tmp_path / "d2"))
+    assert rep2["deleted"] == 1 and rep2["remaining"] == 1
