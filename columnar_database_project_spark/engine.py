@@ -191,6 +191,7 @@ class MicroBlockEngine:
                 f"merge_into: updates columns {sorted(updates.columns)} "
                 f"!= target columns {sorted(target.columns)}"
             )
+        self._check_not_current_snapshot(name, dst, "merge_into")
         survivors = target.join(updates.select(key), on=key, how="left_anti")
         merged = survivors.unionByName(updates)
         MicroBlockWriter().write(merged, dst)
@@ -205,6 +206,25 @@ class MicroBlockEngine:
             "merged_rows": n_merged,
             "inserted": n_merged - n_target,
         }
+
+    def _check_not_current_snapshot(self, name: str, dst: str, op: str) -> None:
+        """Refuse a DML rewrite whose output dir is the table's CURRENT
+        snapshot: Spark's overwrite would be deleting the very files
+        the rewrite plan is still scanning (self-overwrite corruption).
+        Chained DML must alternate snapshot dirs (a/b or versioned),
+        exactly like ``compact``'s staging-then-swap discipline."""
+        import os as _os
+
+        dst_real = _os.path.realpath(dst)
+        for f in self.tables[name].inputFiles():
+            p = _os.path.realpath(f.replace("file:", "", 1))
+            if _os.path.dirname(p) == dst_real:
+                raise ValueError(
+                    f"{op}: dst {dst!r} is table {name!r}'s current "
+                    "snapshot directory — write to a new dir "
+                    "(alternate/versioned snapshots), the source must "
+                    "outlive the rewrite"
+                )
 
     def delete_where(self, name: str, predicate, dst: str) -> dict:
         """DELETE — the third DML verb: rewrite registered table
@@ -223,6 +243,7 @@ class MicroBlockEngine:
             MicroBlockWriter,
         )
 
+        self._check_not_current_snapshot(name, dst, "delete_where")
         target = self.table(name)
         cond = F.expr(predicate) if isinstance(predicate, str) else predicate
         kept = target.filter(~F.coalesce(cond, F.lit(False)))

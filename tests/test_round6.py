@@ -736,3 +736,34 @@ def test_engine_delete_where_semantics(spark, sf_dir, tmp_path):
     # string predicate form
     rep2 = eng.delete_where("del_t", "v IS NULL", str(tmp_path / "d2"))
     assert rep2["deleted"] == 1 and rep2["remaining"] == 1
+
+
+def test_dml_refuses_self_overwrite(spark, sf_dir, tmp_path):
+    """A DML rewrite whose dst is the table's CURRENT snapshot dir
+    would delete the files its own plan is scanning — refused."""
+    from pyspark.sql import functions as F
+
+    from columnar_database_project_spark.engine import MicroBlockEngine
+
+    eng = MicroBlockEngine(spark)
+    base = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id int, v double")
+    eng.register("dml_t", base)
+    d1 = str(tmp_path / "s1")
+    eng.delete_where("dml_t", F.col("v") < 0, d1)  # snapshot now at d1
+    with pytest.raises(ValueError, match="current"):
+        eng.delete_where("dml_t", F.col("v") < 0, d1)
+    with pytest.raises(ValueError, match="current"):
+        eng.merge_into(
+            "dml_t",
+            spark.createDataFrame([(3, 3.0)], "id int, v double"),
+            "id",
+            d1,
+        )
+    # alternating snapshot dirs chain fine
+    rep = eng.merge_into(
+        "dml_t",
+        spark.createDataFrame([(3, 3.0)], "id int, v double"),
+        "id",
+        str(tmp_path / "s2"),
+    )
+    assert rep["merged_rows"] == 3
