@@ -129,6 +129,38 @@ class MicroBlockEngine:
             "store_fingerprints": self.spark.read.parquet(store_path).count(),
         }
 
+    def ingest_stream_upsert(
+        self,
+        src: str,
+        name: str,
+        table_path: str,
+        checkpoint: str,
+        key: str,
+        order_col: str,
+        schema,
+    ) -> dict:
+        """Continuous CDC MERGE through the façade: drain the change
+        drops in ``src`` (parquet files matching ``schema``) through
+        ``streaming.dml.upsert_stream`` into the snapshot at
+        ``table_path`` (per-key last-writer-wins on ``order_col``),
+        then register the merged table as ``name``. Repeated calls are
+        the incremental-feed cadence; replayed or out-of-order drops
+        are idempotent under LWW. Returns {"rows": n}."""
+        from columnar_database_project_spark.streaming.dml import (
+            upsert_stream,
+        )
+
+        changes = (
+            self.spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = upsert_stream(changes, table_path, key, order_col, checkpoint)
+        q.awaitTermination()
+        self.spark.catalog.refreshByPath(table_path)
+        self.register(name, self.spark.read.parquet(table_path))
+        return {"rows": self.tables[name].count()}
+
     def stream_heavy_hitters(
         self,
         src: str,

@@ -767,3 +767,40 @@ def test_dml_refuses_self_overwrite(spark, sf_dir, tmp_path):
         str(tmp_path / "s2"),
     )
     assert rep["merged_rows"] == 3
+
+
+def test_streaming_upsert_lww(spark, tmp_path):
+    """Continuous CDC MERGE: per-key last-writer-wins on the version
+    column, across micro-batches and within one; a LATE drop carrying
+    an older version never clobbers newer data (replay idempotence)."""
+    drop_dir = tmp_path / "changes"
+    drop_dir.mkdir()
+    table = str(tmp_path / "snapshot")
+    ckpt1 = str(tmp_path / "ck1")
+
+    from columnar_database_project_spark.engine import MicroBlockEngine
+
+    schema = "id long, v string, ver long"
+    eng = MicroBlockEngine(spark)
+    # drop 1: three keys; key 2 appears twice (ver 1 then 2) in ONE file
+    spark.createDataFrame(
+        [(1, "a", 1), (2, "b1", 1), (2, "b2", 2), (3, "c", 1)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(str(drop_dir / "d1"))
+    rep = eng.ingest_stream_upsert(
+        str(drop_dir / "d1"), "cdc_t", table, ckpt1, "id", "ver", schema
+    )
+    assert rep == {"rows": 3}
+    got = {r["id"]: (r["v"], r["ver"]) for r in eng.table("cdc_t").collect()}
+    assert got == {1: ("a", 1), 2: ("b2", 2), 3: ("c", 1)}
+    # drop 2 (separate dir/checkpoint = next feed increment): newer key 1,
+    # OLDER key 2 (late replay, must NOT clobber), new key 4
+    spark.createDataFrame(
+        [(1, "a9", 9), (2, "stale", 1), (4, "d", 1)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(str(drop_dir / "d2"))
+    rep2 = eng.ingest_stream_upsert(
+        str(drop_dir / "d2"), "cdc_t", table, str(tmp_path / "ck2"),
+        "id", "ver", schema,
+    )
+    assert rep2 == {"rows": 4}
+    got2 = {r["id"]: (r["v"], r["ver"]) for r in eng.table("cdc_t").collect()}
+    assert got2 == {1: ("a9", 9), 2: ("b2", 2), 3: ("c", 1), 4: ("d", 1)}
