@@ -239,6 +239,39 @@ class MicroBlockEngine:
             "inserted": n_merged - n_target,
         }
 
+    def merge_versioned(
+        self, name: str, updates: DataFrame, key: str, store
+    ) -> dict:
+        """``merge_into`` with the dst chosen by a ``SnapshotStore``
+        commit log: the rewrite stages in the next version dir and
+        only becomes visible on commit — crash mid-write leaves an
+        orphan no reader resolves. Returns the merge report plus
+        {"version": v}."""
+        v, dst = store.stage_next()
+        report = self.merge_into(name, updates, key, dst)
+        store.commit(v)
+        report["version"] = v
+        return report
+
+    def delete_versioned(self, name: str, predicate, store) -> dict:
+        """``delete_where`` under the same commit-log discipline."""
+        v, dst = store.stage_next()
+        report = self.delete_where(name, predicate, dst)
+        store.commit(v)
+        report["version"] = v
+        return report
+
+    def time_travel(self, name: str, store, version: int | None = None) -> DataFrame:
+        """Register (and return) table ``name`` as of ``version``
+        (default: latest committed). Reading an old version is just a
+        scan of its immutable snapshot dir — no log replay."""
+        v = store.latest() if version is None else version
+        if v is None or v not in store.versions():
+            raise ValueError(f"time_travel: version {version!r} not committed")
+        df = self.spark.read.parquet(store.path_for(v))
+        self.register(name, df)
+        return df
+
     def _check_not_current_snapshot(self, name: str, dst: str, op: str) -> None:
         """Refuse a DML rewrite whose output dir is the table's CURRENT
         snapshot: Spark's overwrite would be deleting the very files

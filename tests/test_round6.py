@@ -804,3 +804,54 @@ def test_streaming_upsert_lww(spark, tmp_path):
     assert rep2 == {"rows": 4}
     got2 = {r["id"]: (r["v"], r["ver"]) for r in eng.table("cdc_t").collect()}
     assert got2 == {1: ("a9", 9), 2: ("b2", 2), 3: ("c", 1), 4: ("d", 1)}
+
+
+def test_snapshot_store_dml_chain_time_travel_rollback(spark, tmp_path):
+    """Commit-log lifecycle over chained DML: versions accrue, time
+    travel reads any committed version, rollback is manifest-only,
+    orphan staging dirs are invisible, vacuum reclaims."""
+    from pyspark.sql import functions as F
+
+    from columnar_database_project_spark.engine import MicroBlockEngine
+    from columnar_database_project_spark.storage.snapshots import (
+        SnapshotStore,
+    )
+
+    eng = MicroBlockEngine(spark)
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], "id int, s string, v double"
+    )
+    eng.register("vt", base)
+    r1 = eng.merge_versioned(
+        "vt",
+        spark.createDataFrame([(2, "B", 20.0), (4, "d", 4.0)],
+                              "id int, s string, v double"),
+        "id",
+        store,
+    )
+    assert r1["version"] == 1 and r1["merged_rows"] == 4
+    r2 = eng.delete_versioned("vt", F.col("id") == 1, store)
+    assert r2["version"] == 2 and r2["remaining"] == 3
+    assert store.versions() == [1, 2]
+    # time travel to v1: id 1 still present, id 2 updated
+    v1 = {r["id"]: r["s"] for r in eng.time_travel("vt", store, 1).collect()}
+    assert v1 == {1: "a", 2: "B", 3: "c", 4: "d"}
+    # orphan staging dir (crash mid-write) is never resolved
+    _, orphan = store.stage_next()
+    os.makedirs(orphan)
+    assert store.latest() == 2
+    with pytest.raises(ValueError):
+        eng.time_travel("vt", store, 3)
+    # rollback: manifest truncation, v2's data dir retained
+    store.rollback(1)
+    assert store.versions() == [1]
+    assert {r["id"] for r in eng.time_travel("vt", store).collect()} == {1, 2, 3, 4}
+    assert os.path.isdir(store.path_for(2))
+    # numbering never reuses a rolled-back dir
+    v_next, _ = store.stage_next()
+    assert v_next == 4
+    # vacuum keeps only the last committed version's dir
+    removed = store.vacuum(keep_last=1)
+    assert 2 in removed and 3 in removed
+    assert os.path.isdir(store.path_for(1))
