@@ -855,3 +855,69 @@ def test_snapshot_store_dml_chain_time_travel_rollback(spark, tmp_path):
     removed = store.vacuum(keep_last=1)
     assert 2 in removed and 3 in removed
     assert os.path.isdir(store.path_for(1))
+
+
+def test_dml_plan_shapes(spark, sf_dir):
+    """MERGE = one key-equi anti-join shuffle + union (no broadcast of
+    the corpus-proportional update batch); DELETE = scan+filter, zero
+    shuffles."""
+    from pyspark.sql import functions as F
+
+    from columnar_database_project_spark.catalog import load_table
+    from columnar_database_project_spark.plans.verify import (
+        count_shuffles,
+        forced_broadcast_hints,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0)
+    survivors = orders.join(
+        updates.select("o_orderkey"), on="o_orderkey", how="left_anti"
+    )
+    merged = survivors.unionByName(updates)
+    assert count_shuffles(merged) <= 1
+    assert forced_broadcast_hints(merged) == 0
+    deleted = orders.filter(
+        ~F.coalesce((F.col("o_orderstatus") == "F"), F.lit(False))
+    )
+    assert count_shuffles(deleted) == 0
+
+
+def test_streaming_upsert_batching_invariance(spark, tmp_path):
+    """The CDC-upsert result is invariant to how the change rows are
+    split into drops/micro-batches — the LWW-on-version compaction is
+    associative and commutative, so replays and re-batchings converge
+    to the same snapshot."""
+    from columnar_database_project_spark.engine import MicroBlockEngine
+
+    schema = "id long, v string, ver long"
+    rows = [
+        (1, "a1", 1), (1, "a3", 3), (1, "a2", 2),
+        (2, "b2", 2), (2, "b1", 1),
+        (3, "c1", 1),
+        (4, "d2", 2), (4, "d1", 1), (4, "d3", 3),
+    ]
+    expected = {1: ("a3", 3), 2: ("b2", 2), 3: ("c1", 1), 4: ("d3", 3)}
+    batchings = [
+        [rows],                                   # one drop
+        [[r] for r in rows],                      # one drop per row
+        [rows[:4], rows[4:7], rows[7:]],          # uneven splits
+        [rows[::-1]],                             # reversed arrival
+    ]
+    for bi, batches in enumerate(batchings):
+        eng = MicroBlockEngine(spark)
+        table = str(tmp_path / f"snap{bi}")
+        for di, batch in enumerate(batches):
+            drop = str(tmp_path / f"drop{bi}_{di}")
+            spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(drop)
+            eng.ingest_stream_upsert(
+                drop, "cdc_inv", table,
+                str(tmp_path / f"ck{bi}_{di}"), "id", "ver", schema,
+            )
+        got = {
+            r["id"]: (r["v"], r["ver"])
+            for r in eng.table("cdc_inv").collect()
+        }
+        assert got == expected, (bi, got)
