@@ -1346,10 +1346,22 @@ def q_engine_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = MicroBlockEngine(spark)
     orders = load_table(spark, sf_dir, "orders")
     eng.register("orders_merge_demo", orders)
-    # update/insert prices use exactly-representable double arithmetic
-    # (+1000.0, /2) — a per-row ROUND(x * 1.1, 2) diverged between
-    # Spark (BigDecimal HALF_UP) and DuckDB (C round on the binary
-    # double) on exact-half boundaries, ~5 rows in 1500 at sf0.01
+    dst = os.path.join(
+        tempfile.gettempdir(), f"cdps_merge_upsert_{os.getpid()}"
+    )
+    eng.merge_into(
+        "orders_merge_demo", _merge_demo_updates(orders), "o_orderkey", dst
+    )
+    return _status_rollup(eng.table("orders_merge_demo"))
+
+
+def _merge_demo_updates(orders: DataFrame) -> DataFrame:
+    """Deterministic MERGE demo batch: every 10th order re-priced and
+    re-statused (update) + every 97th cloned to an offset key (insert).
+    Prices use exactly-representable double arithmetic (+1000.0, /2) —
+    a per-row ROUND(x * 1.1, 2) diverged between Spark (BigDecimal
+    HALF_UP) and DuckDB (C round on the binary double) on exact-half
+    boundaries, ~5 rows in 1500 at sf0.01."""
     updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
         "o_orderkey",
         "o_custkey",
@@ -1366,21 +1378,52 @@ def q_engine_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         F.lit("9-INSERTED").alias("o_orderpriority"),
     )
-    dst = os.path.join(
-        tempfile.gettempdir(), f"cdps_merge_upsert_{os.getpid()}"
-    )
-    eng.merge_into(
-        "orders_merge_demo", updates.unionByName(inserts), "o_orderkey", dst
-    )
+    return updates.unionByName(inserts)
+
+
+def _status_rollup(df: DataFrame) -> DataFrame:
     return (
-        eng.table("orders_merge_demo")
-        .groupBy("o_orderstatus")
+        df.groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
         .orderBy("o_orderstatus")
     )
+
+
+def q_engine_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned DML chain + time travel earning a hard-signal oracle
+    row: MERGE commits v1 in a ``SnapshotStore``, a DELETE commits v2
+    on top, then the query reads AS OF v1 — the returned aggregate
+    must equal the merge-only state even though the LATEST snapshot
+    has rows deleted. The oracle is therefore the same SQL as
+    ``engine_merge_upsert``: time travel returning the pre-delete
+    state IS the correctness claim. Old versions are immutable dirs;
+    reading one is a plain scan, no log replay."""
+    import shutil
+    import tempfile
+
+    from columnar_database_project_spark.engine import MicroBlockEngine
+    from columnar_database_project_spark.storage.snapshots import (
+        SnapshotStore,
+    )
+
+    eng = MicroBlockEngine(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    eng.register("orders_tt_demo", orders)
+    root = os.path.join(
+        tempfile.gettempdir(), f"cdps_time_travel_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotStore(root)
+    eng.merge_versioned(
+        "orders_tt_demo", _merge_demo_updates(orders), "o_orderkey", store
+    )  # v1
+    eng.delete_versioned(
+        "orders_tt_demo", F.col("o_orderstatus") == "M", store
+    )  # v2: drop everything the merge updated
+    return _status_rollup(eng.time_travel("orders_tt_demo", store, 1))
 
 
 def q_engine_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1602,6 +1645,7 @@ QUERIES = {
     "engine_sql_roundtrip": q_engine_sql_roundtrip,
     "engine_merge_upsert": q_engine_merge_upsert,
     "engine_delete_where": q_engine_delete_where,
+    "engine_time_travel": q_engine_time_travel,
     "q10_returned_items": q10_returned_items,
     "q12_late_lines_by_priority": q12_late_lines_by_priority,
     "q16_supplier_variety": q16_supplier_variety,
@@ -1982,6 +2026,27 @@ ORACLES = {
     """,
     "engine_sql_roundtrip": ENGINE_SQL,
     "engine_merge_upsert": """
+        WITH upd AS (
+            SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
+                   o_totalprice + 1000.0 AS o_totalprice,
+                   o_orderdate, '0-MERGED' AS o_orderpriority
+            FROM orders WHERE o_orderkey % 10 = 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, o_custkey, 'N',
+                   o_totalprice / 2, o_orderdate, '9-INSERTED'
+            FROM orders WHERE o_orderkey % 97 = 0
+        ), merged AS (
+            SELECT * FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM upd u
+                              WHERE u.o_orderkey = o.o_orderkey)
+            UNION ALL
+            SELECT * FROM upd
+        )
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+               ROUND(sum(o_totalprice), 2) AS total
+        FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "engine_time_travel": """
         WITH upd AS (
             SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
                    o_totalprice + 1000.0 AS o_totalprice,
