@@ -323,6 +323,68 @@ class MicroBlockEngine:
             "remaining": n_kept,
         }
 
+    def update_where(
+        self, name: str, predicate, assignments: dict, dst: str
+    ) -> dict:
+        """UPDATE ... SET — the fourth DML verb (INSERT via register/
+        ingest, MERGE, DELETE, now UPDATE): rewrite registered table
+        ``name`` with each column in ``assignments`` (col name →
+        Column expression or SQL string) replaced on rows matching
+        ``predicate``, as a copy-on-write snapshot at ``dst``. SQL
+        UPDATE semantics: rows where the predicate is NULL keep their
+        old values (only TRUE updates). Column order and names are
+        preserved; assigning an unknown column is an error.
+
+        Plan shape: one pushdown-ineligible scan (every row is
+        rewritten) + per-row CASE projection + block-sized write —
+        zero shuffles, same cost class as DELETE. At 100 TB a
+        partition-pruned variant would rewrite only matching
+        partitions; snapshot-granular stores rewrite the table, which
+        is why production UPDATE batches route through
+        ``merge_into`` when the touched fraction is small."""
+        from pyspark.sql import functions as F
+
+        from columnar_database_project_spark.sources.microblock import (
+            MicroBlockWriter,
+        )
+
+        self._check_not_current_snapshot(name, dst, "update_where")
+        target = self.table(name)
+        unknown = set(assignments) - set(target.columns)
+        if unknown:
+            raise ValueError(
+                f"update_where: unknown columns {sorted(unknown)}"
+            )
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        cond = F.coalesce(cond, F.lit(False))
+        cols = []
+        for c in target.columns:
+            if c in assignments:
+                a = assignments[c]
+                expr = F.expr(a) if isinstance(a, str) else a
+                cols.append(F.when(cond, expr).otherwise(F.col(c)).alias(c))
+            else:
+                cols.append(F.col(c))
+        n_updated = target.filter(cond).count()
+        MicroBlockWriter().write(target.select(*cols), dst)
+        self.spark.catalog.refreshByPath(dst)
+        self.register(name, self.spark.read.parquet(dst))
+        return {
+            "target_rows": self.tables[name].count(),
+            "updated": n_updated,
+        }
+
+    def update_versioned(
+        self, name: str, predicate, assignments: dict, store
+    ) -> dict:
+        """``update_where`` under the commit-log discipline (see
+        ``merge_versioned``)."""
+        v, dst = store.stage_next()
+        report = self.update_where(name, predicate, assignments, dst)
+        store.commit(v)
+        report["version"] = v
+        return report
+
     def compact(self, name: str, path: str, **kw) -> dict:
         """Compact a registered table's microblock directory (see
         ``sources.microblock.compact_blocks``) and refresh the

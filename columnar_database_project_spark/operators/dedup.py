@@ -36,7 +36,7 @@ import warnings
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from columnar_database_project_spark.functions.broadcast_policy import (
@@ -880,6 +880,40 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the corpus-health metric
+    every dedup run reports (how much of the corpus is 1-of-N copies,
+    and how heavy the tail of mega-duplicates is): exact-fingerprint
+    cluster sizes histogrammed into (cluster_size → n_clusters,
+    n_docs, share of corpus). Two shuffles, both shrinking: content-
+    key groupBy (bounded by distinct content) then a size-keyed
+    groupBy over the cluster frame (bounded by the largest cluster —
+    dozens of rows); the corpus total rides along as sum(n_docs) over
+    the tiny histogram, no second scan. The key is the opening-20-
+    token prefix fingerprint (the ``text_contamination`` contract):
+    copied-page prefixes collide where whole-text hashes don't, so
+    the histogram reports the near-copy tail, not just byte-exact
+    dupes."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    fp = F.md5(F.concat_ws(" ", F.slice(toks, 1, 20)))
+    clusters = (
+        docs.groupBy(fp.alias("fp"))
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+    hist = clusters.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size")).alias("n_docs"),
+    )
+    total = F.sum("n_docs").over(W.partitionBy())
+    return hist.select(
+        "cluster_size",
+        "n_clusters",
+        "n_docs",
+        F.round(F.col("n_docs") / total, 6).alias("corpus_share"),
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_exact_survivors": q_dedup_exact_survivors,
@@ -896,6 +930,7 @@ QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_semantic": q_dedup_semantic,
+    "dedup_cluster_size_hist": q_dedup_cluster_size_hist,
 }
 
 # ---------------------------------------------------------------- oracles
@@ -1040,6 +1075,25 @@ def _dedup_semantic_oracle() -> str:
 
 
 ORACLES["dedup_semantic"] = _dedup_semantic_oracle()
+
+ORACLES["dedup_cluster_size_hist"] = """
+        WITH clusters AS (
+            SELECT md5(array_to_string(
+                       regexp_split_to_array(trim(text), '\\s+')[1:20], ' '
+                   )) AS fp,
+                   CAST(count(*) AS BIGINT) AS cluster_size
+            FROM documents GROUP BY 1
+        ), hist AS (
+            SELECT cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters,
+                   CAST(count(*) * cluster_size AS BIGINT) AS n_docs
+            FROM clusters GROUP BY cluster_size
+        )
+        SELECT cluster_size, n_clusters, n_docs,
+               ROUND(n_docs / CAST(sum(n_docs) OVER () AS DOUBLE), 6)
+                   AS corpus_share
+        FROM hist
+    """
 
 
 # Shared SimHash CTE chain (signature per doc) — used by the signature

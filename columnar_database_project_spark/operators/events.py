@@ -333,6 +333,35 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (first-order Markov
+    chain): P(next type | current type) estimated from consecutive
+    event pairs within each user's timeline — the behavioral-model
+    shape behind next-action prediction and bot detection. One hash
+    shuffle on user_id for the lead() window; the transition counts
+    are a type²-sized aggregate (tiny, map-side combined), and the
+    row-probability normalization is a window over that tiny frame,
+    not the event stream. The (ts, event_id) sort key is unique, so
+    every engine orders pairs identically."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+    )
+    counts = pairs.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    row_total = F.sum("n").over(W.partitionBy("cur"))
+    return counts.select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(F.col("n") / row_total, 6).alias("p"),
+    )
+
+
 QUERIES = {
     "events_tumbling_hour": q_events_tumbling_hour,
     "events_sessionize": q_events_sessionize,
@@ -347,6 +376,7 @@ QUERIES = {
     "events_purchase_attribution": q_events_purchase_attribution,
     "events_retention": q_events_retention,
     "events_anomaly": q_events_anomaly,
+    "events_markov_transitions": q_events_markov_transitions,
 }
 
 ORACLES = {
@@ -510,6 +540,23 @@ ORACLES = {
         WHERE s.sd > 0 AND abs((e.value - s.mu) / s.sd) >= {ANOMALY_Z}
     """,
 }
+
+ORACLES["events_markov_transitions"] = """
+        WITH pairs AS (
+            SELECT event_type AS cur,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS nxt
+            FROM events
+        ), counts AS (
+            SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+            FROM pairs WHERE nxt IS NOT NULL
+            GROUP BY cur, nxt
+        )
+        SELECT cur, nxt, n,
+               ROUND(n / CAST(sum(n) OVER (PARTITION BY cur) AS DOUBLE), 6) AS p
+        FROM counts
+    """
 
 ORACLES["events_pivot_user_counts"] = """
         SELECT user_id,

@@ -1457,6 +1457,46 @@ def q_engine_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_engine_update_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE ... SET through the engine façade (``update_where``) —
+    the fourth DML verb: every open low-value order is re-prioritized
+    and surcharged (+250.0, exactly representable so Spark and DuckDB
+    agree bit-for-bit), the rewritten snapshot is written and read
+    back, and the oracle row checks SQL UPDATE semantics (only
+    predicate-TRUE rows change; untouched columns survive byte-
+    identical) over the full read→update→write→read cycle.
+
+    Scale shape: one scan + per-row CASE projection + block write —
+    zero shuffles before the final rollup; no broadcast anywhere."""
+    import tempfile
+
+    from columnar_database_project_spark.engine import MicroBlockEngine
+
+    eng = MicroBlockEngine(spark)
+    eng.register("orders_update_demo", load_table(spark, sf_dir, "orders"))
+    dst = os.path.join(
+        tempfile.gettempdir(), f"cdps_update_set_{os.getpid()}"
+    )
+    eng.update_where(
+        "orders_update_demo",
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") < 20000.0),
+        {
+            "o_orderpriority": F.lit("5-SURCHARGED"),
+            "o_totalprice": F.col("o_totalprice") + 250.0,
+        },
+        dst,
+    )
+    return (
+        eng.table("orders_update_demo")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LAG/LEAD/NTILE over a per-customer order timeline — the
     remaining analytic-window family (rank/running/share are covered
@@ -1645,6 +1685,7 @@ QUERIES = {
     "engine_sql_roundtrip": q_engine_sql_roundtrip,
     "engine_merge_upsert": q_engine_merge_upsert,
     "engine_delete_where": q_engine_delete_where,
+    "engine_update_set": q_engine_update_set,
     "engine_time_travel": q_engine_time_travel,
     "q10_returned_items": q10_returned_items,
     "q12_late_lines_by_priority": q12_late_lines_by_priority,
@@ -2073,6 +2114,20 @@ ORACLES = {
         FROM orders
         WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000.0)
         GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "engine_update_set": """
+        WITH updated AS (
+            SELECT CASE WHEN o_orderstatus = 'O' AND o_totalprice < 20000.0
+                        THEN '5-SURCHARGED' ELSE o_orderpriority
+                   END AS o_orderpriority,
+                   CASE WHEN o_orderstatus = 'O' AND o_totalprice < 20000.0
+                        THEN o_totalprice + 250.0 ELSE o_totalprice
+                   END AS o_totalprice
+            FROM orders
+        )
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+               ROUND(sum(o_totalprice), 2) AS total
+        FROM updated GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     "q14_promo_revenue": """
         SELECT ROUND(

@@ -491,6 +491,46 @@ def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-bin utilization audit for ``q_text_pack_sequences`` —
+    the number every packing run must report before training starts:
+    per source, how many sequences the greedy packer produced, the
+    mean fill ratio of the SEQ_LEN budget, and the padding-waste vs
+    overflow-token split (greedy close-on-cross means a sequence can
+    exceed the budget; the trainer truncates overflow and pads
+    under-full bins, so both tails are lost compute). Reuses the
+    exact packing assignment (same window, same SEQ_LEN contract), so
+    the audit provably describes the packer it audits. One hash
+    shuffle on source; both rollups are tiny."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens_col())
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    seqs = (
+        docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        .withColumn("seq_id", (cum_before / SEQ_LEN).cast("bigint"))
+        .groupBy("source", "seq_id")
+        .agg(F.sum("n_tokens").alias("seq_tokens"))
+    )
+    fill = F.least(F.col("seq_tokens"), F.lit(SEQ_LEN)) / F.lit(
+        float(SEQ_LEN)
+    )
+    return seqs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.round(F.avg(fill), 6).alias("mean_fill"),
+        F.sum(
+            F.greatest(F.lit(SEQ_LEN) - F.col("seq_tokens"), F.lit(0))
+        ).alias("pad_tokens"),
+        F.sum(
+            F.greatest(F.col("seq_tokens") - F.lit(SEQ_LEN), F.lit(0))
+        ).alias("overflow_tokens"),
+    )
+
+
 def q_text_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full pretraining corpus-build pipeline as ONE composed job —
     quality filter → exact dedup (keep-first among kept docs) → split
@@ -521,6 +561,37 @@ def q_text_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),
             F.ceil(F.sum("n_tokens") / F.lit(SEQ_LEN)).alias("n_seqs"),
+        )
+    )
+
+
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct word-5-gram shingles that appear in NO other document —
+    the memorization/duplication proxy used to rank documents for
+    training value (a page of boilerplate scores ~0, original prose
+    ~1). Complements the boilerplate detector (which ranks the
+    SHINGLES); this ranks the DOCUMENTS.
+
+    Scale shape: shingle-keyed partial-agg'd groupBy for global doc
+    counts (vocabulary-sized, never all-pairs), joined back UNHINTED
+    on shingle (AQE size-gates; both sides hash-partition on shingle
+    already), then one doc_id rollup. Same inverted-index discipline
+    as the Jaccard dedup path."""
+    from columnar_database_project_spark.operators.dedup import _shingles
+
+    sh = _shingles(spark, sf_dir)
+    global_counts = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("n_docs_with")
+    )
+    novel = F.when(F.col("n_docs_with") == 1, 1).otherwise(0)
+    return (
+        sh.join(global_counts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).alias("n_novel"),
+            F.round(F.avg(novel), 6).alias("novelty"),
         )
     )
 
@@ -886,6 +957,8 @@ QUERIES = {
     "text_boilerplate_shingles": q_text_boilerplate_shingles,
     "text_vocab_coverage": q_text_vocab_coverage,
     "text_corpus_build": q_text_corpus_build,
+    "text_pack_efficiency": q_text_pack_efficiency,
+    "text_ngram_novelty": q_text_ngram_novelty,
 }
 
 _MARKERS_SQL = ", ".join(f"'{m}'" for m in EN_MARKERS)
@@ -1169,11 +1242,54 @@ ORACLES["text_pack_sequences"] = """
         FROM c GROUP BY source, CAST(floor(cum_before / 256) AS BIGINT)
     """
 
+ORACLES["text_pack_efficiency"] = """
+        WITH t AS (
+            SELECT doc_id, source,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT source, n_tokens,
+                   COALESCE(sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before
+            FROM t
+        ), seqs AS (
+            SELECT source,
+                   CAST(floor(cum_before / 256) AS BIGINT) AS seq_id,
+                   CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+            FROM c GROUP BY source, CAST(floor(cum_before / 256) AS BIGINT)
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_seqs,
+               ROUND(avg(least(seq_tokens, 256) / 256.0), 6) AS mean_fill,
+               CAST(sum(greatest(256 - seq_tokens, 0)) AS BIGINT) AS pad_tokens,
+               CAST(sum(greatest(seq_tokens - 256, 0)) AS BIGINT)
+                   AS overflow_tokens
+        FROM seqs GROUP BY source
+    """
+
 # Boilerplate / vocab oracles share the dedup module's shingle CTE and
 # the tokenization contract above.
 from columnar_database_project_spark.operators.dedup import (  # noqa: E402
     _SHINGLES_SQL,
 )
+
+ORACLES["text_ngram_novelty"] = f"""
+        WITH {_SHINGLES_SQL},
+        g AS (
+            SELECT shingle, CAST(count(*) AS BIGINT) AS n_docs_with
+            FROM shingles GROUP BY shingle
+        )
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN g.n_docs_with = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               ROUND(avg(CASE WHEN g.n_docs_with = 1 THEN 1.0 ELSE 0.0 END), 6)
+                   AS novelty
+        FROM shingles s JOIN g ON s.shingle = g.shingle
+        GROUP BY s.doc_id
+    """
 
 ORACLES["text_boilerplate_shingles"] = f"""
         WITH {_SHINGLES_SQL}

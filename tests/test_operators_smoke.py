@@ -48,6 +48,11 @@ FAST_QUERIES = [
     "q14_promo_revenue",
     "q19_bracket_revenue",
     "engine_sql_roundtrip",
+    "engine_update_set",
+    "events_markov_transitions",
+    "dedup_cluster_size_hist",
+    "text_pack_efficiency",
+    "text_ngram_novelty",
 ]
 
 

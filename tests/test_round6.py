@@ -738,6 +738,81 @@ def test_engine_delete_where_semantics(spark, sf_dir, tmp_path):
     assert rep2["deleted"] == 1 and rep2["remaining"] == 1
 
 
+def test_engine_update_where_semantics(spark, sf_dir, tmp_path):
+    """UPDATE ... SET: only predicate-TRUE rows change (NULL keeps old
+    values, SQL semantics), untouched columns/rows survive byte-
+    identical, column order is preserved, unknown SET columns are
+    rejected, and the write is a NEW snapshot."""
+    from pyspark.sql import functions as F
+
+    from columnar_database_project_spark.engine import MicroBlockEngine
+
+    eng = MicroBlockEngine(spark)
+    base = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, None, "b"), (3, 99.0, "c"), (4, 5.0, "d")],
+        "id int, v double, tag string",
+    )
+    eng.register("upd_t", base)
+    rep = eng.update_where(
+        "upd_t",
+        F.col("v") < 50.0,
+        {"tag": F.lit("LOW"), "v": F.col("v") + 1.0},
+        str(tmp_path / "u1"),
+    )
+    # v<50 TRUE for ids 1,4; NULL for id 2 (kept as-is); FALSE for id 3
+    assert rep == {"target_rows": 4, "updated": 2}
+    got = {r["id"]: (r["v"], r["tag"]) for r in eng.table("upd_t").collect()}
+    assert got == {
+        1: (11.0, "LOW"),
+        2: (None, "b"),
+        3: (99.0, "c"),
+        4: (6.0, "LOW"),
+    }
+    assert eng.table("upd_t").columns == ["id", "v", "tag"]
+    # string forms for predicate and assignment
+    rep2 = eng.update_where(
+        "upd_t", "v IS NULL", {"v": "0.0"}, str(tmp_path / "u2")
+    )
+    assert rep2["updated"] == 1
+    assert (
+        eng.table("upd_t").filter(F.col("id") == 2).first()["v"] == 0.0
+    )
+    # unknown SET column rejected
+    with pytest.raises(ValueError, match="unknown"):
+        eng.update_where(
+            "upd_t", "v = 0.0", {"nope": F.lit(1)}, str(tmp_path / "u3")
+        )
+
+
+def test_engine_update_versioned_chain(spark, tmp_path):
+    """UPDATE participates in the commit-log chain: merge v1 →
+    update v2 → time travel to v1 shows pre-update values while the
+    latest snapshot shows post-update values."""
+    from pyspark.sql import functions as F
+
+    from columnar_database_project_spark.engine import MicroBlockEngine
+    from columnar_database_project_spark.storage.snapshots import SnapshotStore
+
+    eng = MicroBlockEngine(spark)
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id int, v double")
+    eng.register("uv_t", base)
+    store = SnapshotStore(str(tmp_path / "versions"))
+    eng.merge_versioned(
+        "uv_t",
+        spark.createDataFrame([(3, 30.0)], "id int, v double"),
+        "id",
+        store,
+    )  # v1: ids 1,2,3
+    rep = eng.update_versioned(
+        "uv_t", F.col("id") == 1, {"v": F.lit(-1.0)}, store
+    )  # v2
+    assert rep["version"] == 2 and rep["updated"] == 1
+    latest = {r["id"]: r["v"] for r in eng.table("uv_t").collect()}
+    assert latest == {1: -1.0, 2: 20.0, 3: 30.0}
+    v1 = {r["id"]: r["v"] for r in eng.time_travel("uv_t", store, 1).collect()}
+    assert v1 == {1: 10.0, 2: 20.0, 3: 30.0}
+
+
 def test_dml_refuses_self_overwrite(spark, sf_dir, tmp_path):
     """A DML rewrite whose dst is the table's CURRENT snapshot dir
     would delete the files its own plan is scanning — refused."""
