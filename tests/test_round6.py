@@ -958,6 +958,72 @@ def test_dml_plan_shapes(spark, sf_dir):
     assert count_shuffles(deleted) == 0
 
 
+def test_update_plan_zero_shuffle(spark, sf_dir):
+    """UPDATE = scan + per-row CASE projection: the rewrite plan has
+    zero shuffles and no broadcast — the same cost class as DELETE."""
+    from pyspark.sql import functions as F
+
+    from columnar_database_project_spark.catalog import load_table
+    from columnar_database_project_spark.plans.verify import (
+        count_shuffles,
+        forced_broadcast_hints,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cond = F.coalesce(F.col("o_totalprice") < 20000.0, F.lit(False))
+    updated = orders.select(
+        *[
+            F.when(cond, F.col(c) + 250.0).otherwise(F.col(c)).alias(c)
+            if c == "o_totalprice"
+            else F.col(c)
+            for c in orders.columns
+        ]
+    )
+    assert count_shuffles(updated) == 0
+    assert forced_broadcast_hints(updated) == 0
+
+
+def test_new_operator_plan_shapes(spark, sf_dir):
+    """Round-6 additions keep their scale contracts: novelty has no
+    forced broadcast and no nested-loop join (inverted-index shape),
+    markov/pack/histogram stay within their tiny bounded shuffle
+    budgets."""
+    from columnar_database_project_spark.operators.dedup import (
+        q_dedup_cluster_size_hist,
+    )
+    from columnar_database_project_spark.operators.events import (
+        q_events_markov_transitions,
+    )
+    from columnar_database_project_spark.operators.text import (
+        q_text_ngram_novelty,
+        q_text_pack_efficiency,
+    )
+    from columnar_database_project_spark.plans.verify import (
+        count_shuffles,
+        forced_broadcast_hints,
+        formatted_plan,
+    )
+
+    novelty = q_text_ngram_novelty(spark, sf_dir)
+    assert forced_broadcast_hints(novelty) == 0
+    assert "BroadcastNestedLoopJoin" not in formatted_plan(novelty)
+
+    markov = q_events_markov_transitions(spark, sf_dir)
+    # user window + (cur,nxt) groupBy + cur window over the tiny frame
+    assert count_shuffles(markov) <= 3
+    assert forced_broadcast_hints(markov) == 0
+
+    pack = q_text_pack_efficiency(spark, sf_dir)
+    assert count_shuffles(pack) <= 3
+    assert forced_broadcast_hints(pack) == 0
+
+    hist = q_dedup_cluster_size_hist(spark, sf_dir)
+    # fp groupBy + size groupBy + single-partition window over the
+    # dozen-row histogram
+    assert count_shuffles(hist) <= 3
+    assert forced_broadcast_hints(hist) == 0
+
+
 def test_streaming_upsert_batching_invariance(spark, tmp_path):
     """The CDC-upsert result is invariant to how the change rows are
     split into drops/micro-batches — the LWW-on-version compaction is
