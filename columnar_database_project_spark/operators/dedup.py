@@ -914,6 +914,48 @@ def q_dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash quality audit: for every true near-dup pair (exact
+    shingle Jaccard ≥ τ), the signature-estimated Jaccard (fraction
+    of the 16 seeds whose min-hashes agree) next to the true value
+    and the absolute error — the "measure, don't guess" check that
+    tells you whether N_MINHASH/band geometry is adequate BEFORE a
+    100 TB dedup run trusts it. Per-pair rows (not just a mean) so
+    the oracle hash pins every estimate.
+
+    Scale shape: the pair set is the inverted-index output (bounded,
+    never all-pairs); each side joins the signature frame on its
+    doc_id key — two equi-joins, unhinted (pairs are corpus-
+    proportional in a duplicate-heavy crawl; AQE size-gates, see
+    DEPLOY.md broadcast policy)."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir)
+    wide = _minhash_wide(spark, sf_dir)
+    a = wide.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(N_MINHASH)],
+    )
+    b = wide.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(N_MINHASH)],
+    )
+    matches = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    )
+    est = matches / F.lit(float(N_MINHASH))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
+        )
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_exact_survivors": q_dedup_exact_survivors,
@@ -931,6 +973,7 @@ QUERIES = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_semantic": q_dedup_semantic,
     "dedup_cluster_size_hist": q_dedup_cluster_size_hist,
+    "dedup_minhash_est_error": q_dedup_minhash_est_error,
 }
 
 # ---------------------------------------------------------------- oracles
@@ -1075,6 +1118,38 @@ def _dedup_semantic_oracle() -> str:
 
 
 ORACLES["dedup_semantic"] = _dedup_semantic_oracle()
+
+_MH_MATCHES = " + ".join(
+    f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END"
+    for i in range(N_MINHASH)
+)
+
+ORACLES["dedup_minhash_est_error"] = f"""
+        WITH {_MINHASH_WIDE_SQL},
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS n_inter
+            FROM shingles s1 JOIN shingles s2
+              ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+            GROUP BY s1.doc_id, s2.doc_id
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b,
+                   ROUND(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6)
+                       AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2
+        )
+        SELECT p.doc_a, p.doc_b, p.jaccard,
+               ROUND(({_MH_MATCHES}) / {float(N_MINHASH)}, 6) AS est_jaccard,
+               ROUND(abs(({_MH_MATCHES}) / {float(N_MINHASH)} - p.jaccard), 6)
+                   AS abs_err
+        FROM pairs p
+        JOIN sig a ON a.doc_id = p.doc_a
+        JOIN sig b ON b.doc_id = p.doc_b
+    """
 
 ORACLES["dedup_cluster_size_hist"] = """
         WITH clusters AS (

@@ -362,6 +362,81 @@ def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM user segmentation — recency (days since the user's last
+    event, anchored to the corpus max timestamp so the result is
+    reproducible), frequency (event count), monetary (purchase value
+    sum), each bucketed 1-4 against its exact quartile thresholds and
+    composed into the classic 'RFM' segment code. NOT a global NTILE:
+    at 1e9 users a rank-based quartile is a single-partition sort, so
+    the scale shape here is the production one — one user-keyed
+    aggregation shuffle, a 1-row exact-percentile aggregate broadcast
+    back, and a scan-local CASE bucket (value-threshold semantics:
+    ties land in one deterministic bucket on every engine, no rank
+    tiebreaks needed)."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("anchor_ts"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", F.col("value"))
+                    .otherwise(0.0)
+                ),
+                4,
+            ).alias("monetary"),
+        )
+        .crossJoin(bounded_broadcast(anchor, 1, "1-row corpus-max timestamp"))
+        .withColumn(
+            "recency_days", F.datediff(F.col("anchor_ts"), F.col("last_ts"))
+        )
+    )
+    quarts = per_user.agg(
+        *[
+            F.expr(f"percentile({col}, {p}) AS {pre}_q{i}")
+            for col, pre in (
+                ("recency_days", "r"),
+                ("frequency", "f"),
+                ("monetary", "m"),
+            )
+            for i, p in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ]
+    )
+
+    def bucket(col: str, prefix: str):
+        v = F.col(col)
+        return (
+            F.lit(1)
+            + (v > F.col(f"{prefix}_q1")).cast("int")
+            + (v > F.col(f"{prefix}_q2")).cast("int")
+            + (v > F.col(f"{prefix}_q3")).cast("int")
+        )
+
+    r_q = bucket("recency_days", "r")
+    f_q = bucket("frequency", "f")
+    m_q = bucket("monetary", "m")
+    return (
+        per_user.crossJoin(
+            bounded_broadcast(quarts, 1, "1-row quartile thresholds")
+        )
+        .select(
+            "user_id",
+            "recency_days",
+            "frequency",
+            "monetary",
+            r_q.alias("r_q"),
+            f_q.alias("f_q"),
+            m_q.alias("m_q"),
+            F.concat(
+                r_q.cast("string"), f_q.cast("string"), m_q.cast("string")
+            ).alias("segment"),
+        )
+    )
+
+
 QUERIES = {
     "events_tumbling_hour": q_events_tumbling_hour,
     "events_sessionize": q_events_sessionize,
@@ -377,6 +452,7 @@ QUERIES = {
     "events_retention": q_events_retention,
     "events_anomaly": q_events_anomaly,
     "events_markov_transitions": q_events_markov_transitions,
+    "events_rfm_segments": q_events_rfm_segments,
 }
 
 ORACLES = {
@@ -540,6 +616,51 @@ ORACLES = {
         WHERE s.sd > 0 AND abs((e.value - s.mu) / s.sd) >= {ANOMALY_Z}
     """,
 }
+
+ORACLES["events_rfm_segments"] = """
+        WITH per_user AS (
+            SELECT user_id, max(ts) AS last_ts,
+                   CAST(count(*) AS BIGINT) AS frequency,
+                   ROUND(sum(CASE WHEN event_type = 'purchase'
+                             THEN value ELSE 0 END), 4) AS monetary
+            FROM events GROUP BY user_id
+        ), anch AS (SELECT max(ts) AS anchor_ts FROM events),
+        u AS (
+            SELECT user_id, frequency, monetary,
+                   CAST(date_diff('day', CAST(last_ts AS DATE),
+                                  CAST(anchor_ts AS DATE)) AS INT)
+                       AS recency_days
+            FROM per_user, anch
+        ), q AS (
+            SELECT quantile_cont(recency_days, 0.25) AS r_q1,
+                   quantile_cont(recency_days, 0.5)  AS r_q2,
+                   quantile_cont(recency_days, 0.75) AS r_q3,
+                   quantile_cont(frequency, 0.25) AS f_q1,
+                   quantile_cont(frequency, 0.5)  AS f_q2,
+                   quantile_cont(frequency, 0.75) AS f_q3,
+                   quantile_cont(monetary, 0.25) AS m_q1,
+                   quantile_cont(monetary, 0.5)  AS m_q2,
+                   quantile_cont(monetary, 0.75) AS m_q3
+            FROM u
+        ), b AS (
+            SELECT user_id, recency_days, frequency, monetary,
+                   1 + CAST(recency_days > r_q1 AS INT)
+                     + CAST(recency_days > r_q2 AS INT)
+                     + CAST(recency_days > r_q3 AS INT) AS r_q,
+                   1 + CAST(frequency > f_q1 AS INT)
+                     + CAST(frequency > f_q2 AS INT)
+                     + CAST(frequency > f_q3 AS INT) AS f_q,
+                   1 + CAST(monetary > m_q1 AS INT)
+                     + CAST(monetary > m_q2 AS INT)
+                     + CAST(monetary > m_q3 AS INT) AS m_q
+            FROM u, q
+        )
+        SELECT user_id, recency_days, frequency, monetary,
+               r_q, f_q, m_q,
+               CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR)
+                   || CAST(m_q AS VARCHAR) AS segment
+        FROM b
+    """
 
 ORACLES["events_markov_transitions"] = """
         WITH pairs AS (

@@ -565,6 +565,36 @@ def q_text_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility — BPE-ish subword tokens per
+    whitespace word, and characters per subword token: the number that
+    decides how a fixed token budget translates into per-language text
+    volume when planning a multilingual mix (high-fertility languages
+    eat the budget faster). Scan-local regexp counts + one tiny
+    lang-keyed aggregate; no joins, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = F.regexp_count(F.col("text"), F.lit(BPE_PATTERN))
+    n_ws = F.size(tokens_col())
+    n_chars = F.length(F.trim(F.col("text")))
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_bpe).alias("bpe_tokens"),
+        F.sum(n_ws).alias("ws_tokens"),
+        F.sum(n_chars).alias("chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "bpe_tokens",
+        F.round(F.col("bpe_tokens") / F.col("ws_tokens"), 6).alias(
+            "fertility"
+        ),
+        F.round(F.col("chars") / F.col("bpe_tokens"), 6).alias(
+            "chars_per_token"
+        ),
+    )
+
+
 def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram novelty: the fraction of a document's
     distinct word-5-gram shingles that appear in NO other document —
@@ -959,6 +989,7 @@ QUERIES = {
     "text_corpus_build": q_text_corpus_build,
     "text_pack_efficiency": q_text_pack_efficiency,
     "text_ngram_novelty": q_text_ngram_novelty,
+    "text_tokenizer_fertility": q_text_tokenizer_fertility,
 }
 
 _MARKERS_SQL = ", ".join(f"'{m}'" for m in EN_MARKERS)
@@ -1240,6 +1271,23 @@ ORACLES["text_pack_sequences"] = """
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(n_tokens) AS BIGINT) AS n_tokens
         FROM c GROUP BY source, CAST(floor(cum_before / 256) AS BIGINT)
+    """
+
+ORACLES["text_tokenizer_fertility"] = f"""
+        WITH t AS (
+            SELECT lang,
+                   len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws,
+                   length(trim(text)) AS n_chars
+            FROM documents
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+               ROUND(sum(n_bpe) / CAST(sum(n_ws) AS DOUBLE), 6) AS fertility,
+               ROUND(sum(n_chars) / CAST(sum(n_bpe) AS DOUBLE), 6)
+                   AS chars_per_token
+        FROM t GROUP BY lang
     """
 
 ORACLES["text_pack_efficiency"] = """

@@ -53,6 +53,9 @@ FAST_QUERIES = [
     "dedup_cluster_size_hist",
     "text_pack_efficiency",
     "text_ngram_novelty",
+    "text_tokenizer_fertility",
+    "events_rfm_segments",
+    "dedup_minhash_est_error",
 ]
 
 

@@ -1024,6 +1024,49 @@ def test_new_operator_plan_shapes(spark, sf_dir):
     assert forced_broadcast_hints(hist) == 0
 
 
+def test_minhash_estimate_quality(spark, sf_dir):
+    """The 16-seed MinHash estimate tracks true Jaccard: mean |err|
+    within ~2 standard errors of the binomial bound (sqrt(J(1-J)/16)
+    <= 0.125), and the estimate is never degenerate (not all 0/1)."""
+    from columnar_database_project_spark.operators.dedup import (
+        q_dedup_minhash_est_error,
+    )
+
+    rows = q_dedup_minhash_est_error(spark, sf_dir).collect()
+    assert rows, "expected near-dup pairs in testdata"
+    mean_err = sum(r["abs_err"] for r in rows) / len(rows)
+    assert mean_err <= 0.25, f"mean |est - true| too high: {mean_err:.3f}"
+    ests = {r["est_jaccard"] for r in rows}
+    assert len(ests) > 1 or rows[0]["est_jaccard"] not in (0.0, 1.0)
+
+
+def test_rfm_segments_bucket_semantics(spark, sf_dir):
+    """RFM buckets partition users 1-4 on each axis against exact
+    quartiles: every bucket value in range, and each axis's bucket
+    counts roughly balanced (threshold bucketing: no bucket empty)."""
+    from collections import Counter
+
+    from columnar_database_project_spark.operators.events import (
+        q_events_rfm_segments,
+    )
+
+    rows = q_events_rfm_segments(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    spread = {}
+    for axis in ("r_q", "f_q", "m_q"):
+        counts = Counter(r[axis] for r in rows)
+        assert set(counts) <= {1, 2, 3, 4}
+        spread[axis] = len(counts)
+    # value-threshold buckets CAN collapse under heavy ties (e.g.
+    # everyone active on the last day → recency all-bucket-1); but a
+    # fully degenerate result on every axis means the thresholds are
+    # wrong, not the data.
+    assert max(spread.values()) >= 3, f"all axes collapsed: {spread}"
+    for r in rows:
+        assert r["segment"] == f"{r['r_q']}{r['f_q']}{r['m_q']}"
+
+
 def test_streaming_upsert_batching_invariance(spark, tmp_path):
     """The CDC-upsert result is invariant to how the change rows are
     split into drops/micro-batches — the LWW-on-version compaction is
