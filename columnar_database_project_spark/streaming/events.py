@@ -254,6 +254,76 @@ def sessionize_stateful(
     )
 
 
+TRANSITION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("cur", T.StringType()),
+        T.StructField("nxt", T.StringType()),
+    ]
+)
+
+TRANSITION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_epoch", T.LongType()),
+        T.StructField("last_event_id", T.LongType()),
+        T.StructField("last_type", T.StringType()),
+    ]
+)
+
+
+def _transition_fn(key, pdfs, state):
+    """Per-user last-event state → emit one (cur, nxt) row per
+    consecutive event pair, across micro-batch boundaries: the pair a
+    batch lead() window would MISS at every batch seam is exactly
+    what the carried (last_ts, last_type) state supplies. Events
+    within a batch are sorted on the same unique (ts, event_id) key
+    as the batch twin, so replaying the stream under any IN-ORDER
+    batching (each user's events arrive in (ts, event_id) order
+    across drops — the normal stream contract) yields the identical
+    multiset of transitions (invariance is pytest-proven)."""
+    import pandas as pd
+
+    (user_id,) = key
+    if state.exists:
+        _last_epoch, _last_eid, last_type = state.get
+    else:
+        last_type = None
+    last_epoch, last_eid = 0, 0
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts, eid, etype in zip(pdf["ts"], pdf["event_id"], pdf["event_type"]):
+            if last_type is not None:
+                out.append((user_id, last_type, etype))
+            last_type = etype
+            last_epoch, last_eid = int(ts.timestamp()), int(eid)
+    state.update((last_epoch, last_eid, last_type))
+    yield pd.DataFrame(out, columns=["user_id", "cur", "nxt"])
+
+
+def transitions_stateful(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of ``operators/events.q_events_markov_transitions``'
+    pair extraction: continuous (cur → nxt) event-type transitions via
+    applyInPandasWithState (a lead() window is not available over an
+    unbounded stream — carrying the last event per user in state IS
+    the streaming form of lead). Downstream, the transition counts /
+    conditional probabilities are a plain streaming aggregation over
+    this frame; state is one (long, long, string) per user."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _transition_fn,
+            outputStructType=TRANSITION_OUT_SCHEMA,
+            stateStructType=TRANSITION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> "object":
     """Drive a streaming DataFrame into an in-memory table and process
     everything currently available (test/demo harness)."""

@@ -129,6 +129,132 @@ class TestStreamingTwins:
         finally:
             q.stop()
 
+    def test_transitions_stateful_matches_batch_lead(
+        self, spark, sf_dir, ordered_stream_dir
+    ):
+        """The streaming transition extractor must emit exactly the
+        multiset of (user, cur, nxt) pairs the batch lead() window
+        produces — INCLUDING the pairs that straddle micro-batch
+        seams (the carried last-event state's whole job)."""
+        from collections import Counter
+
+        from pyspark.sql import Window as W
+
+        from columnar_database_project_spark.streaming.events import (
+            transitions_stateful,
+        )
+
+        stream = read_event_stream(spark, ordered_stream_dir)
+        q = run_to_memory(
+            transitions_stateful(stream, watermark="365 days"),
+            "t_transitions",
+            "append",
+        )
+        try:
+            got = Counter(
+                (r["user_id"], r["cur"], r["nxt"])
+                for r in spark.sql("SELECT * FROM t_transitions").collect()
+            )
+            ev = load_table(spark, sf_dir, "events")
+            w = W.partitionBy("user_id").orderBy("ts", "event_id")
+            batch = Counter(
+                (r["user_id"], r["cur"], r["nxt"])
+                for r in ev.select(
+                    "user_id",
+                    F.col("event_type").alias("cur"),
+                    F.lead("event_type").over(w).alias("nxt"),
+                )
+                .filter(F.col("nxt").isNotNull())
+                .collect()
+            )
+            assert got == batch
+            assert sum(got.values()) > 0
+            # cross-seam pairs existed (i.e. the state actually carried):
+            # 3 slices over many users ⇒ far fewer rows than a
+            # single-batch run would emit only if state were dropped.
+            n_events = ev.count()
+            n_users = ev.select("user_id").distinct().count()
+            assert sum(got.values()) == n_events - n_users
+        finally:
+            q.stop()
+
+    def test_watermark_drops_late_rows(self, spark, tmp_path):
+        """Real late-data semantics (every other test uses a 365-day
+        watermark precisely to AVOID this): with a 10-minute watermark
+        and append mode, a window finalizes once the watermark passes
+        its end and is EVICTED from state; a row arriving in a LATER
+        micro-batch with an event time inside that evicted window is
+        dropped (numRowsDroppedByWatermark counts it) — the finalized
+        window's count must not change and must not re-emit. Also
+        proves append mode holds back the still-open trailing window.
+        (Measured boundary: a late row landing in the SAME batch that
+        finalizes its window still merges — eviction, not arrival,
+        is the cut — which is why the late row here arrives one batch
+        after the finalizing one.)"""
+        import datetime as dt
+
+        import pandas as pd
+
+        from columnar_database_project_spark.streaming.events import (
+            EVENTS_SCHEMA,
+        )
+
+        src = tmp_path / "late_events"
+        src.mkdir()
+
+        def write_slice(name, rows, mtime):
+            pdf = pd.DataFrame(
+                rows,
+                columns=[
+                    "event_id", "ts", "user_id", "event_type", "value", "props",
+                ],
+            )
+            path = str(src / name)
+            spark.createDataFrame(pdf, EVENTS_SCHEMA).coalesce(1).toPandas().to_parquet(
+                path, coerce_timestamps="us", allow_truncated_timestamps=True
+            )
+            os.utime(path, (mtime, mtime))
+
+        T = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+        # b1: on-time hour-0 row + a 03:00 row (watermark → 02:50)
+        write_slice(
+            "b1.parquet",
+            [(1, T(0, 10), 1, "view", 1.0, "{}"), (2, T(3), 1, "view", 1.0, "{}")],
+            1_700_000_000,
+        )
+        # b2: advances watermark past hour-0's end → hour-0 emits+evicts
+        write_slice("b2.parquet", [(5, T(4), 1, "view", 1.0, "{}")], 1_700_000_060)
+        # b3: the late row (00:20, far below the 03:50 watermark) plus a
+        # trailing row whose window must stay open at stream end
+        write_slice(
+            "b3.parquet",
+            [(3, T(0, 20), 1, "view", 1.0, "{}"), (4, T(5), 1, "view", 1.0, "{}")],
+            1_700_000_120,
+        )
+        stream = read_event_stream(spark, str(src))
+        q = run_to_memory(
+            tumbling_counts(stream, window="1 hour", watermark="10 minutes"),
+            "t_late",
+            "append",
+        )
+        try:
+            dropped = sum(
+                p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+                for p in q.recentProgress
+                if p["stateOperators"]
+            )
+            got = {
+                r["window_start"].hour: r["n_events"]
+                for r in spark.sql("SELECT * FROM t_late").collect()
+            }
+            assert got.get(0) == 1, f"late row leaked into a closed window: {got}"
+            assert dropped == 1, f"late row not counted as dropped: {dropped}"
+            assert 5 not in got and 4 not in got, (
+                f"open window emitted prematurely: {got}"
+            )
+        finally:
+            q.stop()
+
     def test_alerts_filter(self, spark, stream_dir):
         stream = read_event_stream(spark, stream_dir)
         q = run_to_memory(high_value_alerts(stream, 180.0), "t_alerts", "append")
