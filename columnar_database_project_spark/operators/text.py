@@ -626,6 +626,78 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_COS_TAU = 0.9
+
+
+def tfidf_cosine_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    tau: float = TFIDF_COS_TAU,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Sparse tf-idf cosine similarity pairs — the classic IR
+    document-similarity operator, complementary to the dense
+    embedding cosine (``dedup.q_dedup_embedding_cosine``): documents
+    are tf-idf vectors over their vocabulary and only pairs sharing
+    ≥1 term ever meet (term-keyed inverted-index join, never
+    all-pairs — the same discipline as the shingle-Jaccard path).
+
+    ``max_doc_freq`` is the stop-term cut a 100 TB corpus needs: a
+    term in k docs contributes k² join rows, and high-df terms carry
+    near-zero idf weight anyway, so cutting them bounds fan-out at
+    max_doc_freq² while barely moving the scores. The default (None)
+    is exact so the SQL oracle reproduces every pair.
+
+    Cosine is rounded to 6dp BEFORE the τ filter so float summation
+    order can't flip a boundary pair between engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if max_doc_freq is not None:
+        df_ = df_.filter(F.col("df") <= max_doc_freq)
+    w = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        (
+            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0))
+        ).alias("w"),
+    )
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("norm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("norm").alias("nb"))
+    cos = F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= tau)
+    )
+
+
+def q_text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sparse tf-idf cosine pairs ≥ τ (no df cut, so the oracle
+    reproduces every pair; pass ``max_doc_freq`` to
+    ``tfidf_cosine_pairs`` at scale — see its docstring)."""
+    return tfidf_cosine_pairs(spark, sf_dir)
+
+
 BOILERPLATE_MIN_DOCS = 3   # shingle must appear in >= this many docs
 BOILERPLATE_TOP_N = 20
 VOCAB_TOP_N = 50
@@ -990,6 +1062,7 @@ QUERIES = {
     "text_pack_efficiency": q_text_pack_efficiency,
     "text_ngram_novelty": q_text_ngram_novelty,
     "text_tokenizer_fertility": q_text_tokenizer_fertility,
+    "text_tfidf_cosine_pairs": q_text_tfidf_cosine_pairs,
 }
 
 _MARKERS_SQL = ", ".join(f"'{m}'" for m in EN_MARKERS)
@@ -1271,6 +1344,41 @@ ORACLES["text_pack_sequences"] = """
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(n_tokens) AS BIGINT) AS n_tokens
         FROM c GROUP BY source, CAST(floor(cum_before / 256) AS BIGINT)
+    """
+
+ORACLES["text_tfidf_cosine_pairs"] = f"""
+        WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        tf AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+                FROM documents
+            ) GROUP BY doc_id, term
+        ),
+        idf AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+        ),
+        w AS (
+            SELECT tf.doc_id, tf.term,
+                   tf.tf * ln((n.n_docs + 1.0) / (idf.df + 1.0)) AS w
+            FROM tf JOIN idf USING (term), n
+        ),
+        norms AS (
+            SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id
+        ),
+        dots AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+            FROM w a JOIN w b
+              ON a.term = b.term AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+        FROM dots
+        JOIN norms na ON na.doc_id = doc_a
+        JOIN norms nb ON nb.doc_id = doc_b
+        WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= {TFIDF_COS_TAU}
     """
 
 ORACLES["text_tokenizer_fertility"] = f"""

@@ -56,6 +56,7 @@ FAST_QUERIES = [
     "text_tokenizer_fertility",
     "events_rfm_segments",
     "dedup_minhash_est_error",
+    "text_tfidf_cosine_pairs",
 ]
 
 
