@@ -141,9 +141,102 @@ def q_stats_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_DEPTH = 4      # independent hash rows
+CMS_WIDTH = 256    # buckets per row; est error <= n/WIDTH w.h.p.
+
+
+def _cms_bucket(seed: int, term) -> "F.Column":
+    """Deterministic bucket for (seed, term): md5-based 32-bit hash
+    mod WIDTH — reproducible bit-for-bit in the DuckDB oracle."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), term)), 1, 8), 16, 10
+    ).cast("long")
+    return (h % CMS_WIDTH).cast("int")
+
+
+def _cms_sketch(terms: DataFrame) -> DataFrame:
+    """The Count-Min sketch as a DataFrame: (seed, bucket, c) counts,
+    DEPTH x WIDTH rows total. Built with ONE map-side-combined
+    aggregation per seed over the token scan (stacked via explode of
+    the seed range so it stays a single shuffle of DEPTH x WIDTH
+    keys); mergeable across corpora by adding bucket counts — the
+    property that makes CMS the streaming/distributed counting
+    sketch (Cormode & Muthukrishnan 2005)."""
+    seeded = terms.select(
+        "term", F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("seed")
+    )
+    bucket = F.when(F.col("seed") == 0, _cms_bucket(0, F.col("term")))
+    for s in range(1, CMS_DEPTH):
+        bucket = bucket.when(F.col("seed") == s, _cms_bucket(s, F.col("term")))
+    return (
+        seeded.select("seed", bucket.alias("bucket"))
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CMS table itself over the corpus token stream —
+    oracle-exact because the hash family is md5-based and
+    deterministic. At 100 TB this is the ONLY per-term state that
+    exists: DEPTH x WIDTH counters, independent of vocabulary size."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(tokens_col()).alias("term"))
+    return _cms_sketch(terms)
+
+
+CMS_PROBE_TOP_N = 20
+
+
+def q_sketch_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS point-query audit: for the true top-N terms, the sketch
+    estimate (min over seeds of the hashed bucket's count) next to
+    the exact count and the overestimate — the CMS guarantee
+    (estimate >= truth, excess <= collisions) made inspectable and
+    oracle-pinned. The sketch and the N x DEPTH probe frame are both
+    bounded by construction (DEPTH x WIDTH and N x DEPTH rows), so
+    their broadcasts are policy-legal."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(tokens_col()).alias("term"))
+    sketch = _cms_sketch(terms)
+    top = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "term")
+        .limit(CMS_PROBE_TOP_N)
+    )
+    probes = top.select(
+        "term",
+        "exact_cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("seed"),
+    )
+    bucket = F.when(F.col("seed") == 0, _cms_bucket(0, F.col("term")))
+    for s in range(1, CMS_DEPTH):
+        bucket = bucket.when(F.col("seed") == s, _cms_bucket(s, F.col("term")))
+    probes = probes.select("term", "exact_cnt", "seed", bucket.alias("bucket"))
+    return (
+        probes.join(
+            bounded_broadcast(
+                sketch, CMS_DEPTH * CMS_WIDTH, "CMS is DEPTH x WIDTH by construction"
+            ),
+            ["seed", "bucket"],
+        )
+        .groupBy("term", "exact_cnt")
+        .agg(F.min("c").alias("cms_estimate"))
+        .select(
+            "term",
+            "exact_cnt",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_cnt")).alias("overestimate"),
+        )
+    )
+
+
 QUERIES = {
     "sketch_heavy_hitters": q_sketch_heavy_hitters,
     "stats_key_skew": q_stats_key_skew,
+    "sketch_count_min": q_sketch_count_min,
+    "sketch_cms_estimates": q_sketch_cms_estimates,
 }
 
 ORACLES = {
@@ -157,6 +250,52 @@ ORACLES = {
             SELECT count(*) AS n FROM tf
         )
         SELECT term, cnt FROM c, n WHERE cnt * {MG_CAPACITY + 1} > n
+    """,
+    "sketch_count_min": f"""
+        WITH tf AS (
+            SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+            FROM documents
+        ), seeded AS (
+            SELECT term, unnest([{", ".join(str(s) for s in range(CMS_DEPTH))}]) AS seed
+            FROM tf
+        )
+        SELECT CAST(seed AS INT) AS seed,
+               CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || term), 1, 8))::BIGINT
+                    % {CMS_WIDTH} AS INT) AS bucket,
+               CAST(count(*) AS BIGINT) AS c
+        FROM seeded GROUP BY 1, 2
+    """,
+    "sketch_cms_estimates": f"""
+        WITH tf AS (
+            SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+            FROM documents
+        ), exact AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS exact_cnt
+            FROM tf GROUP BY term
+        ), top AS (
+            SELECT term, exact_cnt FROM exact
+            ORDER BY exact_cnt DESC, term LIMIT {CMS_PROBE_TOP_N}
+        ), seeded AS (
+            SELECT term, unnest([{", ".join(str(s) for s in range(CMS_DEPTH))}]) AS seed
+            FROM tf
+        ), sketch AS (
+            SELECT seed,
+                   ('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || term), 1, 8))::BIGINT
+                       % {CMS_WIDTH} AS bucket,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM seeded GROUP BY 1, 2
+        ), probes AS (
+            SELECT t.term, t.exact_cnt, s.seed,
+                   ('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || t.term), 1, 8))::BIGINT
+                       % {CMS_WIDTH} AS bucket
+            FROM top t, (SELECT unnest([{", ".join(str(s) for s in range(CMS_DEPTH))}]) AS seed) s
+        )
+        SELECT p.term, p.exact_cnt,
+               min(k.c) AS cms_estimate,
+               min(k.c) - p.exact_cnt AS overestimate
+        FROM probes p JOIN sketch k
+          ON k.seed = p.seed AND k.bucket = p.bucket
+        GROUP BY p.term, p.exact_cnt
     """,
     "stats_key_skew": f"""
         WITH per_key AS (

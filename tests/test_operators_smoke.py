@@ -57,6 +57,8 @@ FAST_QUERIES = [
     "events_rfm_segments",
     "dedup_minhash_est_error",
     "text_tfidf_cosine_pairs",
+    "sketch_count_min",
+    "sketch_cms_estimates",
 ]
 
 

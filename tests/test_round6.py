@@ -1067,6 +1067,30 @@ def test_rfm_segments_bucket_semantics(spark, sf_dir):
         assert r["segment"] == f"{r['r_q']}{r['f_q']}{r['m_q']}"
 
 
+def test_cms_guarantees(spark, sf_dir):
+    """Count-Min structural guarantees: the sketch never exceeds
+    DEPTH x WIDTH rows regardless of vocabulary, bucket counts are
+    positive, and every point estimate >= the exact count (CMS can
+    only overestimate — a single underestimate means the hash or the
+    min is wrong)."""
+    from columnar_database_project_spark.operators.sketch import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        q_sketch_cms_estimates,
+        q_sketch_count_min,
+    )
+
+    sketch = q_sketch_count_min(spark, sf_dir).collect()
+    assert 0 < len(sketch) <= CMS_DEPTH * CMS_WIDTH
+    assert all(r["c"] > 0 for r in sketch)
+    assert {r["seed"] for r in sketch} == set(range(CMS_DEPTH))
+    est = q_sketch_cms_estimates(spark, sf_dir).collect()
+    assert est
+    for r in est:
+        assert r["overestimate"] >= 0, f"CMS underestimated {r['term']}"
+        assert r["cms_estimate"] == r["exact_cnt"] + r["overestimate"]
+
+
 def test_streaming_upsert_batching_invariance(spark, tmp_path):
     """The CDC-upsert result is invariant to how the change rows are
     split into drops/micro-batches — the LWW-on-version compaction is
