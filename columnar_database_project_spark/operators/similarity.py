@@ -569,6 +569,35 @@ def q_sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_nprobe_for_recall(
+    spark: SparkSession, sf_dir: str, target_recall: float = 0.8
+) -> dict:
+    """Close the ANN tuning loop: run the recall-curve audit and
+    return the SMALLEST probe level whose measured recall@TOP_K meets
+    ``target_recall`` — the decision an operator otherwise makes by
+    eyeballing the curve. Falls back to probing every cell (exact by
+    construction, recall 1.0) if no cheaper level reaches the target,
+    so the returned setting ALWAYS meets it. Returns {"n_probe",
+    "recall", "target", "curve"} — the curve rides along so the
+    choice is auditable."""
+    rows = q_sim_ivf_recall_curve(spark, sf_dir).collect()
+    curve = {r["n_probe"]: r["recall"] for r in rows}
+    for p in sorted(curve):
+        if curve[p] >= target_recall:
+            return {
+                "n_probe": p,
+                "recall": curve[p],
+                "target": target_recall,
+                "curve": curve,
+            }
+    return {
+        "n_probe": N_IVF_CELLS,
+        "recall": 1.0,
+        "target": target_recall,
+        "curve": curve,
+    }
+
+
 def q_emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-triangle Gram matrix G = sum_v v v^T over the embedding
     column — the one-pass building block for PCA/whitening/covariance

@@ -137,3 +137,20 @@ class TestIVFRecallCurve:
             for r in q_sim_ivf_recall_curve(spark, sf_dir).collect()
         }
         assert abs(curve[N_PROBE] - measured) < 1e-6
+
+    def test_nprobe_for_recall_meets_target(self, spark, sf_dir):
+        """The auto-tuner returns the SMALLEST probe level meeting the
+        target, always meets it (full probe = exact fallback), and a
+        harder target never picks fewer probes."""
+        from columnar_database_project_spark.operators.similarity import (
+            ivf_nprobe_for_recall,
+        )
+
+        choice = ivf_nprobe_for_recall(spark, sf_dir, target_recall=0.8)
+        assert choice["recall"] >= 0.8
+        for p, r in choice["curve"].items():
+            if p < choice["n_probe"]:
+                assert r < 0.8, "a cheaper level already met the target"
+        exact = ivf_nprobe_for_recall(spark, sf_dir, target_recall=1.0)
+        assert exact["recall"] == 1.0
+        assert exact["n_probe"] >= choice["n_probe"]
