@@ -331,6 +331,11 @@ ROUND6_EXTRAS = [
     "corpus_snapshot_diff",
     "text_weighted_sample",
     "stats_key_skew",
+    "text_ngram_novelty",
+    "text_tfidf_cosine_pairs",
+    "sketch_count_min",
+    "events_rfm_segments",
+    "dedup_minhash_est_error",
 ]
 
 

@@ -565,6 +565,70 @@ def q_text_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_corpus_build_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL corpus-build: the composed job a continuously-
+    fed pipeline runs per ingestion drop — quality-filter the NEW
+    batch, exact-dedup within the batch (keep-first), screen the
+    survivors against the HISTORICAL fingerprint store (anything the
+    corpus already contains is dropped, matching
+    ``dedup.q_dedup_incremental``'s store contract: fingerprints of
+    every previously-ingested document), then split-assign and emit
+    the per-(split, source) packing rollup for just the accepted new
+    documents. Reuses the batch pipeline's shared expressions
+    (``funnel_flag_cols``, ``split_col``, SEQ_LEN) and the id-space
+    batch boundary of the incremental dedup operator, so the
+    composed incremental job provably applies the full-build
+    semantics to the delta.
+
+    Scale shape: flags + fingerprints in one scan of the NEW batch
+    only; the store screen is one fp-keyed equi-join of the small
+    batch side against the pre-aggregated store (AQE size-gates —
+    never a broadcast hint on either corpus-proportional side); the
+    rollup is tiny. Historical text is never rescanned beyond the
+    store build (persisted in production)."""
+    from columnar_database_project_spark.operators.dedup import (
+        INCR_SPLIT_FRAC,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = docs.agg(
+        F.floor((F.max("doc_id") + 1) * INCR_SPLIT_FRAC)
+        .cast("bigint")
+        .alias("t")
+    )
+    d = docs.crossJoin(bounded_broadcast(split, 1, "1-row id-split threshold"))
+    old_store = (
+        d.filter(F.col("doc_id") < F.col("t"))
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+    )
+    _len_ok, _rep_ok, keep = funnel_flag_cols()
+    n_tokens = F.size(tokens_col())
+    new_kept = (
+        d.filter(F.col("doc_id") >= F.col("t"))
+        .filter(keep)
+        .select(
+            "doc_id",
+            "source",
+            F.md5("text").alias("fp"),
+            n_tokens.alias("n_tokens"),
+        )
+    )
+    batch_first = new_kept.groupBy("fp").agg(
+        F.min_by(F.struct("doc_id", "source", "n_tokens"), "doc_id").alias("s")
+    ).select("fp", F.col("s.doc_id").alias("doc_id"), "s.source", "s.n_tokens")
+    accepted = batch_first.join(old_store, "fp", "left_anti")
+    return (
+        accepted.select(split_col().alias("split"), "source", "n_tokens")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.ceil(F.sum("n_tokens") / F.lit(SEQ_LEN)).alias("n_seqs"),
+        )
+    )
+
+
 def q_text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language tokenizer fertility — BPE-ish subword tokens per
     whitespace word, and characters per subword token: the number that
@@ -1063,6 +1127,7 @@ QUERIES = {
     "text_ngram_novelty": q_text_ngram_novelty,
     "text_tokenizer_fertility": q_text_tokenizer_fertility,
     "text_tfidf_cosine_pairs": q_text_tfidf_cosine_pairs,
+    "text_corpus_build_incremental": q_text_corpus_build_incremental,
 }
 
 _MARKERS_SQL = ", ".join(f"'{m}'" for m in EN_MARKERS)
@@ -1479,6 +1544,59 @@ ORACLES["text_vocab_coverage"] = f"""
                    6
                ) AS cum_share
         FROM top, tot
+    """
+
+from columnar_database_project_spark.operators.dedup import (  # noqa: E402
+    INCR_SPLIT_FRAC as _INCR_FRAC,
+)
+
+ORACLES["text_corpus_build_incremental"] = f"""
+        WITH thr AS (
+            SELECT CAST(floor((max(doc_id) + 1) * {_INCR_FRAC}) AS BIGINT) AS t
+            FROM documents
+        ), old_store AS (
+            SELECT DISTINCT md5(text) AS fp
+            FROM documents, thr WHERE doc_id < t
+        ), newt AS (
+            SELECT doc_id, source, md5(text) AS fp,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents, thr WHERE doc_id >= t
+        ), s AS (
+            SELECT doc_id, source, fp,
+                   len(toks) AS n_tokens,
+                   len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+                       AS distinct_ratio,
+                   len(list_filter(toks, x -> x IN ({_MARKERS_SQL})))
+                       / CAST(len(toks) AS DOUBLE) AS stop_ratio
+            FROM newt
+        ), kept AS (
+            SELECT doc_id, source, fp, n_tokens
+            FROM s
+            WHERE n_tokens >= 30 AND distinct_ratio >= 0.4
+              AND 0.6 * least(n_tokens / 100.0, 1.0) + 0.4 * stop_ratio >= 0.3
+        ), batch_first AS (
+            SELECT doc_id, source, fp, n_tokens,
+                   row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM kept
+        ), accepted AS (
+            SELECT doc_id, source, n_tokens
+            FROM batch_first b
+            WHERE rn = 1
+              AND NOT EXISTS (SELECT 1 FROM old_store o WHERE o.fp = b.fp)
+        ), sp AS (
+            SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                       % 100 AS bucket,
+                   source, n_tokens
+            FROM accepted
+        )
+        SELECT CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'val'
+                    ELSE 'test' END AS split,
+               source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(ceil(sum(n_tokens) / 256.0) AS BIGINT) AS n_seqs
+        FROM sp GROUP BY 1, source
     """
 
 ORACLES["text_corpus_build"] = f"""

@@ -59,6 +59,7 @@ FAST_QUERIES = [
     "text_tfidf_cosine_pairs",
     "sketch_count_min",
     "sketch_cms_estimates",
+    "text_corpus_build_incremental",
 ]
 
 
