@@ -638,6 +638,34 @@ def q_emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_top_principal_components(
+    spark: SparkSession, sf_dir: str, k: int = 4
+) -> dict:
+    """Top-k principal directions of the embedding corpus from the
+    distributed Gram matrix — the whitening/drift-monitoring building
+    block on top of ``q_emb_gram_matrix``. The heavy lifting (one
+    corpus scan, D x D partial matmuls) is the Spark job; the eigen
+    decomposition runs driver-side on the collected D x D matrix —
+    bounded control-plane work (D = 64 here; even D = 4096 is a
+    ~130 MB symmetric eig, still laptop-sized), the same policy as
+    IVF centroid training. Returns {"explained": [k variances as
+    fraction of trace], "components": (k, D) ndarray, "dim": D}."""
+    rows = q_emb_gram_matrix(spark, sf_dir).collect()
+    d = max(r["dim_j"] for r in rows) + 1
+    g = np.zeros((d, d))
+    for r in rows:
+        g[r["dim_i"], r["dim_j"]] = r["gram"]
+        g[r["dim_j"], r["dim_i"]] = r["gram"]
+    vals, vecs = np.linalg.eigh(g)          # ascending
+    order = np.argsort(vals)[::-1][:k]
+    top = vals[order]
+    return {
+        "explained": [float(v / vals.sum()) for v in top],
+        "components": vecs[:, order].T,
+        "dim": d,
+    }
+
+
 def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding (mean-pooled class centroid) as flat
     (label, dim, centroid) rows — the building block for class

@@ -154,3 +154,30 @@ class TestIVFRecallCurve:
         exact = ivf_nprobe_for_recall(spark, sf_dir, target_recall=1.0)
         assert exact["recall"] == 1.0
         assert exact["n_probe"] >= choice["n_probe"]
+
+    def test_top_pcs_match_numpy_on_collected_matrix(self, spark, sf_dir):
+        """The distributed-Gram PCA agrees with a single-machine PCA
+        of the same vectors: same top eigenvalue shares (to the
+        4dp-rounded gram), orthonormal components, shares sum <= 1
+        and are sorted descending."""
+        import numpy as np
+
+        from columnar_database_project_spark.catalog import load_table
+        from columnar_database_project_spark.functions.vector import (
+            stack_embeddings,
+        )
+        from columnar_database_project_spark.operators.similarity import (
+            emb_top_principal_components,
+        )
+
+        got = emb_top_principal_components(spark, sf_dir, k=3)
+        V = stack_embeddings(
+            load_table(spark, sf_dir, "embeddings").toPandas()["embedding"]
+        )
+        ref_vals = np.sort(np.linalg.eigvalsh(V.T @ V))[::-1]
+        ref_shares = ref_vals[:3] / ref_vals.sum()
+        assert np.allclose(got["explained"], ref_shares, atol=1e-4)
+        C = got["components"]
+        assert np.allclose(C @ C.T, np.eye(3), atol=1e-8)
+        assert got["explained"] == sorted(got["explained"], reverse=True)
+        assert sum(got["explained"]) <= 1.0 + 1e-9
