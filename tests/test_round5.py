@@ -279,6 +279,20 @@ class TestScaleAwareTuning:
         assert conf["spark.sql.adaptive.enabled"] == "false"
         assert conf["spark.sql.shuffle.partitions"] == "8"
 
+    def test_mid_input_crossover_regime(self, spark, tmp_path, monkeypatch):
+        """64 MB..256 MB inputs take the measured crossover config:
+        AQE on, cluster-width partitions, small splits for scan
+        parallelism (the full-headline A/B on the 80 MB sf0.5 replica
+        showed this beating the tiny regime on 10 of 14 queries)."""
+        from columnar_database_project_spark import session as sess
+
+        monkeypatch.setattr(sess, "input_bytes", lambda d: 80 * 1024**2)
+        conf = sess.tune_for_scale(spark, str(tmp_path))
+        assert conf["spark.sql.adaptive.enabled"] == "true"
+        assert conf["spark.sql.files.maxPartitionBytes"] == str(16 * 1024**2)
+        monkeypatch.undo()
+        sess.tune_for_scale(spark, "/root/testdata/sf0.001")
+
     def test_large_input_scales_partitions(self, spark, tmp_path, monkeypatch):
         from columnar_database_project_spark import session as sess
 
