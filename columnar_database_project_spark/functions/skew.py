@@ -40,7 +40,21 @@ def salted_join(
 ) -> DataFrame:
     """Join with the hot side salted: equivalent rows to
     ``large.join(small, on, how)`` but the shuffle spreads each join
-    key over ``n_salts`` tasks."""
+    key over ``n_salts`` tasks.
+
+    Join types that emit UNMATCHED rows of the replicated side
+    (right/full outer) are refused: the small side exists ``n_salts``
+    times in the salted plan, so its unmatched rows would duplicate
+    — silently wrong output, not a performance question. Salt the
+    other side instead, or use AQE's skew join for those shapes."""
+    if how.replace("_", "").lower() in {
+        "right", "rightouter", "full", "fullouter", "outer"
+    }:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched rows "
+            "of the replicated small side; salt the other side or use "
+            "AQE skew-join"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     big = salt_large_side(large, n_salts)
     rep = explode_small_side(small, n_salts)

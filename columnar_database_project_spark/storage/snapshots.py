@@ -98,7 +98,10 @@ class SnapshotStore:
     def vacuum(self, keep_last: int = 1) -> list[int]:
         """Delete snapshot dirs no longer reachable: uncommitted
         orphans and committed versions older than the last
-        ``keep_last``. Returns the versions removed."""
+        ``keep_last`` (``0`` empties the store). Returns the versions
+        removed. The manifest is rewritten to exactly the surviving
+        set in every case — a manifest entry must never outlive its
+        directory, or readers resolve dangling paths."""
         vs = self.versions()
         keep = set(vs[-keep_last:]) if keep_last > 0 else set()
         removed = []
@@ -109,6 +112,5 @@ class SnapshotStore:
             if v not in keep:
                 shutil.rmtree(os.path.join(self.root, d))
                 removed.append(v)
-        if keep:
-            self._write_manifest(sorted(keep))
+        self._write_manifest(sorted(keep))
         return removed

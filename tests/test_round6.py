@@ -930,6 +930,10 @@ def test_snapshot_store_dml_chain_time_travel_rollback(spark, tmp_path):
     removed = store.vacuum(keep_last=1)
     assert 2 in removed and 3 in removed
     assert os.path.isdir(store.path_for(1))
+    # keep_last=0 empties the store AND the manifest together — a
+    # manifest entry must never name a deleted dir
+    assert store.vacuum(keep_last=0) == [1]
+    assert store.versions() == [] and store.latest() is None
 
 
 def test_dml_plan_shapes(spark, sf_dir):

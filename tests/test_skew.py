@@ -35,3 +35,14 @@ class TestSaltedJoin:
             salted.filter(F.col("v").isNull()).count()
             == plain.filter(F.col("v").isNull()).count()
         )
+
+    def test_refuses_outer_joins_that_would_duplicate(self, spark):
+        """right/full outer would emit each unmatched small-side row
+        once per salt — refused loudly instead of silently wrong."""
+        import pytest
+
+        fact = spark.range(0, 10).select((F.col("id") % 5).alias("k"))
+        dim = spark.range(0, 8).select(F.col("id").alias("k"))
+        for how in ("right", "full", "full_outer", "outer"):
+            with pytest.raises(ValueError, match="duplicate"):
+                salted_join(fact, dim, "k", how=how)
