@@ -228,3 +228,32 @@ def test_connected_components_star_long_chain(spark):
     }
     assert a == b
     assert b[9] == 1 and b[22] == 20
+
+
+def test_rotation_orders_by_verification_staleness(monkeypatch):
+    """The driver's correctness budget checks entries in registry
+    order, so _rotated must front (1) never-verified queries, then
+    (2) stale-code greens oldest-round-first, then (3) fresh greens
+    oldest-round-first — name tiebreak inside each group. A bug here
+    silently starves queries of re-verification."""
+    import __spark_entry__ as em
+
+    monkeypatch.setattr(
+        em,
+        "_last_verified_round",
+        lambda: {
+            "fresh_new": (6, 200.0),     # checked r6, after pkg mtime
+            "fresh_old": (4, 200.0),     # checked r4, after pkg mtime
+            "stale_old": (3, 50.0),      # green predates code change
+            "stale_new": (5, 50.0),
+        },
+    )
+    monkeypatch.setattr(em, "_pkg_mtime", lambda: 100.0)
+    names = ["fresh_new", "never_b", "stale_new", "fresh_old",
+             "stale_old", "never_a"]
+    got = em._rotated(names)
+    assert got == [
+        "never_a", "never_b",            # never verified, name order
+        "stale_old", "stale_new",        # code changed since green, oldest round first
+        "fresh_old", "fresh_new",        # still-fresh greens, oldest round first
+    ]
