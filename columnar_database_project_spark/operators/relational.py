@@ -781,6 +781,41 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q_stats_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile — the statistics pass a catalog
+    runs before cost-based planning, and the data-quality audit a
+    pipeline runs on every new drop: per numeric column of lineitem,
+    row/null/distinct counts, min/max, mean. ONE single-pass
+    aggregation over the scan computes every column's moments
+    simultaneously (map-side partials; no shuffle of data rows, one
+    1×N reduce), then the wide row is unpivoted to the classic
+    (column, metric...) catalog shape — stack() is driver-free and
+    the unpivot input is ONE row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.round(F.min(c).cast("double"), 6).alias(f"{c}__min"),
+            F.round(F.max(c).cast("double"), 6).alias(f"{c}__max"),
+            F.round(F.avg(c), 6).alias(f"{c}__mean"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max, {c}__mean"
+        for c in PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(PROFILE_COLS)}, {stack_args}) AS "
+        "(column, n_rows, n_nulls, n_distinct, min_v, max_v, mean_v)"
+    )
+
+
 Q7_NATIONS = ("NATION_1", "NATION_2")
 
 
@@ -1675,6 +1710,7 @@ QUERIES = {
     "q13_customer_distribution": q13_customer_distribution,
     "q18_large_orders": q18_large_orders,
     "stats_agg": q_stats_agg,
+    "stats_table_profile": q_stats_table_profile,
     "percentile_agg": q_percentile_agg,
     "argmax_by_group": q_argmax_by_group,
     "window_lag_lead": q_window_lag_lead,
@@ -2048,6 +2084,43 @@ ORACLES = {
         FROM big b
         JOIN orders o ON b.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    "stats_table_profile": """
+        WITH m AS (
+            SELECT 'l_quantity' AS "column",
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+                   ROUND(CAST(min(l_quantity) AS DOUBLE), 6) AS min_v,
+                   ROUND(CAST(max(l_quantity) AS DOUBLE), 6) AS max_v,
+                   ROUND(avg(l_quantity), 6) AS mean_v
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+                   ROUND(CAST(min(l_extendedprice) AS DOUBLE), 6),
+                   ROUND(CAST(max(l_extendedprice) AS DOUBLE), 6),
+                   ROUND(avg(l_extendedprice), 6)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT l_discount) AS BIGINT),
+                   ROUND(CAST(min(l_discount) AS DOUBLE), 6),
+                   ROUND(CAST(max(l_discount) AS DOUBLE), 6),
+                   ROUND(avg(l_discount), 6)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_tax', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT l_tax) AS BIGINT),
+                   ROUND(CAST(min(l_tax) AS DOUBLE), 6),
+                   ROUND(CAST(max(l_tax) AS DOUBLE), 6),
+                   ROUND(avg(l_tax), 6)
+            FROM lineitem
+        )
+        SELECT * FROM m
     """,
     "stats_agg": """
         SELECT l_returnflag,

@@ -629,6 +629,45 @@ def q_text_corpus_build_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_text_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data card: the one-page corpus summary every dataset
+    release ships — document/token counts, language and source
+    cardinality, exact-duplicate rate, quality keep-rate and mean
+    quality — as (metric, value) rows from ONE single-pass aggregate
+    over the corpus (map-side partials; the stack() unpivot runs on
+    the single result row). Values are DOUBLE uniformly so the frame
+    has one schema; counts are exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    markers = F.array(*[F.lit(m) for m in EN_MARKERS])
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(
+        F.filter(toks, lambda t: F.array_contains(markers, t))
+    ) / n_tokens.cast("double")
+    score = F.round(
+        0.6 * F.least(n_tokens / F.lit(100.0), F.lit(1.0)) + 0.4 * stop_ratio, 6
+    )
+    wide = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum(n_tokens).cast("double").alias("n_tokens"),
+        F.countDistinct("lang").cast("double").alias("n_langs"),
+        F.countDistinct("source").cast("double").alias("n_sources"),
+        F.round(
+            1.0 - F.countDistinct(F.md5("text")) / F.count(F.lit(1)), 6
+        ).alias("exact_dup_rate"),
+        F.round(F.avg(score), 6).alias("mean_quality"),
+        F.round(F.avg((score >= 0.3).cast("double")), 6).alias("keep_rate"),
+    )
+    metrics = [
+        "n_docs", "n_tokens", "n_langs", "n_sources",
+        "exact_dup_rate", "mean_quality", "keep_rate",
+    ]
+    stack_args = ", ".join(f"'{m}', {m}" for m in metrics)
+    return wide.selectExpr(
+        f"stack({len(metrics)}, {stack_args}) AS (metric, value)"
+    )
+
+
 def q_text_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum data ordering: within each (split, source) shard,
     rank the kept documents by quality score (rounded BEFORE ranking,
@@ -1177,6 +1216,7 @@ QUERIES = {
     "text_tfidf_cosine_pairs": q_text_tfidf_cosine_pairs,
     "text_corpus_build_incremental": q_text_corpus_build_incremental,
     "text_curriculum_order": q_text_curriculum_order,
+    "text_corpus_datacard": q_text_corpus_datacard,
 }
 
 _MARKERS_SQL = ", ".join(f"'{m}'" for m in EN_MARKERS)
@@ -1650,6 +1690,38 @@ ORACLES["text_corpus_build_incremental"] = f"""
                CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
                CAST(ceil(sum(n_tokens) / 256.0) AS BIGINT) AS n_seqs
         FROM sp GROUP BY 1, source
+    """
+
+ORACLES["text_corpus_datacard"] = f"""
+        WITH s AS (
+            SELECT lang, source, md5(text) AS fp,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ), q AS (
+            SELECT lang, source, fp, len(toks) AS n_tokens,
+                   ROUND(0.6 * least(len(toks) / 100.0, 1.0)
+                         + 0.4 * (len(list_filter(toks, x -> x IN ({_MARKERS_SQL})))
+                                  / CAST(len(toks) AS DOUBLE)), 6) AS quality
+            FROM s
+        ), w AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                   CAST(sum(n_tokens) AS DOUBLE) AS n_tokens,
+                   CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs,
+                   CAST(count(DISTINCT source) AS DOUBLE) AS n_sources,
+                   ROUND(1.0 - count(DISTINCT fp) / CAST(count(*) AS DOUBLE), 6)
+                       AS exact_dup_rate,
+                   ROUND(avg(quality), 6) AS mean_quality,
+                   ROUND(avg(CASE WHEN quality >= 0.3 THEN 1.0 ELSE 0.0 END), 6)
+                       AS keep_rate
+            FROM q
+        )
+        SELECT 'n_docs' AS metric, n_docs AS value FROM w
+        UNION ALL SELECT 'n_tokens', n_tokens FROM w
+        UNION ALL SELECT 'n_langs', n_langs FROM w
+        UNION ALL SELECT 'n_sources', n_sources FROM w
+        UNION ALL SELECT 'exact_dup_rate', exact_dup_rate FROM w
+        UNION ALL SELECT 'mean_quality', mean_quality FROM w
+        UNION ALL SELECT 'keep_rate', keep_rate FROM w
     """
 
 ORACLES["text_curriculum_order"] = f"""

@@ -61,6 +61,8 @@ FAST_QUERIES = [
     "sketch_cms_estimates",
     "text_corpus_build_incremental",
     "text_curriculum_order",
+    "stats_table_profile",
+    "text_corpus_datacard",
 ]
 
 
