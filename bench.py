@@ -200,28 +200,26 @@ def bench_capped_lsh(spark, sf_dir: str, max_bucket: int = 64) -> float:
 
 
 def bench_forced_regime(spark, sf_dir: str) -> dict:
-    """The r5 verdict's open question: the micro-join/window queries
-    (q3, window_rank, events_sessionize) carry steep sf0.5 slopes, and
-    the claim was "single-partition execution under the small-input
-    tuner, the real path engages above 256 MB". Demonstrate it: time
-    the three queries under the tuner's pick for this dir AND with the
-    large-input regime FORCED (partitioned shuffles + AQE), so
-    PLANS.md can record whether the at-scale plan shape is the slope
-    or the fix."""
-    from columnar_database_project_spark.session import (
-        DEFAULT_CPUS,
-        tune_for_scale,
-    )
+    """Regime A/B that justified the tuner's tier boundaries, kept
+    live so the record tracks data drift: time the crossover-sensitive
+    queries (q3, window_rank, events_sessionize) under the tuner's
+    pick for this dir AND under the tiny latency regime FORCED
+    (8 unpartitioned shuffles, AQE off). Originally this compared
+    tuned-tiny vs forced-large and showed the at-scale plan winning
+    for q3 at ~80 MB, which became the tuner's mid tier in late r6;
+    the comparison now confirms per round that the mid tier keeps
+    beating the tiny config it replaced at this size."""
+    from columnar_database_project_spark.session import tune_for_scale
 
     names = ["q3_shipping_priority", "window_rank", "events_sessionize"]
     qs = entry_mod.queries()
     out: dict[str, dict[str, float]] = {n: {} for n in names}
     forced = {
-        "spark.sql.shuffle.partitions": str(DEFAULT_CPUS),
-        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.shuffle.partitions": "8",
+        "spark.sql.adaptive.enabled": "false",
         "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
     }
-    for regime, conf in (("tuned", None), ("forced_large", forced)):
+    for regime, conf in (("tuned", None), ("forced_tiny", forced)):
         if conf is None:
             tune_for_scale(spark, sf_dir)
         else:
