@@ -437,6 +437,39 @@ def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BOT_RATE_PER_MIN = 5
+
+
+def q_events_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/abuse heuristic: each user's PEAK events-per-minute —
+    a sliding 60-second range frame over the epoch-ordered timeline
+    (count of events in (t-59s, t]) maxed per user — with a flag at
+    BOT_RATE_PER_MIN. The range frame is the exact form of 'rate in
+    any 60s window ending at an event'; one hash shuffle on user_id,
+    the frame scan is a sorted-run two-pointer inside each partition.
+    At 100 TB this is the standard per-entity rate profile (same
+    shape as API-abuse detection)."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("epoch"))
+        .rangeBetween(-59, 0)
+    )
+    per_event = ev.select("user_id", epoch.alias("epoch")).withColumn(
+        "win_count", F.count(F.lit(1)).over(w)
+    )
+    return (
+        per_event.groupBy("user_id")
+        .agg(F.max("win_count").alias("peak_per_min"))
+        .select(
+            "user_id",
+            "peak_per_min",
+            (F.col("peak_per_min") >= BOT_RATE_PER_MIN).alias("bot_suspect"),
+        )
+    )
+
+
 QUERIES = {
     "events_tumbling_hour": q_events_tumbling_hour,
     "events_sessionize": q_events_sessionize,
@@ -453,6 +486,7 @@ QUERIES = {
     "events_anomaly": q_events_anomaly,
     "events_markov_transitions": q_events_markov_transitions,
     "events_rfm_segments": q_events_rfm_segments,
+    "events_bot_flags": q_events_bot_flags,
 }
 
 ORACLES = {
@@ -616,6 +650,25 @@ ORACLES = {
         WHERE s.sd > 0 AND abs((e.value - s.mu) / s.sd) >= {ANOMALY_Z}
     """,
 }
+
+ORACLES["events_bot_flags"] = f"""
+        WITH e AS (
+            -- floor to whole seconds: Spark's unix_timestamp truncates,
+            -- DuckDB's epoch() keeps the fraction
+            SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events
+        ), c AS (
+            SELECT user_id,
+                   CAST(count(*) OVER (
+                       PARTITION BY user_id ORDER BY ep
+                       RANGE BETWEEN 59 PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS win_count
+            FROM e
+        )
+        SELECT user_id,
+               max(win_count) AS peak_per_min,
+               max(win_count) >= {BOT_RATE_PER_MIN} AS bot_suspect
+        FROM c GROUP BY user_id
+    """
 
 ORACLES["events_rfm_segments"] = """
         WITH per_user AS (

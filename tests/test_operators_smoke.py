@@ -63,6 +63,7 @@ FAST_QUERIES = [
     "text_curriculum_order",
     "stats_table_profile",
     "text_corpus_datacard",
+    "events_bot_flags",
 ]
 
 
