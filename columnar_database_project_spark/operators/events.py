@@ -470,6 +470,61 @@ def q_events_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_WINDOW_S = 3600
+
+
+def q_events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained multi-step funnel — view → click → purchase
+    where each step lands within FUNNEL_WINDOW_S of the previous one
+    (the product-analytics conversion funnel; the plain ``events_
+    funnel`` has no deadline, this one does): per step, the count of
+    users whose EARLIEST qualifying event exists, plus the conversion
+    rate from step 1. Earliest-qualifying (min ts after the previous
+    step's min) makes the funnel deterministic under ties.
+
+    Scale shape: three user-keyed partial aggregates, each joined
+    back on user_id (equi-joins, AQE-gated, no hints); the event
+    stream is scanned once per step with a pushed type filter —
+    the standard funnel plan, no windows over the raw stream."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(prev: DataFrame, etype: str, out: str) -> DataFrame:
+        """Per user: earliest ``etype`` event within the window after
+        ``prev``'s timestamp column (the last column of ``prev``)."""
+        ts_col = prev.columns[-1]
+        step = ev.filter(F.col("event_type") == etype).select(
+            "user_id", F.col("ts").alias("_t")
+        )
+        return (
+            step.join(prev, "user_id")
+            .filter(
+                (F.col("_t") > F.col(ts_col))
+                & (
+                    F.unix_timestamp("_t") - F.unix_timestamp(ts_col)
+                    <= FUNNEL_WINDOW_S
+                )
+            )
+            .groupBy("user_id")
+            .agg(F.min("_t").alias(out))
+        )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    clicks = first_after(views, "click", "t_click")
+    buys = first_after(clicks, "purchase", "t_buy")
+    n1, n2, n3 = views.count(), clicks.count(), buys.count()
+    return spark.createDataFrame(
+        [
+            (1, "view", n1, 1.0),
+            (2, "click_within_1h", n2, round(n2 / n1, 6) if n1 else 0.0),
+            (3, "purchase_within_1h", n3, round(n3 / n1, 6) if n1 else 0.0),
+        ],
+        "step int, stage string, n_users bigint, conversion double",
+    )
+
+
 QUERIES = {
     "events_tumbling_hour": q_events_tumbling_hour,
     "events_sessionize": q_events_sessionize,
@@ -487,6 +542,7 @@ QUERIES = {
     "events_markov_transitions": q_events_markov_transitions,
     "events_rfm_segments": q_events_rfm_segments,
     "events_bot_flags": q_events_bot_flags,
+    "events_funnel_windowed": q_events_funnel_windowed,
 }
 
 ORACLES = {
@@ -650,6 +706,39 @@ ORACLES = {
         WHERE s.sd > 0 AND abs((e.value - s.mu) / s.sd) >= {ANOMALY_Z}
     """,
 }
+
+ORACLES["events_funnel_windowed"] = f"""
+        WITH v AS (
+            SELECT user_id, min(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id, min(e.ts) AS t_click
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t_view
+              AND floor(epoch(e.ts)) - floor(epoch(v.t_view))
+                  <= {FUNNEL_WINDOW_S}
+            GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id, min(e.ts) AS t_buy
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+              AND floor(epoch(e.ts)) - floor(epoch(c.t_click))
+                  <= {FUNNEL_WINDOW_S}
+            GROUP BY e.user_id
+        ), n AS (
+            SELECT (SELECT count(*) FROM v) AS n1,
+                   (SELECT count(*) FROM c) AS n2,
+                   (SELECT count(*) FROM p) AS n3
+        )
+        SELECT CAST(1 AS INT) AS step, 'view' AS stage,
+               CAST(n1 AS BIGINT) AS n_users, 1.0 AS conversion FROM n
+        UNION ALL
+        SELECT 2, 'click_within_1h', CAST(n2 AS BIGINT),
+               ROUND(n2 / CAST(n1 AS DOUBLE), 6) FROM n
+        UNION ALL
+        SELECT 3, 'purchase_within_1h', CAST(n3 AS BIGINT),
+               ROUND(n3 / CAST(n1 AS DOUBLE), 6) FROM n
+    """
 
 ORACLES["events_bot_flags"] = f"""
         WITH e AS (

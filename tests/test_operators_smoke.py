@@ -64,6 +64,7 @@ FAST_QUERIES = [
     "stats_table_profile",
     "text_corpus_datacard",
     "events_bot_flags",
+    "events_funnel_windowed",
 ]
 
 
