@@ -176,6 +176,47 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_shingles(spark, sf_dir))
 
 
+CONTAIN_TAU = 0.6  # containment threshold on the smaller document's side
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment |A∩B| / min(|A|, |B|): flags a
+    short document embedded inside a longer one (quote expansion,
+    boilerplate wrapping, page-within-crawl), which symmetric Jaccard
+    under-scores because the union is dominated by the longer doc —
+    the standard complement to Jaccard in web-crawl dedup (Broder's
+    resemblance vs containment).
+
+    Same inverted-index shape as ``ngram_jaccard_pairs`` — documents
+    only meet on a shared shingle, never all-pairs; the intersection
+    count is one shuffle on the shingle key plus one on the pair key,
+    and at 100 TB the same ``max_doc_freq`` stop-shingle cut applies
+    upstream. Reference has no analog (delegates dedup entirely)."""
+    sh = _shingles(spark, sf_dir).localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    contain = F.round(
+        F.col("n_inter") / F.least("n_a", "n_b").cast("double"), 6
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "n_inter", contain.alias("containment"))
+        .filter(F.col("containment") >= CONTAIN_TAU)
+    )
+
+
 _MINHASH_WIDE_CACHE: dict[tuple[int, str, tuple], DataFrame] = {}
 
 
@@ -960,6 +1001,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_exact_survivors": q_dedup_exact_survivors,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_containment": q_dedup_containment,
     "dedup_minhash_signatures": q_dedup_minhash_signatures,
     "dedup_lsh_buckets": q_dedup_lsh_buckets,
     "dedup_lsh_candidates": q_dedup_lsh_candidates,
@@ -1051,6 +1093,23 @@ ORACLES = {
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2
+    """,
+    "dedup_containment": f"""
+        WITH {_SHINGLES_SQL},
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM shingles a JOIN shingles b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b, n_inter,
+               ROUND(n_inter / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE), 6)
+                   AS containment
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE ROUND(n_inter / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE), 6) >= 0.6
     """,
     "dedup_minhash_signatures": f"""
         WITH {_MINHASH_WIDE_SQL}

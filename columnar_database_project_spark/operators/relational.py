@@ -816,6 +816,33 @@ def q_stats_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+CORR_PAIRS = tuple(
+    (a, b) for i, a in enumerate(CORR_COLS) for b in CORR_COLS[i + 1 :]
+)
+
+
+def q_stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's numeric
+    columns — the feature-redundancy scan an ANALYZE pass or a
+    feature-selection step runs before training. Like
+    [[stats_table_profile]], ONE single-pass aggregation computes
+    every pair's ``corr`` simultaneously (map-side partial moments,
+    1-row reduce, no data-row shuffle); the wide row is then
+    unpivoted with ``stack()`` into the (col_x, col_y, r) matrix
+    shape. Column-count-squared aggregates, row-count-independent
+    memory — the 100 TB shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [
+        F.round(F.corr(a, b), 6).alias(f"{a}__{b}") for a, b in CORR_PAIRS
+    ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(f"'{a}', '{b}', {a}__{b}" for a, b in CORR_PAIRS)
+    return wide.selectExpr(
+        f"stack({len(CORR_PAIRS)}, {stack_args}) AS (col_x, col_y, pearson_r)"
+    )
+
+
 Q7_NATIONS = ("NATION_1", "NATION_2")
 
 
@@ -1711,6 +1738,7 @@ QUERIES = {
     "q18_large_orders": q18_large_orders,
     "stats_agg": q_stats_agg,
     "stats_table_profile": q_stats_table_profile,
+    "stats_correlation": q_stats_correlation,
     "percentile_agg": q_percentile_agg,
     "argmax_by_group": q_argmax_by_group,
     "window_lag_lead": q_window_lag_lead,
@@ -2444,3 +2472,12 @@ ORACLES = {
         GROUP BY s.s_suppkey, s.s_name
     """,
 }
+
+ORACLES["stats_correlation"] = " UNION ALL ".join(
+    f"""
+        SELECT '{a}' AS col_x, '{b}' AS col_y,
+               ROUND(corr({a}, {b}), 6) AS pearson_r
+        FROM lineitem
+    """
+    for a, b in CORR_PAIRS
+)

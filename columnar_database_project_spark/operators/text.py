@@ -908,6 +908,42 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZIPF_TOP_N = 500
+
+
+def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit for the corpus data card: least-squares slope of
+    ln(term frequency) against ln(rank) over the top ZIPF_TOP_N terms.
+    Natural text sits near slope −1; a corpus drifting toward 0 is
+    template/boilerplate-heavy, one far below −1 is vocabulary-starved
+    — a one-row corpus-health signal alongside [[text_corpus_datacard]].
+
+    Scale shape: term counting is one partial-agg'd shuffle; the rank
+    window and the regression aggregate both run AFTER the
+    TakeOrdered top-N cut, so the single-partition section is
+    ZIPF_TOP_N rows regardless of corpus size. Uses the built-in
+    ``regr_slope``/``regr_intercept``/``regr_r2`` aggregates —
+    JVM-side, no Python. Reference has no analog (delegates all
+    aggregation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokens_col()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = tf.orderBy(F.desc("cnt"), F.asc("term")).limit(ZIPF_TOP_N)
+    w = W.orderBy(F.desc("cnt"), F.asc("term"))
+    ranked = top.select(F.row_number().over(w).alias("rnk"), "cnt")
+    ln_cnt = F.log(F.col("cnt").cast("double"))
+    ln_rnk = F.log(F.col("rnk").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope(ln_cnt, ln_rnk), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(ln_cnt, ln_rnk), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(ln_cnt, ln_rnk), 6).alias("zipf_r2"),
+    )
+
+
 COND_TOP_N = 25
 
 
@@ -1209,6 +1245,7 @@ QUERIES = {
     "text_pack_sequences": q_text_pack_sequences,
     "text_boilerplate_shingles": q_text_boilerplate_shingles,
     "text_vocab_coverage": q_text_vocab_coverage,
+    "text_zipf_slope": q_text_zipf_slope,
     "text_corpus_build": q_text_corpus_build,
     "text_pack_efficiency": q_text_pack_efficiency,
     "text_ngram_novelty": q_text_ngram_novelty,
@@ -1637,6 +1674,31 @@ ORACLES["text_vocab_coverage"] = f"""
                    6
                ) AS cum_share
         FROM top, tot
+    """
+
+ORACLES["text_zipf_slope"] = f"""
+        WITH tf AS (
+            SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+            FROM documents
+        ), cnts AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tf GROUP BY term
+        ), top AS (
+            SELECT term, cnt FROM cnts ORDER BY cnt DESC, term LIMIT {ZIPF_TOP_N}
+        ), ranked AS (
+            SELECT CAST(row_number() OVER (ORDER BY cnt DESC, term) AS INT)
+                       AS rnk,
+                   cnt
+            FROM top
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_terms,
+               ROUND(regr_slope(ln(CAST(cnt AS DOUBLE)),
+                                ln(CAST(rnk AS DOUBLE))), 6) AS zipf_slope,
+               ROUND(regr_intercept(ln(CAST(cnt AS DOUBLE)),
+                                    ln(CAST(rnk AS DOUBLE))), 6)
+                   AS zipf_intercept,
+               ROUND(regr_r2(ln(CAST(cnt AS DOUBLE)),
+                             ln(CAST(rnk AS DOUBLE))), 6) AS zipf_r2
+        FROM ranked
     """
 
 from columnar_database_project_spark.operators.dedup import (  # noqa: E402

@@ -1133,3 +1133,90 @@ def test_streaming_upsert_batching_invariance(spark, tmp_path):
             for r in eng.table("cdc_inv").collect()
         }
         assert got == expected, (bi, got)
+
+
+def test_containment_bounds_and_dominates_jaccard(spark, sf_dir):
+    """Containment |A∩B|/min(|A|,|B|) is in (0, 1] and, because
+    min(|A|,|B|) <= |A∪B|, is >= Jaccard for every pair both
+    operators emit — an exact algebraic dominance, so a single
+    violation means one of the two intersection counts is wrong."""
+    from columnar_database_project_spark.operators.dedup import (
+        q_dedup_containment,
+        q_dedup_ngram_jaccard,
+    )
+
+    cont = q_dedup_containment(spark, sf_dir)
+    rows = cont.collect()
+    assert rows, "expected at least one containment pair at test SF"
+    assert all(0.0 < r["containment"] <= 1.0 + 1e-9 for r in rows)
+    jac = q_dedup_ngram_jaccard(spark, sf_dir)
+    joined = cont.join(jac, ["doc_a", "doc_b"]).collect()
+    for r in joined:
+        assert r["containment"] >= r["jaccard"] - 1e-9, (
+            r["doc_a"], r["doc_b"], r["containment"], r["jaccard"],
+        )
+
+
+def test_containment_catches_embedded_doc(spark, tmp_path):
+    """A short document pasted verbatim inside a longer one scores
+    containment 1.0 even though Jaccard is diluted by the wrapper —
+    the asymmetric case the operator exists for."""
+    import columnar_database_project_spark.operators.dedup as D
+
+    inner = " ".join(f"w{i}" for i in range(12))
+    wrapper = (
+        "header junk tokens before the quote starts here "
+        + inner
+        + " trailing commentary continues for a while afterwards now"
+    )
+    df = spark.createDataFrame(
+        [(1, inner, "en", "s", len(inner)),
+         (2, wrapper, "en", "s", len(wrapper))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "docs")
+    df.coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    rows = D.q_dedup_containment(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["containment"] == 1.0
+
+
+def test_zipf_slope_sane(spark, sf_dir):
+    """One-row fit with a negative slope (frequency falls with rank —
+    guaranteed by construction since rank orders by descending count)
+    and r² in [0, 1]; n_terms bounded by the top-N cut."""
+    from columnar_database_project_spark.operators.text import (
+        ZIPF_TOP_N,
+        q_text_zipf_slope,
+    )
+
+    rows = q_text_zipf_slope(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert 0 < r["n_terms"] <= ZIPF_TOP_N
+    assert r["zipf_slope"] < 0
+    assert 0.0 <= r["zipf_r2"] <= 1.0
+
+
+def test_correlation_matrix_matches_pandas(spark, sf_dir):
+    """The single-pass corr aggregate equals pandas' Pearson r per
+    pair (1e-5), covers exactly the upper-triangle pair set, and every
+    value is in [-1, 1]."""
+    from columnar_database_project_spark.operators.relational import (
+        CORR_PAIRS,
+        q_stats_correlation,
+    )
+    from columnar_database_project_spark.catalog import load_table
+
+    rows = q_stats_correlation(spark, sf_dir).collect()
+    got = {(r["col_x"], r["col_y"]): r["pearson_r"] for r in rows}
+    assert set(got) == set(CORR_PAIRS)
+    pdf = load_table(spark, sf_dir, "lineitem").select(
+        *{c for p in CORR_PAIRS for c in p}
+    ).toPandas()
+    for (a, b), r in got.items():
+        assert -1.0 <= r <= 1.0
+        expect = pdf[a].corr(pdf[b])
+        assert abs(r - expect) < 1e-5, (a, b, r, expect)
