@@ -525,8 +525,56 @@ def q_events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style resample + gap-fill: per event_type, the
+    complete hourly series between that type's first and last event,
+    with empty hours emitted explicitly (n_events = 0, is_gap = 1) and
+    the hourly value forward-filled (LOCF — last observation carried
+    forward), the standard time-series densification before
+    plotting/joining/model-feeding irregular event data.
+
+    Scale shape: the hourly pre-aggregation is one partial-agg'd
+    shuffle on (type, hour); the spine is generated DISTRIBUTED via
+    ``F.sequence`` per type row — never a driver loop — and its
+    length is the type's time RANGE in hours, independent of event
+    row count; the LOCF window partitions by type over that bounded
+    spine. At 100 TB add a coarse time-bucket to the window partition
+    key if a single type's range outgrows one task. Reference has no
+    analog (no time-series surface at all)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("v"),
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("interval 1 hour"))
+            ).alias("hr"),
+        )
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return spine.join(hourly, ["event_type", "hr"], "left").select(
+        "event_type",
+        F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.last("v", ignorenulls=True).over(w).alias("value_locf"),
+        F.col("n").isNull().cast("int").alias("is_gap"),
+    )
+
+
 QUERIES = {
     "events_tumbling_hour": q_events_tumbling_hour,
+    "events_gapfill": q_events_gapfill,
     "events_sessionize": q_events_sessionize,
     "events_session_journeys": q_events_session_journeys,
     "events_json_props": q_events_json_props,
@@ -546,6 +594,32 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_gapfill": """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hr,
+                   CAST(count(*) AS BIGINT) AS n,
+                   ROUND(sum(value), 4) AS v
+            FROM events GROUP BY 1, 2
+        ), bounds AS (
+            SELECT event_type, min(hr) AS mn, max(hr) AS mx
+            FROM hourly GROUP BY 1
+        ), spine AS (
+            SELECT event_type,
+                   unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+            FROM bounds
+        )
+        SELECT s.event_type,
+               strftime(s.hr, '%Y-%m-%d %H:%M:%S') AS hour,
+               COALESCE(h.n, 0) AS n_events,
+               last_value(h.v IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.hr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS value_locf,
+               CAST(h.n IS NULL AS INT) AS is_gap
+        FROM spine s
+        LEFT JOIN hourly h
+          ON h.event_type = s.event_type AND h.hr = s.hr
+    """,
     "events_sliding_counts": """
         WITH e AS (SELECT epoch(ts) AS e, event_type FROM events),
         w AS (

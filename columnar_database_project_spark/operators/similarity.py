@@ -131,6 +131,49 @@ def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification over the embedding space —
+    the label-propagation / weak-labeling step of a training-data
+    pipeline (tag unlabeled items with their neighbors' consensus).
+    Composes [[sim_topk_bruteforce]]'s exact per-query top-k with a
+    label equi-join and a votes-desc/label-asc deterministic argmax;
+    also reports the query's own label and a correctness flag, so the
+    query doubles as a leave-one-out label-quality audit.
+
+    Scale shape: everything downstream of the top-k runs on
+    Q×TOP_K rows — the expensive part is the search itself, which
+    keeps its per-partition-top-k mapInPandas shape; swap in the IVF
+    or LSH-bucketed search for the 100 TB corpus without touching the
+    vote logic."""
+    topk = q_sim_topk_bruteforce(spark, sf_dir).select("q_id", "neighbor_id")
+    emb = load_table(spark, sf_dir, "embeddings")
+    votes = (
+        topk.join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "label"),
+            "neighbor_id",
+        )
+        .groupBy("q_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("votes"), F.asc("label"))
+    actual = emb.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("actual_label")
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(actual, "q_id")
+        .select(
+            "q_id",
+            F.col("label").alias("predicted_label"),
+            "votes",
+            F.round(F.col("votes") / F.lit(float(TOP_K)), 6).alias("vote_share"),
+            "actual_label",
+            (F.col("label") == F.col("actual_label")).cast("int").alias("correct"),
+        )
+    )
+
+
 def q_sim_hyperplane_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH: sig bit p = [dot(v, plane_p) > 0];
     signature = Σ 2^p. Vectors in the same bucket are ANN candidates.
@@ -968,6 +1011,7 @@ def q_emb_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
+    "sim_knn_classify": q_sim_knn_classify,
     "sim_hyperplane_signatures": q_sim_hyperplane_signatures,
     "sim_bucket_sizes": q_sim_bucket_sizes,
     "sim_bucket_rerank": q_sim_bucket_rerank,
@@ -1015,6 +1059,44 @@ ORACLES = {
                    ) AS rank
             FROM scored
         ) WHERE rank <= {TOP_K}
+    """,
+    "sim_knn_classify": f"""
+        WITH q AS (
+            SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+            WHERE vec_id < {N_QUERIES}
+        ),
+        scored AS (
+            SELECT q.q_id, e.vec_id,
+                   list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[])
+                       AS cosine_raw
+            FROM q JOIN embeddings e ON e.vec_id != q.q_id
+        ),
+        topk AS (
+            SELECT q_id, vec_id AS neighbor_id FROM (
+                SELECT q_id, vec_id,
+                       row_number() OVER (
+                           PARTITION BY q_id ORDER BY cosine_raw DESC, vec_id
+                       ) AS rank
+                FROM scored
+            ) WHERE rank <= {TOP_K}
+        ),
+        votes AS (
+            SELECT t.q_id, e.label, CAST(count(*) AS BIGINT) AS votes
+            FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+            GROUP BY t.q_id, e.label
+        )
+        SELECT v.q_id, v.label AS predicted_label, v.votes,
+               ROUND(v.votes / {float(TOP_K)}, 6) AS vote_share,
+               qe.label AS actual_label,
+               CAST(v.label = qe.label AS INT) AS correct
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY votes DESC, label
+            ) AS rn
+            FROM votes
+        ) v
+        JOIN embeddings qe ON qe.vec_id = v.q_id
+        WHERE v.rn = 1
     """,
     "sim_hyperplane_signatures": f"""
         SELECT vec_id, CAST({_SIG_TERMS} AS BIGINT) AS signature

@@ -1220,3 +1220,107 @@ def test_correlation_matrix_matches_pandas(spark, sf_dir):
         assert -1.0 <= r <= 1.0
         expect = pdf[a].corr(pdf[b])
         assert abs(r - expect) < 1e-5, (a, b, r, expect)
+
+
+def test_gapfill_fills_missing_hours_with_locf(spark, tmp_path):
+    """A series with a hole gets the missing hour emitted (is_gap=1,
+    n_events=0) and its value forward-filled from the last real
+    hour; real hours pass through untouched."""
+    import pyspark.sql.functions as F
+
+    import columnar_database_project_spark.operators.events as E
+
+    rows = [
+        (1, "2024-01-01 00:10:00", 7, "click", 2.0, "{}"),
+        (2, "2024-01-01 00:40:00", 7, "click", 3.0, "{}"),
+        # hour 01 missing entirely
+        (3, "2024-01-01 02:05:00", 8, "click", 10.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = str(tmp_path / "ev")
+    df.coalesce(1).write.mode("overwrite").parquet(d + "/events.parquet")
+    got = {r["hour"]: r for r in E.q_events_gapfill(spark, d).collect()}
+    assert set(got) == {
+        "2024-01-01 00:00:00", "2024-01-01 01:00:00", "2024-01-01 02:00:00",
+    }
+    h0, h1, h2 = (got[h] for h in sorted(got))
+    assert (h0["n_events"], h0["is_gap"], h0["value_locf"]) == (2, 0, 5.0)
+    assert (h1["n_events"], h1["is_gap"], h1["value_locf"]) == (0, 1, 5.0)
+    assert (h2["n_events"], h2["is_gap"], h2["value_locf"]) == (1, 0, 10.0)
+
+
+def test_gapfill_spine_covers_range(spark, sf_dir):
+    """Per type, the output is exactly the hour range (max-min+1 rows,
+    no duplicates) and the non-gap event counts sum to the type's
+    total event count — densification adds rows, never drops or
+    double-counts."""
+    from columnar_database_project_spark.catalog import load_table
+    from columnar_database_project_spark.operators.events import (
+        q_events_gapfill,
+    )
+    import pyspark.sql.functions as F
+
+    out = q_events_gapfill(spark, sf_dir)
+    per_type = (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.countDistinct("hour").alias("hours"),
+            F.sum("n_events").alias("n"),
+            F.min("hour").alias("mn"),
+            F.max("hour").alias("mx"),
+        )
+        .collect()
+    )
+    ev = load_table(spark, sf_dir, "events")
+    true_counts = {
+        r["event_type"]: r["c"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    import datetime as dt
+
+    for r in per_type:
+        assert r["rows"] == r["hours"], r  # no duplicate spine rows
+        span_h = (
+            dt.datetime.fromisoformat(r["mx"]) - dt.datetime.fromisoformat(r["mn"])
+        ) // dt.timedelta(hours=1)
+        assert r["rows"] == span_h + 1, r
+        assert r["n"] == true_counts[r["event_type"]], r
+
+
+def test_knn_classify_consistent_with_topk(spark, sf_dir):
+    """One prediction per query; the predicted label is the true
+    majority label of the top-k neighbor set (recomputed
+    independently from the top-k output), and vote_share = votes/k."""
+    from collections import Counter
+
+    from columnar_database_project_spark.catalog import load_table
+    from columnar_database_project_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        q_sim_knn_classify,
+        q_sim_topk_bruteforce,
+    )
+
+    preds = {r["q_id"]: r for r in q_sim_knn_classify(spark, sf_dir).collect()}
+    assert len(preds) == N_QUERIES
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    }
+    topk = q_sim_topk_bruteforce(spark, sf_dir).collect()
+    by_q: dict[int, list[int]] = {}
+    for r in topk:
+        by_q.setdefault(r["q_id"], []).append(labels[r["neighbor_id"]])
+    for q, neigh_labels in by_q.items():
+        votes = Counter(neigh_labels)
+        best = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        p = preds[q]
+        assert (p["predicted_label"], p["votes"]) == best, (q, p, best)
+        assert p["vote_share"] == round(p["votes"] / TOP_K, 6)
+        assert p["actual_label"] == labels[q]
+        assert p["correct"] == int(p["predicted_label"] == p["actual_label"])
