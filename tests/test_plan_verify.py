@@ -395,3 +395,63 @@ class TestRound5LatePlans:
         # mergeable sketch: partial aggregation feeds one final merge
         assert "partial_percentile_approx" in plan
         assert count_shuffles(df) <= 1
+
+
+class TestRound6LatePlans:
+    """Plan shapes for the late-round-6 operator additions."""
+
+    def test_correlation_single_pass_no_data_shuffle(self, spark, sf_dir):
+        from columnar_database_project_spark.operators.relational import (
+            q_stats_correlation,
+        )
+
+        df = q_stats_correlation(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # all six corr aggregates computed in ONE pass over the scan:
+        # map-side partial moments, a 1-row reduce, zero joins
+        assert "partial_corr" in plan
+        assert "Join" not in plan
+        assert count_shuffles(df) <= 1, count_shuffles(df)
+
+    def test_zipf_regression_after_topn_cut(self, spark, sf_dir):
+        from columnar_database_project_spark.operators.text import (
+            q_text_zipf_slope,
+        )
+
+        df = q_text_zipf_slope(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the term-count top-N is a TakeOrdered (never a full sort of
+        # the vocabulary); rank window + regression run after the cut
+        assert "TakeOrderedAndProject" in plan
+        assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+        assert "regr_slope" in plan or "partial_regr_slope" in plan
+
+    def test_gapfill_prunes_scan_and_bounds_shuffles(self, spark, sf_dir):
+        from columnar_database_project_spark.plans.verify import (
+            scan_read_schemas,
+        )
+        from columnar_database_project_spark.operators.events import (
+            q_events_gapfill,
+        )
+
+        df = q_events_gapfill(spark, sf_dir)
+        # column pruning: the scan reads only (event_type, ts, value)
+        schemas = scan_read_schemas(df)
+        assert schemas and all(
+            "user_id" not in s and "props" not in s for s in schemas
+        ), schemas
+        # hourly partial agg, bounds agg, spine-join, LOCF window:
+        # every shuffle is on (type[, hour]) keys, none on raw rows
+        assert count_shuffles(df) <= 4, count_shuffles(df)
+
+    def test_containment_reuses_jaccard_inverted_index_shape(self, spark, sf_dir):
+        from columnar_database_project_spark.operators.dedup import (
+            q_dedup_containment,
+        )
+
+        df = q_dedup_containment(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # inverted-index equi-join on the shingle key — never a
+        # cartesian/broadcast-nested-loop all-pairs comparison
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
