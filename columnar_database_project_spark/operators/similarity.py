@@ -760,6 +760,65 @@ def q_emb_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LABEL_SPACE = 4096   # declared bound on distinct labels (bounded taxonomy)
+OUTLIER_Z = 2.0      # distance z-score flag threshold
+
+
+def q_emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabel/outlier audit over the embedding corpus: per vector,
+    the L2 distance to its OWN label's centroid, standardized within
+    the label (z-score); vectors with z ≥ OUTLIER_Z are flagged — the
+    standard first-pass filter for label noise before training a
+    classifier on weak labels.
+
+    Scale shape: centroids are the [[emb_label_centroids]] partial-agg
+    shape (shuffle O(tasks × labels × dim)); the centroid table
+    (≤ LABEL_SPACE × EMB_DIM rows by construction) broadcasts via the
+    size-guarded hint, so the per-vector distance is computed map-side
+    and the distance aggregate's partial combine collapses each
+    vector's dims within its original partition — the only
+    row-proportional shuffle carries ONE row per vector. The per-label
+    stats table (≤ LABEL_SPACE rows) broadcasts for the final z-score.
+    Constant-distance labels (sd = 0) are guarded to z = 0 in both
+    engines, like [[emb_quantize_stats]] guards its span."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "v")
+    ).select("vec_id", "label", "dim", F.col("v").cast("double").alias("v"))
+    c = e.groupBy("label", "dim").agg(F.avg("v").alias("c"))
+    dist = (
+        e.join(
+            bounded_broadcast(
+                c, LABEL_SPACE * EMB_DIM, "label-centroid table"
+            ),
+            ["label", "dim"],
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sqrt(F.sum((F.col("v") - F.col("c")) ** 2)).alias("dist"))
+    )
+    stats = dist.groupBy("label").agg(
+        F.avg("dist").alias("mu"), F.stddev_samp("dist").alias("sd")
+    )
+    z = F.round(
+        F.when(F.col("sd") != 0, (F.col("dist") - F.col("mu")) / F.col("sd"))
+        .otherwise(F.lit(0.0)),
+        4,
+    )
+    return (
+        dist.join(
+            bounded_broadcast(stats, LABEL_SPACE, "per-label distance stats"),
+            "label",
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.round("dist", 6).alias("dist"),
+            z.alias("z"),
+        )
+        .filter(F.col("z") >= OUTLIER_Z)
+    )
+
+
 KMEANS_K = 8
 KMEANS_ITERS = 5
 
@@ -1020,6 +1079,7 @@ QUERIES = {
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_ivf_recall_curve": q_sim_ivf_recall_curve,
     "emb_label_centroids": q_emb_label_centroids,
+    "emb_centroid_outliers": q_emb_centroid_outliers,
     "emb_quantize_stats": q_emb_quantize_stats,
     "emb_gram_matrix": q_emb_gram_matrix,
     "emb_kmeans_step": q_emb_kmeans_step,
@@ -1257,6 +1317,32 @@ ORACLES["emb_label_centroids"] = """
             FROM embeddings
         )
         GROUP BY label, dim
+    """
+
+ORACLES["emb_centroid_outliers"] = f"""
+        WITH e AS (
+            SELECT vec_id, label,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        ), c AS (
+            SELECT label, dim, avg(v) AS c FROM e GROUP BY label, dim
+        ), dist AS (
+            SELECT e.vec_id, e.label,
+                   sqrt(sum((e.v - c.c) * (e.v - c.c))) AS dist
+            FROM e JOIN c ON e.label = c.label AND e.dim = c.dim
+            GROUP BY e.vec_id, e.label
+        ), stats AS (
+            SELECT label, avg(dist) AS mu, stddev_samp(dist) AS sd
+            FROM dist GROUP BY label
+        )
+        SELECT d.vec_id, d.label,
+               ROUND(d.dist, 6) AS dist,
+               ROUND(CASE WHEN s.sd != 0 THEN (d.dist - s.mu) / s.sd
+                          ELSE 0.0 END, 4) AS z
+        FROM dist d JOIN stats s USING (label)
+        WHERE ROUND(CASE WHEN s.sd != 0 THEN (d.dist - s.mu) / s.sd
+                         ELSE 0.0 END, 4) >= {OUTLIER_Z}
     """
 
 ORACLES["emb_quantize_stats"] = """

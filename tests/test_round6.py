@@ -1324,3 +1324,44 @@ def test_knn_classify_consistent_with_topk(spark, sf_dir):
         assert p["vote_share"] == round(p["votes"] / TOP_K, 6)
         assert p["actual_label"] == labels[q]
         assert p["correct"] == int(p["predicted_label"] == p["actual_label"])
+
+
+def test_centroid_outliers_match_numpy(spark, sf_dir):
+    """The flagged outlier set (and each z-score to 4dp) equals an
+    independent numpy recomputation of per-label centroid distances
+    standardized within label."""
+    import numpy as np
+
+    from columnar_database_project_spark.catalog import load_table
+    from columnar_database_project_spark.operators.similarity import (
+        OUTLIER_Z,
+        q_emb_centroid_outliers,
+    )
+
+    got = {
+        r["vec_id"]: (r["label"], r["dist"], r["z"])
+        for r in q_emb_centroid_outliers(spark, sf_dir).collect()
+    }
+    pdf = load_table(spark, sf_dir, "embeddings").toPandas()
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    labels = pdf["label"].values
+    expect = {}
+    for lbl in np.unique(labels):
+        idx = np.where(labels == lbl)[0]
+        centroid = mat[idx].mean(axis=0)
+        d = np.sqrt(((mat[idx] - centroid) ** 2).sum(axis=1))
+        sd = d.std(ddof=1)
+        z = (d - d.mean()) / sd if sd != 0 else np.zeros_like(d)
+        for j, i in enumerate(idx):
+            if round(z[j], 4) >= OUTLIER_Z:
+                expect[int(pdf["vec_id"].iloc[i])] = (
+                    int(lbl), round(float(d[j]), 6), round(float(z[j]), 4)
+                )
+    assert set(got) == set(expect), (
+        set(got) ^ set(expect)
+    )
+    for vid, (lbl, dist, z) in expect.items():
+        g = got[vid]
+        assert g[0] == lbl
+        assert abs(g[1] - dist) < 1e-5, (vid, g, dist)
+        assert abs(g[2] - z) < 1e-3, (vid, g, z)
