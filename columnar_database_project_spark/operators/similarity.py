@@ -760,6 +760,75 @@ def q_emb_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_GRAPH_K = 5      # out-degree of the within-block kNN graph
+
+
+def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-block exact k-NN graph — the neighbor-list construction
+    step of graph-based ANN (NSW/HNSW bottom layer) and of kNN-graph
+    clustering: for every vector, its KNN_GRAPH_K nearest same-label
+    neighbors by cosine, ranked, deterministic tiebreak on neighbor id.
+
+    Scale shape mirrors [[dedup_embedding_cosine]]: one shuffle on the
+    blocking key (label here; an LSH bucket or k-means cell at 100 TB
+    — see ``q_dedup_semantic`` — so group size is bounded by
+    construction, never corpus-proportional), then an in-group numpy
+    kernel. The kernel scores one EMB_TILE row-block against the
+    group per step, so peak memory is EMB_TILE × group, and emits
+    only n × k edges — the quadratic similarity matrix never leaves
+    the executor. Ranking uses RAW cosine (rounding only the output
+    column) so the rank order is exactly the oracle's."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    empty = pd.DataFrame(
+        {
+            "vec_id": pd.Series([], dtype="int64"),
+            "label": pd.Series([], dtype="int32"),
+            "neighbor_id": pd.Series([], dtype="int64"),
+            "cosine": pd.Series([], dtype="float64"),
+            "rank": pd.Series([], dtype="int32"),
+        }
+    )
+
+    def knn_in_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return empty
+        m = normalize_rows(stack_embeddings(pdf["embedding"]))
+        ids = pdf["vec_id"].values.astype(np.int64)
+        label = pdf["label"].iloc[0]
+        k = min(KNN_GRAPH_K, n - 1)
+        frames = []
+        for i0 in range(0, n, EMB_TILE_ROWS):
+            i1 = min(i0 + EMB_TILE_ROWS, n)
+            sims = m[i0:i1] @ m.T                   # (tile, n)
+            for r in range(i1 - i0):
+                row = sims[r].copy()
+                row[i0 + r] = -np.inf               # exclude self
+                order = np.lexsort((ids, -row))[:k]  # (cos desc, id asc)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": np.full(k, ids[i0 + r]),
+                            "label": np.full(k, label, dtype="int32"),
+                            "neighbor_id": ids[order],
+                            "cosine": np.round(row[order], 4),
+                            "rank": np.arange(1, k + 1, dtype="int32"),
+                        }
+                    )
+                )
+        return pd.concat(frames, ignore_index=True)
+
+    return emb.groupBy("label").applyInPandas(
+        knn_in_group,
+        schema="vec_id long, label int, neighbor_id long,"
+        " cosine double, rank int",
+    )
+
+
+EMB_TILE_ROWS = 2048  # kNN-graph kernel row-tile (peak mem = tile × group)
+
 LABEL_SPACE = 4096   # declared bound on distinct labels (bounded taxonomy)
 OUTLIER_Z = 2.0      # distance z-score flag threshold
 
@@ -1080,6 +1149,7 @@ QUERIES = {
     "sim_ivf_recall_curve": q_sim_ivf_recall_curve,
     "emb_label_centroids": q_emb_label_centroids,
     "emb_centroid_outliers": q_emb_centroid_outliers,
+    "sim_knn_graph": q_sim_knn_graph,
     "emb_quantize_stats": q_emb_quantize_stats,
     "emb_gram_matrix": q_emb_gram_matrix,
     "emb_kmeans_step": q_emb_kmeans_step,
@@ -1317,6 +1387,27 @@ ORACLES["emb_label_centroids"] = """
             FROM embeddings
         )
         GROUP BY label, dim
+    """
+
+ORACLES["sim_knn_graph"] = f"""
+        WITH pairs AS (
+            SELECT a.vec_id, a.label, b.vec_id AS neighbor_id,
+                   list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]
+                   ) AS cosine_raw
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id != b.vec_id
+        )
+        SELECT vec_id, label, neighbor_id,
+               ROUND(cosine_raw, 4) AS cosine, rank
+        FROM (
+            SELECT vec_id, label, neighbor_id, cosine_raw,
+                   row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY cosine_raw DESC, neighbor_id
+                   ) AS rank
+            FROM pairs
+        ) WHERE rank <= {KNN_GRAPH_K}
     """
 
 ORACLES["emb_centroid_outliers"] = f"""

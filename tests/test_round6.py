@@ -1365,3 +1365,43 @@ def test_centroid_outliers_match_numpy(spark, sf_dir):
         assert g[0] == lbl
         assert abs(g[1] - dist) < 1e-5, (vid, g, dist)
         assert abs(g[2] - z) < 1e-3, (vid, g, z)
+
+
+def test_knn_graph_degree_and_order(spark, sf_dir):
+    """Every node has out-degree min(K, |its label group| - 1), all
+    edges stay within the label block, no self-loops, and each
+    adjacency list is sorted by (cosine desc, neighbor asc) with
+    ranks 1..k."""
+    from collections import defaultdict
+
+    from columnar_database_project_spark.catalog import load_table
+    from columnar_database_project_spark.operators.similarity import (
+        KNN_GRAPH_K,
+        q_sim_knn_graph,
+    )
+    import pyspark.sql.functions as F
+
+    edges = q_sim_knn_graph(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    group_sizes = {
+        r["label"]: r["n"]
+        for r in emb.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in emb.select("vec_id", "label").collect()
+    }
+    adj = defaultdict(list)
+    for e in edges:
+        assert e["neighbor_id"] != e["vec_id"]
+        assert labels[e["neighbor_id"]] == e["label"] == labels[e["vec_id"]]
+        adj[e["vec_id"]].append(e)
+    assert set(adj) == {v for v, l in labels.items() if group_sizes[l] >= 2}
+    for v, lst in adj.items():
+        k = min(KNN_GRAPH_K, group_sizes[labels[v]] - 1)
+        lst.sort(key=lambda e: e["rank"])
+        assert [e["rank"] for e in lst] == list(range(1, k + 1))
+        # ranking is by RAW cosine (tie-broken by id); the output
+        # column is rounded, so only monotonicity survives rounding
+        for a, b in zip(lst, lst[1:]):
+            assert a["cosine"] >= b["cosine"], (v, a, b)
