@@ -334,6 +334,13 @@ ROUND6_EXTRAS = [
     "sketch_count_min",
     "events_rfm_segments",
     "dedup_minhash_est_error",
+    "dedup_containment",
+    "text_zipf_slope",
+    "stats_correlation",
+    "events_gapfill",
+    "sim_knn_classify",
+    "emb_centroid_outliers",
+    "sim_knn_graph",
 ]
 
 
