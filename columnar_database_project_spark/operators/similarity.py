@@ -864,6 +864,11 @@ def q_emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("vec_id", "label")
         .agg(F.sqrt(F.sum((F.col("v") - F.col("c")) ** 2)).alias("dist"))
+        # dist feeds BOTH the per-label stats (broadcast side) and the
+        # output; without materialization the explode+distance subtree
+        # is planned twice — at 100 TB that doubles the whole scan.
+        # One row per vector, so the checkpoint is corpus-row-sized.
+        .localCheckpoint()
     )
     stats = dist.groupBy("label").agg(
         F.avg("dist").alias("mu"), F.stddev_samp("dist").alias("sd")

@@ -455,3 +455,34 @@ class TestRound6LatePlans:
         # cartesian/broadcast-nested-loop all-pairs comparison
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_knn_graph_single_blocking_shuffle(self, spark, sf_dir):
+        from columnar_database_project_spark.operators.similarity import (
+            q_sim_knn_graph,
+        )
+
+        df = q_sim_knn_graph(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # one hash-partition shuffle on the blocking key feeds the
+        # in-group kernel; the n x n similarity matrix never appears
+        # in the plan (only n x k edges leave the executor)
+        assert "FlatMapGroupsInPandas" in plan
+        assert count_shuffles(df) == 1, count_shuffles(df)
+        assert "CartesianProduct" not in plan
+
+    def test_centroid_outliers_broadcasts_bounded_sides(self, spark, sf_dir):
+        from columnar_database_project_spark.operators.similarity import (
+            q_emb_centroid_outliers,
+        )
+
+        df = q_emb_centroid_outliers(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # centroid + stats tables join as broadcasts (label-space
+        # bounded); the shuffles are the label/dim and per-vector
+        # partial aggregations, never a row x row join exchange
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        # dist is checkpointed, so the explode+distance subtree is
+        # planned ONCE; the only remaining shuffle is the per-label
+        # stats aggregation over the vector-count-sized dist table
+        assert count_shuffles(df) <= 2, count_shuffles(df)
