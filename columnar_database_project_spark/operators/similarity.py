@@ -829,6 +829,42 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMB_TILE_ROWS = 2048  # kNN-graph kernel row-tile (peak mem = tile × group)
 
+
+def q_emb_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN clustering: an undirected edge exists iff each
+    vector appears in the OTHER's k-nearest list (the mutual-kNN
+    criterion prunes hub-induced false merges that plain kNN-graph
+    clustering suffers), then clusters = connected components with
+    min-id labels — the unsupervised duplicate/theme grouping step
+    that SemDeDup-style curation runs after neighbor search.
+
+    Composition, not new machinery: [[sim_knn_graph]] supplies the
+    directed edges (one blocking shuffle + kernel), the mutual filter
+    is a self-equi-join on the reversed edge (n × k rows), and the
+    O(log diameter) pointer-jumping loop is shared with
+    [[dedup_clusters]]. Nodes with no mutual edge are singletons and
+    are omitted, mirroring the pair-graph contract of the dedup CC."""
+    from columnar_database_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    g = q_sim_knn_graph(spark, sf_dir).select("vec_id", "neighbor_id")
+    rev = g.select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("vec_id").alias("neighbor_id"),
+    )
+    mutual = (
+        g.intersect(rev)
+        .filter(F.col("vec_id") < F.col("neighbor_id"))
+        .select(
+            F.col("vec_id").alias("doc_a"),
+            F.col("neighbor_id").alias("doc_b"),
+        )
+    )
+    return connected_components(mutual).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+
 LABEL_SPACE = 4096   # declared bound on distinct labels (bounded taxonomy)
 OUTLIER_Z = 2.0      # distance z-score flag threshold
 
@@ -1155,6 +1191,7 @@ QUERIES = {
     "emb_label_centroids": q_emb_label_centroids,
     "emb_centroid_outliers": q_emb_centroid_outliers,
     "sim_knn_graph": q_sim_knn_graph,
+    "emb_knn_clusters": q_emb_knn_clusters,
     "emb_quantize_stats": q_emb_quantize_stats,
     "emb_gram_matrix": q_emb_gram_matrix,
     "emb_kmeans_step": q_emb_kmeans_step,
@@ -1413,6 +1450,42 @@ ORACLES["sim_knn_graph"] = f"""
                    ) AS rank
             FROM pairs
         ) WHERE rank <= {KNN_GRAPH_K}
+    """
+
+ORACLES["emb_knn_clusters"] = f"""
+        WITH RECURSIVE knn AS (
+            SELECT vec_id, neighbor_id FROM (
+                SELECT a.vec_id, b.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY list_cosine_similarity(
+                               a.embedding::DOUBLE[], b.embedding::DOUBLE[]
+                           ) DESC, b.vec_id
+                       ) AS rank
+                FROM embeddings a JOIN embeddings b
+                  ON a.label = b.label AND a.vec_id != b.vec_id
+            ) WHERE rank <= {KNN_GRAPH_K}
+        ),
+        mutual AS (
+            SELECT a.vec_id AS u, a.neighbor_id AS v
+            FROM knn a JOIN knn b
+              ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
+            WHERE a.vec_id < a.neighbor_id
+        ),
+        edges AS (
+            SELECT u, v FROM mutual UNION SELECT v, u FROM mutual
+        ),
+        reach(u, v) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ),
+        cc AS (
+            SELECT u AS vec_id, CAST(min(v) AS BIGINT) AS cluster_id
+            FROM (SELECT u, v FROM reach UNION SELECT u, u FROM edges)
+            GROUP BY u
+        )
+        SELECT vec_id, cluster_id FROM cc
     """
 
 ORACLES["emb_centroid_outliers"] = f"""

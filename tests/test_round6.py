@@ -1405,3 +1405,40 @@ def test_knn_graph_degree_and_order(spark, sf_dir):
         # column is rounded, so only monotonicity survives rounding
         for a, b in zip(lst, lst[1:]):
             assert a["cosine"] >= b["cosine"], (v, a, b)
+
+
+def test_knn_clusters_match_python_union_find(spark, sf_dir):
+    """The distributed pointer-jumping result equals an independent
+    python union-find over the mutual-kNN edge set derived from the
+    collected graph — exact labels (min vec_id per component)."""
+    from columnar_database_project_spark.operators.similarity import (
+        q_emb_knn_clusters,
+        q_sim_knn_graph,
+    )
+
+    edges = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in q_sim_knn_graph(spark, sf_dir).collect()
+    }
+    mutual = {(a, b) for (a, b) in edges if (b, a) in edges and a < b}
+    assert mutual, "test data must produce at least one mutual edge"
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in mutual:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {v: find(v) for v in parent}
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in q_emb_knn_clusters(spark, sf_dir).collect()
+    }
+    assert got == expect
