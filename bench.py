@@ -341,6 +341,7 @@ ROUND6_EXTRAS = [
     "sim_knn_classify",
     "emb_centroid_outliers",
     "sim_knn_graph",
+    "emb_knn_clusters",
 ]
 
 
