@@ -88,13 +88,17 @@ def _rotated(names: list[str]) -> list[str]:
     """Verification-freshness rotation: least-recently-verified queries
     first (never-verified ones before everything), ties broken by name.
 
-    The external correctness run is budget-capped and checks entries in
-    registry order, so a static order would leave a fixed tail that
-    never gets re-verified after code changes. Rotating by staleness is
-    a coverage policy — every query is re-verified at least every other
-    round — not result steering: the AUTHORITATIVE gate is the local
-    full-registry sweep (``tools/verify_oracle.py <sf_dir>``), run
-    before every milestone commit regardless of this order.
+    The external correctness run is budget-capped (50 entries/round,
+    observed constant across rounds) and checks entries in registry
+    order, so a static order would leave a fixed tail that never gets
+    re-verified after code changes. Rotating by staleness is a
+    coverage policy — every query is re-verified at least every
+    ceil(N/50) rounds (4 rounds at the current N=179; never-verified
+    queries always front the queue, so a new query gets its first
+    external row the round it lands, coverage before freshness) — not
+    result steering: the AUTHORITATIVE gate is the local full-registry
+    sweep (``tools/verify_oracle.py <sf_dir>``), run before every
+    milestone commit regardless of this order.
 
     A query whose package changed after its last verified round's
     check file was written sorts with the never-verified group — and
