@@ -1549,3 +1549,292 @@ ORACLES["emb_gram_matrix"] = """
         FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.gs <= b.gs
         GROUP BY 1, 2
     """
+
+
+# ------------------------------------------------------------------ PQ
+# Product quantization: the compression half of a production ANN index
+# (IVF above is the pruning half; IVF-PQ composes the two). Each
+# vector is split into PQ_M subspaces and every subvector replaced by
+# the id of its nearest codebook entry: 64 float32 dims (256 B) become
+# PQ_M uint8 codes (8 B) — a 32x in-memory shrink, which is what lets
+# a 100 TB embedding corpus fit an in-RAM search tier. No reference
+# analog (the reference delegates all vector work to DuckDB); the
+# codebook-training / assignment / distortion-audit / ADC-search split
+# mirrors the public FAISS IVFPQ design.
+
+PQ_M = 8                     # subspaces
+PQ_SUB = EMB_DIM // PQ_M     # dims per subspace
+PQ_K = 16                    # codebook entries per subspace
+PQ_KMEANS_ITERS = 10
+PQ_DECIMALS = 6              # distances rounded before argmin/rank →
+                             # cross-engine deterministic (IVF pattern)
+
+_PQ_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def pq_codebooks(sf_dir: str) -> np.ndarray:
+    """(PQ_M, PQ_K, PQ_SUB) codebooks — deterministic per-subspace
+    k-means (fixed seed, fixed iterations) over the same streamed
+    strided sample the IVF centroids train on, so driver memory stays
+    O(sample) regardless of table size. Freshness-keyed cache shared
+    by the Spark queries AND the SQL-oracle builder: both sides see
+    bit-identical codebooks."""
+    from columnar_database_project_spark.catalog import file_freshness
+
+    path = os.path.realpath(os.path.join(sf_dir, "embeddings.parquet"))
+    key = (path, file_freshness(path))
+    if key not in _PQ_CACHE:
+        if len(_PQ_CACHE) > 16:
+            _PQ_CACHE.clear()
+        sample = _ivf_sample(sf_dir)          # raw (unnormalized) rows
+        rng = np.random.RandomState(29)
+        books = np.empty((PQ_M, PQ_K, PQ_SUB))
+        for m in range(PQ_M):
+            sub = sample[:, m * PQ_SUB:(m + 1) * PQ_SUB]
+            cent = sub[rng.choice(len(sub), PQ_K, replace=False)].copy()
+            for _ in range(PQ_KMEANS_ITERS):
+                d = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+                assign = np.argmin(d, axis=1)
+                for k in range(PQ_K):
+                    members = sub[assign == k]
+                    if len(members):
+                        cent[k] = members.mean(axis=0)
+            books[m] = cent
+        _PQ_CACHE[key] = books
+    return _PQ_CACHE[key]
+
+
+def _pq_assign(v: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, D) → (n, PQ_M) int32 codes: per-subspace argmin of the
+    PQ_DECIMALS-rounded Euclidean distance; np.argmin takes the first
+    (= lowest code) on rounded ties, matching the oracle's
+    ORDER BY dist, code."""
+    n = v.shape[0]
+    sub = v.reshape(n, PQ_M, PQ_SUB)
+    codes = np.empty((n, PQ_M), dtype=np.int32)
+    for m in range(PQ_M):
+        d = np.round(
+            np.linalg.norm(sub[:, m, None, :] - books[m][None, :, :], axis=-1),
+            PQ_DECIMALS,
+        )
+        codes[:, m] = np.argmin(d, axis=1)
+    return codes
+
+
+def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vector's PQ code, one row per (vector, subspace) —
+    oracle-checked against the same codebooks inlined as SQL literals.
+    Zero-shuffle Arrow-batched scan (the same shape assignment takes
+    inside a real index build, where the codes would stream straight
+    into the index writer)."""
+    books = pq_codebooks(sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            v = stack_embeddings(pdf["embedding"])
+            codes = _pq_assign(v, books)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].values, PQ_M),
+                    "subspace": np.tile(
+                        np.arange(PQ_M, dtype=np.int32), n
+                    ),
+                    "code": codes.reshape(-1),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        kernel, schema="vec_id long, subspace int, code int"
+    )
+
+
+def q_emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace quantization MSE — the audit that tells an
+    operator whether PQ_M/PQ_K suffice for their corpus before they
+    pay for a full index build. The kernel emits one (subspace,
+    squared-error) row per vector-subspace; the groupBy's map-side
+    partial aggregation collapses that to PQ_M rows per task, so the
+    shuffle is O(PQ_M x tasks) regardless of corpus size. Uses the
+    rounded assignment distance squared, identically to the oracle."""
+    books = pq_codebooks(sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            v = stack_embeddings(pdf["embedding"])
+            n = len(pdf)
+            sub = v.reshape(n, PQ_M, PQ_SUB)
+            errs = np.empty((n, PQ_M))
+            for m in range(PQ_M):
+                d = np.round(
+                    np.linalg.norm(
+                        sub[:, m, None, :] - books[m][None, :, :], axis=-1
+                    ),
+                    PQ_DECIMALS,
+                )
+                errs[:, m] = d[np.arange(n), np.argmin(d, axis=1)] ** 2
+            yield pd.DataFrame(
+                {
+                    "subspace": np.tile(np.arange(PQ_M, dtype=np.int32), n),
+                    "sqerr": errs.reshape(-1),
+                }
+            )
+
+    return (
+        emb.select("embedding")
+        .mapInPandas(kernel, schema="subspace int, sqerr double")
+        .groupBy("subspace")
+        .agg(
+            F.round(F.avg("sqerr"), 4).alias("mse"),
+            F.count("*").alias("n_vectors"),
+        )
+    )
+
+
+def q_emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: queries keep full precision,
+    the corpus is its PQ codes, and each query precomputes a
+    (PQ_M, PQ_K) lookup table of subspace distances — scoring a coded
+    vector is then PQ_M table lookups instead of a D-dim multiply.
+    Fully oracle-checked (unusual for an ANN query) because the whole
+    chain is deterministic: rounded-argmin codes, LUT sums rounded to
+    PQ_DECIMALS before ranking, ties broken by vec_id.
+
+    Scale shape: the LUT (Q x PQ_M x PQ_K doubles) ships inside the
+    kernel closure — bounded by the query set, never by the corpus —
+    and the per-partition top-k keeps the downstream sort at
+    Q x k x n_partitions rows, exactly like the brute-force baseline
+    it approximates."""
+    books = pq_codebooks(sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_ids, q_raw = _query_vectors(sf_dir)
+    q_sub = q_raw.reshape(len(q_ids), PQ_M, PQ_SUB)
+    lut = np.empty((len(q_ids), PQ_M, PQ_K))
+    for m in range(PQ_M):
+        lut[:, m, :] = np.sum(
+            (q_sub[:, m, None, :] - books[m][None, :, :]) ** 2, axis=-1
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: dict[int, tuple[np.ndarray, np.ndarray]] = {
+            int(q): (np.empty(0, dtype=np.int64), np.empty(0)) for q in q_ids
+        }
+        for pdf in batches:
+            v = stack_embeddings(pdf["embedding"])
+            codes = _pq_assign(v, books)
+            ad = np.zeros((len(q_ids), len(pdf)))
+            for m in range(PQ_M):
+                ad += lut[:, m, codes[:, m]]
+            ad = np.round(ad, PQ_DECIMALS)
+            vid = pdf["vec_id"].values.astype(np.int64)
+            for qi, q in enumerate(q_ids):
+                mask = vid != q
+                ids = np.concatenate([best[int(q)][0], vid[mask]])
+                ds = np.concatenate([best[int(q)][1], ad[qi][mask]])
+                if len(ids) > TOP_K:
+                    order = np.lexsort((ids, ds))[:TOP_K]
+                    ids, ds = ids[order], ds[order]
+                best[int(q)] = (ids, ds)
+        rows = {"q_id": [], "vec_id": [], "adist": []}
+        for q, (ids, ds) in best.items():
+            rows["q_id"].extend([q] * len(ids))
+            rows["vec_id"].extend(ids.tolist())
+            rows["adist"].extend(ds.tolist())
+        yield pd.DataFrame(rows)
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        kernel, schema="q_id long, vec_id long, adist double"
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "adist", "rank")
+    )
+
+
+QUERIES["emb_pq_codes"] = q_emb_pq_codes
+QUERIES["emb_pq_distortion"] = q_emb_pq_distortion
+QUERIES["emb_pq_adc_topk"] = q_emb_pq_adc_topk
+
+
+def _pq_oracle_sqls() -> dict[str, str]:
+    """SQL twins for the PQ stages, codebooks inlined as literals —
+    same data-dependent-oracle pattern (and same degrade-to-rows-only
+    guards) as ``_ivf_oracle_sqls``."""
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    if not os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+        return {}
+    try:
+        books = pq_codebooks(sf_dir)
+    except Exception:
+        return {}
+    values = ",\n            ".join(
+        f"({m}, {k}, [{', '.join(repr(float(x)) for x in books[m, k])}]::DOUBLE[])"
+        for m in range(PQ_M)
+        for k in range(PQ_K)
+    )
+    codes = f"""
+        WITH books(m, code, c) AS (VALUES
+            {values}
+        ),
+        d AS (
+            SELECT e.vec_id, b.m, b.code,
+                   round(list_distance(
+                       list_slice(e.embedding::DOUBLE[],
+                                  b.m * {PQ_SUB} + 1, (b.m + 1) * {PQ_SUB}),
+                       b.c), {PQ_DECIMALS}) AS dist
+            FROM embeddings e CROSS JOIN books b
+        ),
+        codes AS (
+            SELECT vec_id, m, code, dist FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id, m ORDER BY dist, code
+                ) AS rn FROM d
+            ) WHERE rn = 1
+        )"""
+    return {
+        "emb_pq_codes": f"""{codes}
+        SELECT vec_id, CAST(m AS INT) AS subspace, CAST(code AS INT) AS code
+        FROM codes
+    """,
+        "emb_pq_distortion": f"""{codes}
+        SELECT CAST(m AS INT) AS subspace,
+               ROUND(avg(dist * dist), 4) AS mse,
+               count(*) AS n_vectors
+        FROM codes GROUP BY m
+    """,
+        "emb_pq_adc_topk": f"""{codes},
+        q AS (
+            SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id < {N_QUERIES}
+        ),
+        lut AS (
+            SELECT q.q_id, b.m, b.code,
+                   pow(list_distance(
+                       list_slice(q.qv, b.m * {PQ_SUB} + 1,
+                                  (b.m + 1) * {PQ_SUB}),
+                       b.c), 2) AS sq
+            FROM q CROSS JOIN books b
+        ),
+        approx AS (
+            SELECT l.q_id, c.vec_id,
+                   round(sum(l.sq), {PQ_DECIMALS}) AS adist
+            FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+            GROUP BY l.q_id, c.vec_id
+        )
+        SELECT q_id, vec_id AS neighbor_id, adist, rank FROM (
+            SELECT q_id, vec_id, adist, row_number() OVER (
+                PARTITION BY q_id ORDER BY adist, vec_id
+            ) AS rank
+            FROM approx WHERE vec_id != q_id
+        ) WHERE rank <= {TOP_K}
+    """,
+    }
+
+
+ORACLES.update(_pq_oracle_sqls())

@@ -1442,3 +1442,132 @@ def test_knn_clusters_match_python_union_find(spark, sf_dir):
         for r in q_emb_knn_clusters(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------- PQ
+
+
+def test_pq_codes_match_numpy(spark, sf_dir):
+    """Every (vector, subspace) code equals an independent driver-side
+    recomputation: rounded-Euclidean argmin against the shared
+    codebooks, ties to the lowest code."""
+    import numpy as np
+
+    from columnar_database_project_spark.catalog import load_table
+    from columnar_database_project_spark.operators.similarity import (
+        PQ_M,
+        PQ_SUB,
+        pq_codebooks,
+        q_emb_pq_codes,
+    )
+
+    books = pq_codebooks(sf_dir)
+    rows = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    expected = {}
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64).reshape(PQ_M, PQ_SUB)
+        for m in range(PQ_M):
+            d = np.round(
+                np.linalg.norm(v[m][None, :] - books[m], axis=-1), 6
+            )
+            expected[(r["vec_id"], m)] = int(np.argmin(d))
+    got = {
+        (r["vec_id"], r["subspace"]): r["code"]
+        for r in q_emb_pq_codes(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert len(got) == len(rows) * PQ_M
+
+
+def test_pq_codes_zero_shuffle(spark, sf_dir):
+    """Assignment is a pure scan-side map — an index build streams
+    codes to the writer without ever repartitioning the corpus."""
+    from columnar_database_project_spark.operators.similarity import (
+        q_emb_pq_codes,
+    )
+    from columnar_database_project_spark.plans.verify import count_shuffles
+
+    assert count_shuffles(q_emb_pq_codes(spark, sf_dir)) == 0
+
+
+def test_pq_distortion_sane(spark, sf_dir):
+    """MSE is finite-positive per subspace, counts cover the table,
+    and the trained 16-entry codebook beats the trivial 1-entry
+    (subspace-mean) quantizer on every subspace — the minimal
+    rate-distortion sanity a codebook audit must clear."""
+    import numpy as np
+
+    from columnar_database_project_spark.catalog import load_table
+    from columnar_database_project_spark.operators.similarity import (
+        PQ_M,
+        PQ_SUB,
+        q_emb_pq_distortion,
+    )
+
+    rows = load_table(spark, sf_dir, "embeddings").select("embedding").collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    sub = mat.reshape(len(mat), PQ_M, PQ_SUB)
+    out = {r["subspace"]: r for r in q_emb_pq_distortion(spark, sf_dir).collect()}
+    assert sorted(out) == list(range(PQ_M))
+    for m in range(PQ_M):
+        one_entry_mse = float(
+            (((sub[:, m, :] - sub[:, m, :].mean(0)) ** 2).sum(-1)).mean()
+        )
+        assert out[m]["n_vectors"] == len(mat)
+        assert 0 < out[m]["mse"] < one_entry_mse, (m, out[m]["mse"], one_entry_mse)
+
+
+def test_pq_adc_topk_shape_and_monotone(spark, sf_dir):
+    """Exactly TOP_K neighbors per query, self excluded, approximate
+    distance non-decreasing in rank, and each returned adist equals an
+    independent LUT-sum recomputation from that neighbor's codes."""
+    import numpy as np
+
+    from columnar_database_project_spark.catalog import load_table
+    from columnar_database_project_spark.operators.similarity import (
+        N_QUERIES,
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+        TOP_K,
+        _pq_assign,
+        _query_vectors,
+        pq_codebooks,
+        q_emb_pq_adc_topk,
+    )
+
+    books = pq_codebooks(sf_dir)
+    q_ids, q_raw = _query_vectors(sf_dir)
+    q_sub = q_raw.reshape(len(q_ids), PQ_M, PQ_SUB)
+    lut = np.empty((len(q_ids), PQ_M, PQ_K))
+    for m in range(PQ_M):
+        lut[:, m, :] = np.sum(
+            (q_sub[:, m, None, :] - books[m][None, :, :]) ** 2, axis=-1
+        )
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    got = q_emb_pq_adc_topk(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert sorted(by_q) == sorted(int(q) for q in q_ids)
+    qpos = {int(q): i for i, q in enumerate(q_ids)}
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert len(rs) == TOP_K
+        assert [r["rank"] for r in rs] == list(range(1, TOP_K + 1))
+        dists = [r["adist"] for r in rs]
+        assert dists == sorted(dists)
+        for r in rs:
+            assert r["neighbor_id"] != q
+            codes = _pq_assign(emb[r["neighbor_id"]][None, :], books)[0]
+            expect = round(
+                float(sum(lut[qpos[q], m, codes[m]] for m in range(PQ_M))), 6
+            )
+            assert abs(r["adist"] - expect) < 1e-9, (q, r, expect)
