@@ -342,6 +342,8 @@ ROUND6_EXTRAS = [
     "emb_centroid_outliers",
     "sim_knn_graph",
     "emb_knn_clusters",
+    "emb_pq_codes",
+    "emb_pq_adc_topk",
 ]
 
 
