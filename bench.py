@@ -344,6 +344,7 @@ ROUND6_EXTRAS = [
     "emb_knn_clusters",
     "emb_pq_codes",
     "emb_pq_adc_topk",
+    "sim_ivfpq_topk",
 ]
 
 

@@ -1838,3 +1838,191 @@ def _pq_oracle_sqls() -> dict[str, str]:
 
 
 ORACLES.update(_pq_oracle_sqls())
+
+
+def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed search — the canonical at-scale ANN index shape
+    (FAISS IVFPQ): IVF cells prune the corpus to the N_PROBE probed
+    partitions per query, PQ codes + a per-query lookup table score
+    the survivors without touching full-precision vectors. Fully
+    oracle-checked: every stage (cell argmax, code argmin, LUT sums)
+    rounds before compare, so the composition stays cross-engine
+    deterministic like its two halves.
+
+    Scale shape: one corpus scan computes cell + codes per batch
+    (zero shuffle); per-query work is probe-mask lookups + PQ_M
+    table-gathers; the per-partition top-k bounds the downstream sort
+    at Q x k x n_partitions rows. At 100 TB the codes (8 B/vector)
+    are what an index build would persist — search then scans 8 B
+    not 256 B per vector, on N_PROBE/N_IVF_CELLS of the corpus."""
+    cents = ivf_centroids(sf_dir)
+    books = pq_codebooks(sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_ids, q_raw = _query_vectors(sf_dir)
+    q_norm = normalize_rows(q_raw)
+    q_sims = np.round(q_norm @ cents.T, IVF_SIM_DECIMALS)
+    probe_mask = np.zeros((len(q_ids), N_IVF_CELLS), dtype=bool)
+    for qi in range(len(q_ids)):
+        order = np.lexsort((np.arange(N_IVF_CELLS), -q_sims[qi]))
+        probe_mask[qi, order[:N_PROBE]] = True
+    q_sub = q_raw.reshape(len(q_ids), PQ_M, PQ_SUB)
+    lut = np.empty((len(q_ids), PQ_M, PQ_K))
+    for m in range(PQ_M):
+        lut[:, m, :] = np.sum(
+            (q_sub[:, m, None, :] - books[m][None, :, :]) ** 2, axis=-1
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: dict[int, tuple[np.ndarray, np.ndarray]] = {
+            int(q): (np.empty(0, dtype=np.int64), np.empty(0)) for q in q_ids
+        }
+        for pdf in batches:
+            v = stack_embeddings(pdf["embedding"])
+            vn = normalize_rows(v)
+            cell = np.argmax(
+                np.round(vn @ cents.T, IVF_SIM_DECIMALS), axis=1
+            )
+            codes = _pq_assign(v, books)
+            ad = np.zeros((len(q_ids), len(pdf)))
+            for m in range(PQ_M):
+                ad += lut[:, m, codes[:, m]]
+            ad = np.round(ad, PQ_DECIMALS)
+            vid = pdf["vec_id"].values.astype(np.int64)
+            keep = probe_mask[:, cell]              # (Q, batch)
+            for qi, q in enumerate(q_ids):
+                mask = keep[qi] & (vid != q)
+                ids = np.concatenate([best[int(q)][0], vid[mask]])
+                ds = np.concatenate([best[int(q)][1], ad[qi][mask]])
+                if len(ids) > TOP_K:
+                    order = np.lexsort((ids, ds))[:TOP_K]
+                    ids, ds = ids[order], ds[order]
+                best[int(q)] = (ids, ds)
+        rows = {"q_id": [], "vec_id": [], "adist": []}
+        for q, (ids, ds) in best.items():
+            rows["q_id"].extend([q] * len(ids))
+            rows["vec_id"].extend(ids.tolist())
+            rows["adist"].extend(ds.tolist())
+        yield pd.DataFrame(rows)
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        kernel, schema="q_id long, vec_id long, adist double"
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "adist", "rank")
+    )
+
+
+QUERIES["sim_ivfpq_topk"] = q_sim_ivfpq_topk
+
+
+def _ivfpq_oracle_sql() -> dict[str, str]:
+    """SQL twin of the composed IVF-PQ search: the IVF centroid CTEs
+    (cell assignment + per-query probe sets) joined with the PQ CTEs
+    (codes + LUT). Same data-dependent-literal pattern and degrade
+    guards as the two component builders."""
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    if not os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+        return {}
+    try:
+        cents = ivf_centroids(sf_dir)
+        books = pq_codebooks(sf_dir)
+    except Exception:
+        return {}
+    cent_values = ",\n            ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    book_values = ",\n            ".join(
+        f"({m}, {k}, [{', '.join(repr(float(x)) for x in books[m, k])}]::DOUBLE[])"
+        for m in range(PQ_M)
+        for k in range(PQ_K)
+    )
+    return {
+        "sim_ivfpq_topk": f"""
+        WITH cents(cell, cv) AS (VALUES
+            {cent_values}
+        ),
+        books(m, code, c) AS (VALUES
+            {book_values}
+        ),
+        csims AS (
+            SELECT e.vec_id, ct.cell,
+                   round(
+                       list_dot_product(e.embedding::DOUBLE[], ct.cv)
+                       / sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                               e.embedding::DOUBLE[])),
+                       {IVF_SIM_DECIMALS}
+                   ) AS sim_r
+            FROM embeddings e CROSS JOIN cents ct
+        ),
+        assign AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY sim_r DESC, cell
+                ) AS rn FROM csims
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS q_id, cell FROM (
+                SELECT vec_id, cell, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY sim_r DESC, cell
+                ) AS pr FROM csims WHERE vec_id < {N_QUERIES}
+            ) WHERE pr <= {N_PROBE}
+        ),
+        d AS (
+            SELECT e.vec_id, b.m, b.code,
+                   round(list_distance(
+                       list_slice(e.embedding::DOUBLE[],
+                                  b.m * {PQ_SUB} + 1, (b.m + 1) * {PQ_SUB}),
+                       b.c), {PQ_DECIMALS}) AS dist
+            FROM embeddings e CROSS JOIN books b
+        ),
+        codes AS (
+            SELECT vec_id, m, code FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id, m ORDER BY dist, code
+                ) AS rn FROM d
+            ) WHERE rn = 1
+        ),
+        q AS (
+            SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id < {N_QUERIES}
+        ),
+        lut AS (
+            SELECT q.q_id, b.m, b.code,
+                   pow(list_distance(
+                       list_slice(q.qv, b.m * {PQ_SUB} + 1,
+                                  (b.m + 1) * {PQ_SUB}),
+                       b.c), 2) AS sq
+            FROM q CROSS JOIN books b
+        ),
+        cand AS (
+            SELECT a.vec_id, p.q_id
+            FROM assign a JOIN probes p ON a.cell = p.cell
+            WHERE a.vec_id != p.q_id
+        ),
+        approx AS (
+            SELECT cd.q_id, cd.vec_id,
+                   round(sum(l.sq), {PQ_DECIMALS}) AS adist
+            FROM cand cd
+            JOIN codes c ON c.vec_id = cd.vec_id
+            JOIN lut l ON l.q_id = cd.q_id
+                      AND l.m = c.m AND l.code = c.code
+            GROUP BY cd.q_id, cd.vec_id
+        )
+        SELECT q_id, vec_id AS neighbor_id, adist, rank FROM (
+            SELECT q_id, vec_id, adist, row_number() OVER (
+                PARTITION BY q_id ORDER BY adist, vec_id
+            ) AS rank
+            FROM approx
+        ) WHERE rank <= {TOP_K}
+    """
+    }
+
+
+ORACLES.update(_ivfpq_oracle_sql())

@@ -1571,3 +1571,50 @@ def test_pq_adc_topk_shape_and_monotone(spark, sf_dir):
                 float(sum(lut[qpos[q], m, codes[m]] for m in range(PQ_M))), 6
             )
             assert abs(r["adist"] - expect) < 1e-9, (q, r, expect)
+
+
+def test_ivfpq_consistent_with_components(spark, sf_dir):
+    """The composed IVF-PQ search equals the ADC ranking restricted to
+    probed cells: every neighbor sits in one of its query's N_PROBE
+    cells (per the oracle-checked probe plan + assignments), carries
+    the same rounded ADC distance the PQ search computes, and ranks
+    densely within each query."""
+    from columnar_database_project_spark.operators.similarity import (
+        N_PROBE,
+        N_QUERIES,
+        TOP_K,
+        q_emb_pq_adc_topk,
+        q_sim_ivf_assignments,
+        q_sim_ivf_probes,
+        q_sim_ivfpq_topk,
+    )
+
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in q_sim_ivf_assignments(spark, sf_dir).collect()
+    }
+    probed: dict[int, set] = {}
+    for r in q_sim_ivf_probes(spark, sf_dir).collect():
+        probed.setdefault(r["q_id"], set()).add(r["cell"])
+    adc = {
+        (r["q_id"], r["neighbor_id"]): r["adist"]
+        for r in q_emb_pq_adc_topk(spark, sf_dir).collect()
+    }
+    got = q_sim_ivfpq_topk(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert len(by_q) == N_QUERIES
+    for q, rs in by_q.items():
+        assert len(probed[q]) == N_PROBE
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= TOP_K
+        dists = [r["adist"] for r in rs]
+        assert dists == sorted(dists)
+        for r in rs:
+            assert cells[r["neighbor_id"]] in probed[q]
+            # where the unpruned ADC top-k kept the same neighbor, the
+            # composed search reports the identical rounded distance
+            if (q, r["neighbor_id"]) in adc:
+                assert r["adist"] == adc[(q, r["neighbor_id"])]
