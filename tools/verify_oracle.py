@@ -26,7 +26,7 @@ from columnar_database_project_spark.session import get_spark  # noqa: E402
 # Data-dependent oracles (IVF centroid literals) must be derived from
 # the same table dir the comparison runs on — export it before the
 # registry import builds the SQL strings.
-_ARGS = [a for a in sys.argv[1:] if a != "--vanilla"]
+_ARGS = [a for a in sys.argv[1:] if a not in ("--vanilla", "--record")]
 os.environ.setdefault(
     "SPARK_GRAFT_ORACLE_SF_DIR", _ARGS[0] if _ARGS else "/root/testdata/sf0.01"
 )
@@ -54,8 +54,9 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    args = [a for a in sys.argv[1:] if a not in ("--vanilla", "--record")]
     vanilla = "--vanilla" in sys.argv[1:]
+    record = "--record" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     spark = get_spark("verify_oracle")
@@ -74,6 +75,7 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
     failures: list[str] = []
+    results: dict[str, dict] = {}
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
@@ -83,11 +85,15 @@ def main() -> int:
         except Exception as e:
             n_fail += 1
             failures.append(name)
+            results[name] = {"status": "fail", "err": f"spark: {e}"}
             print(f"FAIL  {name}: spark error: {e}")
             continue
         spark_s = time.time() - t0
         if name not in oracles:
             n_rows_only += 1
+            results[name] = {
+                "status": "rows_only", "spark_rows": len(sdf), "err": None,
+            }
             print(f"rows-only  {name}: {len(sdf)} rows ({spark_s:.1f}s)")
             continue
         try:
@@ -95,6 +101,7 @@ def main() -> int:
         except Exception as e:
             n_fail += 1
             failures.append(name)
+            results[name] = {"status": "fail", "err": f"duckdb: {e}"}
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
         problems = []
@@ -111,14 +118,46 @@ def main() -> int:
         if problems:
             n_fail += 1
             failures.append(name)
+            results[name] = {
+                "status": "fail", "spark_rows": len(sdf),
+                "oracle_rows": len(odf), "err": "; ".join(problems),
+            }
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
             n_pass += 1
+            results[name] = {
+                "status": "pass", "spark_rows": len(sdf),
+                "oracle_rows": len(odf), "err": None,
+            }
             print(f"PASS  {name}: {len(sdf)} rows ({spark_s:.1f}s)")
     print(
         f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only"
         + (f"  failures: {failures}" if failures else "")
     )
+    if record and not only:
+        # Full-registry sweeps persist their result as the repo's
+        # local-coverage artifact: the external correctness run is
+        # budget-capped at 50 queries/round, so this file is the
+        # recorded evidence that EVERY registry entry was green
+        # against the oracle at the stated time (targeted runs never
+        # overwrite it — partial coverage isn't the claim).
+        import datetime
+        import json as _json
+
+        payload = {
+            "checked_at": datetime.datetime.now(
+                datetime.timezone.utc
+            ).isoformat(timespec="seconds"),
+            "sf_dir": sf_dir,
+            "n_pass": n_pass,
+            "n_fail": n_fail,
+            "n_rows_only": n_rows_only,
+            "queries": results,
+        }
+        out = os.path.join(REPO, "CORRECTNESS_LOCAL.json")
+        with open(out, "w") as fh:
+            _json.dump(payload, fh, indent=1, sort_keys=True)
+        print(f"recorded {out}")
     return 1 if n_fail else 0
 
 
