@@ -1278,8 +1278,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = rev.agg(F.max("total_revenue").alias("max_revenue"))
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
+        # supplier scales with SF → no forced hint on it; after the
+        # 1-row max filter the rev side is ~1 row, so AQE broadcasts
+        # THAT side at any scale (DEPLOY.md broadcast policy)
         rev.join(F.broadcast(top), rev.total_revenue == F.col("max_revenue"))
-        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -1295,7 +1298,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape (adapted: availqty has no testdata analog, so
     the threshold is on shipped widget quantity in 1996): suppliers
     who moved more than Q20_MIN_QTY units of widget-family parts. The
-    nested IN-subquery chain of the original is a part-prune broadcast
+    nested IN-subquery chain of the original is a part-prune join
     into one fact aggregate, then a semi-join-shaped inner join back
     to supplier — the fact table never shuffles more than once."""
     part = load_table(spark, sf_dir, "part").filter(
@@ -1306,7 +1309,10 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-01-01"))
     ).select("l_partkey", "l_suppkey", "l_quantity")
     qty = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # the widget-family subset is a constant FRACTION of part, not
+        # a constant size → unhinted; AQE broadcasts while small and
+        # falls back to a keyed join at scale (DEPLOY.md policy)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("widget_qty"))
         .filter(F.col("widget_qty") > Q20_MIN_QTY)
@@ -1358,7 +1364,8 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        per_order.join(F.broadcast(supp), per_order.late_suppkey == supp.s_suppkey)
+        # supplier scales with SF → unhinted (DEPLOY.md policy)
+        per_order.join(supp, per_order.late_suppkey == supp.s_suppkey)
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

@@ -1618,3 +1618,19 @@ def test_ivfpq_consistent_with_components(spark, sf_dir):
             # composed search reports the identical rounded distance
             if (q, r["neighbor_id"]) in adc:
                 assert r["adist"] == adc[(q, r["neighbor_id"])]
+
+
+def test_q15_q20_q21_no_unbounded_forced_broadcast(spark, sf_dir):
+    """Supplier and part scale with SF — the TPC-H shapes must not
+    force-broadcast them (the r5 class rule, extended to the
+    relational surface). q15 keeps exactly one hint: the 1-row
+    max-revenue aggregate."""
+    from columnar_database_project_spark.operators.relational import (
+        q15_top_supplier,
+        q20_potential_promotion,
+        q21_waiting_supplier,
+    )
+
+    assert forced_broadcast_hints(q15_top_supplier(spark, sf_dir)) == 1
+    assert forced_broadcast_hints(q20_potential_promotion(spark, sf_dir)) == 0
+    assert forced_broadcast_hints(q21_waiting_supplier(spark, sf_dir)) == 0
