@@ -1634,3 +1634,79 @@ def test_q15_q20_q21_no_unbounded_forced_broadcast(spark, sf_dir):
     assert forced_broadcast_hints(q15_top_supplier(spark, sf_dir)) == 1
     assert forced_broadcast_hints(q20_potential_promotion(spark, sf_dir)) == 0
     assert forced_broadcast_hints(q21_waiting_supplier(spark, sf_dir)) == 0
+
+
+def test_streaming_index_build_and_search(spark, sf_dir, tmp_path_factory):
+    """Incremental IVF-PQ maintenance end-to-end: two vector drops →
+    streamed cell/code assignment into a cell-partitioned store; the
+    store matches the batch assignments and codes exactly; searching
+    the PERSISTED codes reproduces the batch composed search
+    bit-for-bit; and the search's store scan carries the probed cells
+    as partition filters (directory pruning, not data filtering)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from columnar_database_project_spark.catalog import load_table
+    from columnar_database_project_spark.operators.similarity import (
+        q_emb_pq_codes,
+        q_sim_ivf_assignments,
+        q_sim_ivfpq_topk,
+    )
+    from columnar_database_project_spark.plans.verify import formatted_plan
+    from columnar_database_project_spark.streaming.vectors import (
+        index_vectors_stream,
+        read_vector_stream,
+        search_index_store,
+    )
+
+    base = tmp_path_factory.mktemp("vec_stream")
+    drops = base / "drops"
+    drops.mkdir()
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    mid = len(emb) // 2
+    pq.write_table(
+        pa.Table.from_pandas(emb.iloc[:mid], preserve_index=False),
+        str(drops / "drop1.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pandas(emb.iloc[mid:], preserve_index=False),
+        str(drops / "drop2.parquet"),
+    )
+    index_path, ckpt = str(base / "index"), str(base / "ck")
+    q = index_vectors_stream(
+        read_vector_stream(spark, str(drops)), index_path, ckpt, sf_dir
+    )
+    q.awaitTermination(120)
+
+    store = spark.read.parquet(index_path)
+    assert store.count() == len(emb)
+    got_cells = {r["vec_id"]: r["cell"] for r in store.collect()}
+    want_cells = {
+        r["vec_id"]: r["cell"]
+        for r in q_sim_ivf_assignments(spark, sf_dir).collect()
+    }
+    assert got_cells == want_cells
+    got_codes = {
+        (r["vec_id"], m): c
+        for r in store.collect()
+        for m, c in enumerate(r["codes"])
+    }
+    want_codes = {
+        (r["vec_id"], r["subspace"]): r["code"]
+        for r in q_emb_pq_codes(spark, sf_dir).collect()
+    }
+    assert got_codes == want_codes
+
+    res = search_index_store(spark, index_path, sf_dir)
+    want = sorted(
+        map(tuple, q_sim_ivfpq_topk(spark, sf_dir).collect())
+    )
+    assert sorted(map(tuple, res.collect())) == want
+
+    plan = formatted_plan(res)
+    assert "PartitionFilters" in plan and "cell" in plan
