@@ -392,9 +392,15 @@ class MicroBlockEngine:
         for this table must be rebuilt by the caller."""
         from columnar_database_project_spark.sources.microblock import (
             compact_blocks,
+            recover_compaction,
         )
 
+        # heal any crash leftovers of a PREVIOUS compaction first —
+        # restores the backup if the last swap died between renames,
+        # clears stale staging dirs otherwise (no-op on healthy state)
+        recovery = recover_compaction(path)
         report = compact_blocks(self.spark, path, **kw)
+        report["recovery"] = recovery["state"]
         if report["compacted"]:
             self.spark.catalog.refreshByPath(path)
             self.register(name, self.spark.read.parquet(path))

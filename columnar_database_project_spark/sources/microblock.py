@@ -192,8 +192,9 @@ def compact_blocks(
     ``<path>.compact_old`` until the swapped-in table is verified, so
     no data is ever lost. Recovery after a crash: if ``path`` is
     missing and ``<path>.compact_old`` exists, restore it with
-    ``os.rename(path + ".compact_old", path)`` (a stale
-    ``.compact_tmp`` can always be deleted). Block identity changes on
+    ``recover_compaction(path)`` (also clears stale ``.compact_tmp``
+    / ``.compact_old`` leftovers on healthy state; crash-simulation
+    test in tests/test_round6.py). Block identity changes on
     compaction by design — callers holding a ``MicroBlockIndex``
     rebuild it from the new footers (cheap driver-side metadata scan).
 
@@ -256,6 +257,43 @@ def compact_blocks(
         "blocks_before": n_before,
         "blocks_after": n_after,
     }
+
+
+def recover_compaction(path: str) -> dict:
+    """The crash-recovery procedure ``compact_blocks``'s docstring
+    documents, as a callable (run it before opening any table — it is
+    a cheap no-op on healthy state):
+
+    - live table present → stale ``.compact_tmp`` / ``.compact_old``
+      are leftovers of an interrupted run AFTER the point of no data
+      loss; delete them.
+    - live table MISSING and ``.compact_old`` present → the crash hit
+      between the two swap renames; restore the backup with one
+      rename. A ``.compact_tmp`` still present alongside was verified
+      row-count-equal before the swap began, but the backup is the
+      conservative choice (it is the exact pre-compaction bytes).
+
+    Returns {"state": "healthy" | "restored" | "missing",
+    "cleaned": [...]} — "missing" means neither live nor backup
+    exists, which recovery cannot invent."""
+    import shutil
+
+    tmp = path.rstrip("/") + ".compact_tmp"
+    old = path.rstrip("/") + ".compact_old"
+    cleaned: list[str] = []
+    if os.path.isdir(path):
+        for stale in (tmp, old):
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
+                cleaned.append(os.path.basename(stale))
+        return {"state": "healthy", "cleaned": cleaned}
+    if os.path.isdir(old):
+        os.rename(old, path)
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+            cleaned.append(os.path.basename(tmp))
+        return {"state": "restored", "cleaned": cleaned}
+    return {"state": "missing", "cleaned": cleaned}
 
 
 Z_BITS = 16   # bucket resolution per dimension (2 dims → 32-bit z key)

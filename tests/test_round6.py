@@ -1710,3 +1710,48 @@ def test_streaming_index_build_and_search(spark, sf_dir, tmp_path_factory):
 
     plan = formatted_plan(res)
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_recover_compaction_crash_states(spark, sf_dir, tmp_path_factory):
+    """The swap in compact_blocks is two renames; recover_compaction
+    must handle every state a crash can leave: healthy-with-leftovers
+    (clean them), live-missing-with-backup (restore the exact
+    pre-compaction bytes), and truly-missing (report, don't invent)."""
+    import os
+    import shutil
+
+    from columnar_database_project_spark.catalog import load_table
+    from columnar_database_project_spark.sources.microblock import (
+        MicroBlockWriter,
+        recover_compaction,
+    )
+
+    base = tmp_path_factory.mktemp("recover")
+    path = str(base / "docs")
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    MicroBlockWriter(block_rows=16).write(docs, path)
+    before = sorted(os.listdir(path))
+    n_rows = spark.read.parquet(path).count()
+
+    # healthy + stale leftovers of an interrupted (post-swap) run
+    os.makedirs(path + ".compact_tmp")
+    shutil.copytree(path, path + ".compact_old")
+    rep = recover_compaction(path)
+    assert rep["state"] == "healthy"
+    assert sorted(rep["cleaned"]) == ["docs.compact_old", "docs.compact_tmp"]
+    assert not os.path.exists(path + ".compact_tmp")
+    assert not os.path.exists(path + ".compact_old")
+
+    # crash between the two renames: live gone, backup present,
+    # verified staging still sitting there
+    os.rename(path, path + ".compact_old")
+    os.makedirs(path + ".compact_tmp")
+    rep = recover_compaction(path)
+    assert rep["state"] == "restored"
+    assert sorted(os.listdir(path)) == before
+    assert spark.read.parquet(path).count() == n_rows
+    assert not os.path.exists(path + ".compact_tmp")
+
+    # nothing to recover from
+    shutil.rmtree(path)
+    assert recover_compaction(path)["state"] == "missing"
