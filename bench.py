@@ -345,6 +345,7 @@ ROUND6_EXTRAS = [
     "emb_pq_codes",
     "emb_pq_adc_topk",
     "sim_ivfpq_topk",
+    "sim_filtered_topk",
 ]
 
 

@@ -2026,3 +2026,92 @@ def _ivfpq_oracle_sql() -> dict[str, str]:
 
 
 ORACLES.update(_ivfpq_oracle_sql())
+
+
+FILTER_LABEL = 3   # the metadata predicate of the filtered search
+
+
+def q_sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: exact cosine top-k restricted to rows
+    matching a metadata predicate (label = FILTER_LABEL) — the
+    filter+ANN composition every production vector store is asked for
+    and many bolt on as a post-filter (which silently returns < k
+    when the filter is selective). Here the predicate is pushed INTO
+    the scan (parquet row-group pruning applies) and the kernel
+    scores only survivors, so k results come back whenever k matches
+    exist — pre-filtering, the correct semantics.
+
+    Scale shape: identical to the brute-force baseline (query set in
+    the kernel closure, per-partition top-k) on the FILTERED scan; at
+    100 TB the predicate prunes row groups before any vector math,
+    and the same composition applies unchanged over the IVF-PQ store
+    (partition filter on cell AND predicate on metadata)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("label") == FILTER_LABEL
+    )
+    q_ids, q_raw = _query_vectors(sf_dir)
+    q_mat = normalize_rows(q_raw)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: dict[int, tuple[np.ndarray, np.ndarray]] = {
+            int(q): (np.empty(0, dtype=np.int64), np.empty(0)) for q in q_ids
+        }
+        for pdf in batches:
+            v = normalize_rows(stack_embeddings(pdf["embedding"]))
+            sims = q_mat @ v.T
+            vid = pdf["vec_id"].values.astype(np.int64)
+            for qi, q in enumerate(q_ids):
+                mask = vid != q
+                ids = np.concatenate([best[int(q)][0], vid[mask]])
+                cs = np.concatenate([best[int(q)][1], sims[qi][mask]])
+                if len(ids) > TOP_K:
+                    order = np.lexsort((ids, -cs))[:TOP_K]
+                    ids, cs = ids[order], cs[order]
+                best[int(q)] = (ids, cs)
+        rows = {"q_id": [], "vec_id": [], "cosine_raw": []}
+        for q, (ids, cs) in best.items():
+            rows["q_id"].extend([q] * len(ids))
+            rows["vec_id"].extend(ids.tolist())
+            rows["cosine_raw"].extend(cs.tolist())
+        yield pd.DataFrame(rows)
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        kernel, schema="q_id long, vec_id long, cosine_raw double"
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cosine_raw", 4).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+QUERIES["sim_filtered_topk"] = q_sim_filtered_topk
+
+ORACLES["sim_filtered_topk"] = f"""
+        WITH q AS (
+            SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+            WHERE vec_id < {N_QUERIES}
+        ),
+        scored AS (
+            SELECT q.q_id, e.vec_id,
+                   list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[])
+                       AS cosine_raw
+            FROM q JOIN embeddings e
+              ON e.vec_id != q.q_id AND e.label = {FILTER_LABEL}
+        )
+        SELECT q_id, vec_id AS neighbor_id,
+               ROUND(cosine_raw, 4) AS cosine, rank
+        FROM (
+            SELECT q_id, vec_id, cosine_raw,
+                   row_number() OVER (
+                       PARTITION BY q_id ORDER BY cosine_raw DESC, vec_id
+                   ) AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}
+    """

@@ -1755,3 +1755,31 @@ def test_recover_compaction_crash_states(spark, sf_dir, tmp_path_factory):
     # nothing to recover from
     shutil.rmtree(path)
     assert recover_compaction(path)["state"] == "missing"
+
+
+def test_filtered_topk_prefilter_semantics(spark, sf_dir):
+    """Pre-filter semantics: every neighbor satisfies the metadata
+    predicate, each query still returns a full k (post-filtering a
+    k-set would not), and the predicate reaches the parquet scan."""
+    from columnar_database_project_spark.catalog import load_table
+    from columnar_database_project_spark.operators.similarity import (
+        FILTER_LABEL,
+        N_QUERIES,
+        TOP_K,
+        q_sim_filtered_topk,
+    )
+    from columnar_database_project_spark.plans.verify import pushed_filters
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    n_match = sum(1 for v in labels.values() if v == FILTER_LABEL)
+    assert n_match >= TOP_K  # the fixture makes the predicate selective, not empty
+    df = q_sim_filtered_topk(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == N_QUERIES * TOP_K
+    assert all(labels[r["neighbor_id"]] == FILTER_LABEL for r in rows)
+    assert any("label" in f for f in pushed_filters(df))
