@@ -542,6 +542,10 @@ def main() -> None:
             "dedup_minhash_signatures",
             "dedup_lsh_candidates",
             "text_corpus_build",
+            # r6 widening: the two remaining headline heavies, so the
+            # at-scale point covers every data-bound operator family
+            "dedup_embedding_cosine",
+            "text_token_stats",
         ]
         scaling["sf2.5"] = {
             # best-of-2: a single timed run at this size still catches
