@@ -346,6 +346,7 @@ ROUND6_EXTRAS = [
     "emb_pq_adc_topk",
     "sim_ivfpq_topk",
     "sim_filtered_topk",
+    "hybrid_rrf_topk",
 ]
 
 

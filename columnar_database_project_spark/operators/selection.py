@@ -828,3 +828,155 @@ ORACLES = {
         GROUP BY lang, label
     """,
 }
+
+
+# ----------------------------------------------------------- hybrid RRF
+
+RRF_K = 60        # the standard reciprocal-rank-fusion constant
+RRF_CAND = 20     # per-list candidate depth (= BM25_TOP_K)
+RRF_TOP_K = 10
+
+
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: the BM25 lexical ranking and a dense cosine
+    ranking (query vector 0, doc_id = vec_id) fused by reciprocal
+    rank — score(d) = Σ 1/(RRF_K + rank_list(d)) over the lists that
+    retrieved d. RRF is THE production fusion (rank-only, so the two
+    scores' incomparable scales never meet); a doc missing from one
+    list simply contributes nothing from it (rank reported as 0).
+
+    Scale shape: each list is already a bounded top-RRF_CAND (BM25
+    rides its TakeOrdered, the dense side keeps per-partition top-k in
+    the kernel before one ranking window), so the fusion join touches
+    ≤ 2 x RRF_CAND rows no matter the corpus — candidate generation
+    is where the data-bound work lives, fusion is control-plane
+    sized."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from columnar_database_project_spark.operators.similarity import (
+        _query_vectors,
+        normalize_rows,
+        stack_embeddings,
+    )
+
+    lex = q_text_bm25_topk(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("lex_rank")
+    )
+
+    _q_ids, q_raw = _query_vectors(sf_dir)
+    q0 = normalize_rows(q_raw)[0]
+
+    def dense_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids = np.empty(0, dtype=np.int64)
+        cs = np.empty(0)
+        for pdf in batches:
+            v = normalize_rows(stack_embeddings(pdf["embedding"]))
+            sims = v @ q0
+            vid = pdf["vec_id"].values.astype(np.int64)
+            mask = vid != 0                       # exclude the query doc
+            ids = np.concatenate([ids, vid[mask]])
+            cs = np.concatenate([cs, sims[mask]])
+            if len(ids) > RRF_CAND:
+                order = np.lexsort((ids, -cs))[:RRF_CAND]
+                ids, cs = ids[order], cs[order]
+        yield pd.DataFrame({"doc_id": ids, "cos": cs})
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = W.orderBy(F.col("cos").desc(), F.col("doc_id"))
+    dense = (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(dense_kernel, schema="doc_id long, cos double")
+        .withColumn("vec_rank", F.row_number().over(w))
+        .filter(F.col("vec_rank") <= RRF_CAND)
+        .select("doc_id", "vec_rank")
+    )
+
+    part = (
+        F.when(F.col("lex_rank") > 0, 1.0 / (RRF_K + F.col("lex_rank")))
+        .otherwise(0.0)
+        + F.when(F.col("vec_rank") > 0, 1.0 / (RRF_K + F.col("vec_rank")))
+        .otherwise(0.0)
+    )
+    fused = (
+        lex.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+            F.coalesce("vec_rank", F.lit(0)).alias("vec_rank"),
+        )
+        .withColumn("rrf_score", F.round(part, 6))
+    )
+    wr = W.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= RRF_TOP_K)
+        .select("doc_id", "lex_rank", "vec_rank", "rrf_score", "rank")
+    )
+
+
+QUERIES["hybrid_rrf_topk"] = q_hybrid_rrf_topk
+
+_BM25_TF = ", ".join(
+    f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+    for i, t in enumerate(BM25_QUERY)
+)
+_BM25_DF = ", ".join(
+    f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+    for i in range(len(BM25_QUERY))
+)
+_BM25_SCORE = " + ".join(
+    f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+    f" * tf_{i} * ({BM25_K1} + 1)"
+    f" / (tf_{i} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))"
+    for i in range(len(BM25_QUERY))
+)
+
+ORACLES["hybrid_rrf_topk"] = f"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ), base AS (
+            SELECT doc_id, len(toks) AS dl, {_BM25_TF}
+            FROM t
+        ), stats AS (
+            SELECT avg(dl) AS avgdl, count(*) AS n_docs, {_BM25_DF}
+            FROM base
+        ), lex AS (
+            SELECT doc_id, CAST(rank AS INT) AS lex_rank FROM (
+                SELECT doc_id, row_number() OVER (
+                    ORDER BY ROUND({_BM25_SCORE}, 6) DESC, doc_id
+                ) AS rank
+                FROM base CROSS JOIN stats
+            ) WHERE rank <= {RRF_CAND}
+        ), dense AS (
+            SELECT doc_id, CAST(vec_rank AS INT) AS vec_rank FROM (
+                SELECT e.vec_id AS doc_id, row_number() OVER (
+                    ORDER BY list_cosine_similarity(
+                        q.qv::DOUBLE[], e.embedding::DOUBLE[]
+                    ) DESC, e.vec_id
+                ) AS vec_rank
+                FROM embeddings e,
+                     (SELECT embedding AS qv FROM embeddings
+                      WHERE vec_id = 0) q
+                WHERE e.vec_id != 0
+            ) WHERE vec_rank <= {RRF_CAND}
+        ), fused AS (
+            SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+                   COALESCE(l.lex_rank, 0) AS lex_rank,
+                   COALESCE(d.vec_rank, 0) AS vec_rank,
+                   ROUND(
+                       (CASE WHEN l.lex_rank IS NOT NULL
+                             THEN 1.0 / ({RRF_K} + l.lex_rank) ELSE 0 END)
+                       + (CASE WHEN d.vec_rank IS NOT NULL
+                               THEN 1.0 / ({RRF_K} + d.vec_rank) ELSE 0 END),
+                       6) AS rrf_score
+            FROM lex l FULL JOIN dense d ON l.doc_id = d.doc_id
+        )
+        SELECT doc_id, lex_rank, vec_rank, rrf_score, rank FROM (
+            SELECT *, row_number() OVER (
+                ORDER BY rrf_score DESC, doc_id
+            ) AS rank FROM fused
+        ) WHERE rank <= {RRF_TOP_K}
+    """

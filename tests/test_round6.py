@@ -1783,3 +1783,46 @@ def test_filtered_topk_prefilter_semantics(spark, sf_dir):
     assert len(rows) == N_QUERIES * TOP_K
     assert all(labels[r["neighbor_id"]] == FILTER_LABEL for r in rows)
     assert any("label" in f for f in pushed_filters(df))
+
+
+def test_hybrid_rrf_fusion_semantics(spark, sf_dir):
+    """RRF invariants: every fused doc came from at least one list,
+    the score equals the recomputed 1/(K+rank) sum from the reported
+    ranks, scores are non-increasing in rank, and the dense list's
+    top-10 prefix agrees with the brute-force cosine search for the
+    same query vector."""
+    from columnar_database_project_spark.operators.selection import (
+        RRF_K,
+        RRF_TOP_K,
+        q_hybrid_rrf_topk,
+    )
+    from columnar_database_project_spark.operators.similarity import (
+        q_sim_topk_bruteforce,
+    )
+
+    rows = sorted(
+        q_hybrid_rrf_topk(spark, sf_dir).collect(), key=lambda r: r["rank"]
+    )
+    assert len(rows) == RRF_TOP_K
+    assert [r["rank"] for r in rows] == list(range(1, RRF_TOP_K + 1))
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r["lex_rank"] > 0 or r["vec_rank"] > 0
+        expect = round(
+            (1.0 / (RRF_K + r["lex_rank"]) if r["lex_rank"] > 0 else 0.0)
+            + (1.0 / (RRF_K + r["vec_rank"]) if r["vec_rank"] > 0 else 0.0),
+            6,
+        )
+        assert r["rrf_score"] == expect
+
+    bf = {
+        r["rank"]: r["neighbor_id"]
+        for r in q_sim_topk_bruteforce(spark, sf_dir).collect()
+        if r["q_id"] == 0
+    }
+    dense_by_rank = {
+        r["vec_rank"]: r["doc_id"] for r in rows if 0 < r["vec_rank"] <= 10
+    }
+    for rk, did in dense_by_rank.items():
+        assert bf[rk] == did
