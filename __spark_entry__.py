@@ -93,7 +93,7 @@ def _rotated(names: list[str]) -> list[str]:
     order, so a static order would leave a fixed tail that never gets
     re-verified after code changes. Rotating by staleness is a
     coverage policy — every query is re-verified at least every
-    ceil(N/50) rounds (4 rounds at the current N=179; never-verified
+    ceil(N/50) rounds (4 rounds at the current N=185; never-verified
     queries always front the queue, so a new query gets its first
     external row the round it lands, coverage before freshness) — not
     result steering: the AUTHORITATIVE gate is the local full-registry
