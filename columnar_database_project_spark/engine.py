@@ -26,7 +26,8 @@ from __future__ import annotations
 
 import time
 import uuid
-from typing import TYPE_CHECKING
+from collections import OrderedDict
+from typing import TYPE_CHECKING, Any
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -69,6 +70,10 @@ class MicroBlockEngine:
         self.cache = cache
         self.logger = logger
         self.history = history
+        self._table_dir = table_dir
+        self._catalog_version = 0
+        self._result_cache: "OrderedDict[tuple, Any]" = OrderedDict()
+        self._result_cache_stats = {"hits": 0, "misses": 0, "bypassed": 0}
         if table_dir:
             self.tables = register_dir(spark, table_dir)
 
@@ -76,6 +81,13 @@ class MicroBlockEngine:
     def register(self, name: str, df: DataFrame) -> None:
         df.createOrReplaceTempView(name)
         self.tables[name] = df
+        # any catalog change invalidates cached results (conservative:
+        # correctness over retention — see query_cached). The version
+        # bump already makes stale keys unreachable; clearing as well
+        # releases their driver memory immediately instead of waiting
+        # for LRU aging.
+        self._catalog_version += 1
+        self._result_cache.clear()
 
     def table(self, name: str) -> DataFrame:
         return self.tables[name]
@@ -421,6 +433,56 @@ class MicroBlockEngine:
         df = self.spark.sql(sql)
         self._observe(sql)
         return df
+
+    # The result cache is for dashboard-sized outputs (aggregates,
+    # top-k); anything bigger belongs to the block cache / parquet
+    # layer below, not driver memory.
+    RESULT_CACHE_MAX_ROWS = 10_000
+    RESULT_CACHE_CAPACITY = 64
+
+    def _catalog_token(self) -> tuple:
+        """Change-detection token for the WHOLE catalog: the
+        registration version (every register() bump — all DML paths
+        re-register) plus the table directory's file-freshness token,
+        so out-of-band file changes invalidate too. Whole-catalog
+        granularity is deliberate: parsing SQL for referenced tables
+        would let an unrelated register() keep entries alive, but a
+        missed reference would serve STALE results — conservative
+        invalidation is the correct default for a cache whose misses
+        merely recompute."""
+        from columnar_database_project_spark.catalog import file_freshness
+
+        dir_tok = file_freshness(self._table_dir) if self._table_dir else ()
+        return (self._catalog_version, dir_tok)
+
+    def query_cached(self, sql: str, max_rows: int | None = None):
+        """``query(sql)`` materialized to pandas, memoized under
+        (normalized SQL, catalog token) — the layer ABOVE the block
+        cache: blocks amortize scans across different queries, this
+        amortizes the repeated IDENTICAL query (dashboards, polling
+        clients). LRU-bounded; results larger than ``max_rows`` are
+        returned but never stored (driver-memory guard); any catalog
+        change or on-disk table change invalidates by key. Returns a
+        COPY so callers cannot mutate the cached frame."""
+        limit = self.RESULT_CACHE_MAX_ROWS if max_rows is None else max_rows
+        key = (" ".join(sql.split()), self._catalog_token())
+        hit = self._result_cache.get(key)
+        if hit is not None:
+            self._result_cache.move_to_end(key)
+            self._result_cache_stats["hits"] += 1
+            return hit.copy()
+        result = self.query(sql).toPandas()
+        if len(result) > limit:
+            self._result_cache_stats["bypassed"] += 1
+            return result
+        self._result_cache_stats["misses"] += 1
+        self._result_cache[key] = result.copy()
+        while len(self._result_cache) > self.RESULT_CACHE_CAPACITY:
+            self._result_cache.popitem(last=False)  # evict LRU
+        return result
+
+    def result_cache_stats(self) -> dict:
+        return dict(self._result_cache_stats, size=len(self._result_cache))
 
     def _observe(self, sql: str) -> None:
         if self.index is None and self.logger is None and self.history is None:

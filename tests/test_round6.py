@@ -1826,3 +1826,46 @@ def test_hybrid_rrf_fusion_semantics(spark, sf_dir):
     }
     for rk, did in dense_by_rank.items():
         assert bf[rk] == did
+
+
+def test_result_cache_hit_invalidate_and_bypass(spark, sf_dir, tmp_path_factory):
+    """The result cache (layer above the block cache): identical SQL
+    hits; ANY catalog change — a re-register from DML — invalidates,
+    and the re-run sees the new data; oversized results are returned
+    but never stored; whitespace-normalized SQL shares one entry."""
+    from columnar_database_project_spark.catalog import load_table
+    from columnar_database_project_spark.engine import MicroBlockEngine
+
+    eng = MicroBlockEngine(spark)
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    eng.register("rc_docs", docs)
+
+    sql = "SELECT lang, count(*) AS n FROM rc_docs GROUP BY lang"
+    a = eng.query_cached(sql)
+    b = eng.query_cached("SELECT lang,   count(*) AS n FROM rc_docs GROUP BY lang")
+    assert eng.result_cache_stats()["hits"] == 1
+    assert eng.result_cache_stats()["misses"] == 1
+    assert a.sort_values("lang").values.tolist() == b.sort_values("lang").values.tolist()
+
+    # mutating the cached copy must not poison the cache
+    b.loc[:, "n"] = -1
+    c = eng.query_cached(sql)
+    assert (c["n"] >= 0).all()
+
+    # DML-shaped change: re-register with fewer rows -> invalidated
+    eng.register("rc_docs", docs.limit(10))
+    d = eng.query_cached(sql)
+    assert eng.result_cache_stats()["misses"] == 2
+    assert int(d["n"].sum()) == 10
+
+    # oversized results bypass storage; the register() that added the
+    # table cleared the cache (whole-catalog invalidation frees the
+    # stale entries' memory immediately), so only a later small query
+    # repopulates it
+    eng.register("rc_lineitem", load_table(spark, sf_dir, "lineitem"))
+    big = eng.query_cached("SELECT l_orderkey FROM rc_lineitem", max_rows=5)
+    assert len(big) > 5
+    assert eng.result_cache_stats()["bypassed"] == 1
+    assert eng.result_cache_stats()["size"] == 0
+    eng.query_cached(sql)
+    assert eng.result_cache_stats()["size"] == 1
