@@ -221,3 +221,95 @@ def test_pq_assign_row_equivariance(rows, seed, rnd):
     rnd.shuffle(perm)
     codes = _pq_assign(v, books)
     assert (_pq_assign(v[perm], books) == codes[perm]).all()
+
+
+# ------------------------------------------------- WHERE-parser roundtrip
+
+
+from columnar_database_project_spark.plans.predicate import (  # noqa: E402
+    And,
+    Between,
+    Cmp,
+    InList,
+    IsNotNull,
+    IsNull,
+    Not,
+    Or,
+)
+from columnar_database_project_spark.plans.sql_where import (  # noqa: E402
+    extract_where,
+    parse_where,
+)
+
+_p_cols = st.sampled_from(("x", "y_col"))
+# plain-decimal literals only: the WHERE grammar (like the
+# reference's) has no scientific notation — such a clause parses as
+# a failure and safely falls back to scan-all, which is outside this
+# roundtrip's scope
+_p_num = st.one_of(
+    st.integers(min_value=-999, max_value=999),
+    st.integers(min_value=-999_000, max_value=999_000).map(
+        lambda n: n / 1000.0
+    ),
+)
+_p_lit = st.one_of(_p_num, st.sampled_from(["a", "zz", "hello world"]))
+
+_p_leaf = st.one_of(
+    st.builds(Cmp, st.sampled_from(["=", "!=", ">", ">=", "<", "<="]), _p_cols, _p_lit),
+    st.builds(Between, _p_cols, _p_lit, _p_lit),
+    st.builds(
+        InList, _p_cols, st.lists(_p_lit, min_size=1, max_size=4).map(tuple)
+    ),
+    st.builds(IsNull, _p_cols),
+    st.builds(IsNotNull, _p_cols),
+)
+_p_tree = st.recursive(
+    _p_leaf,
+    lambda inner: st.one_of(
+        st.builds(And, inner, inner),
+        st.builds(Or, inner, inner),
+        st.builds(Not, inner),
+    ),
+    max_leaves=8,
+)
+
+
+def _lit_sql(v) -> str:
+    if isinstance(v, str):
+        return "'" + v + "'"
+    return repr(v)
+
+
+def _render(p) -> str:
+    if isinstance(p, Cmp):
+        return f"{p.col} {p.op} {_lit_sql(p.value)}"
+    if isinstance(p, Between):
+        return f"{p.col} BETWEEN {_lit_sql(p.lo)} AND {_lit_sql(p.hi)}"
+    if isinstance(p, InList):
+        return f"{p.col} IN ({', '.join(_lit_sql(v) for v in p.values)})"
+    if isinstance(p, IsNull):
+        return f"{p.col} IS NULL"
+    if isinstance(p, IsNotNull):
+        return f"{p.col} IS NOT NULL"
+    if isinstance(p, And):
+        return f"({_render(p.left)} AND {_render(p.right)})"
+    if isinstance(p, Or):
+        return f"({_render(p.left)} OR {_render(p.right)})"
+    if isinstance(p, Not):
+        return f"NOT ({_render(p.child)})"
+    raise AssertionError(type(p))
+
+
+@settings(max_examples=200)
+@given(_p_tree)
+def test_where_parser_roundtrip(tree):
+    """Render any predicate AST to WHERE-clause SQL, parse it back,
+    and recover a structurally identical tree — the parser and the
+    pruning AST agree on the whole supported grammar, so a predicate
+    the engine prunes by is exactly the one the SQL said."""
+    clause = _render(tree)
+    assert parse_where(clause) == tree
+    # and embedded in a full statement via the WHERE extractor,
+    # including a trailing clause the splitter must not swallow
+    sql = f"SELECT * FROM t WHERE {clause} ORDER BY x LIMIT 5"
+    assert extract_where(sql) == tree
