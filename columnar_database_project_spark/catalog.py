@@ -63,13 +63,32 @@ _CACHE_SWEEP_LEN = 512
 
 def file_freshness(path: str) -> tuple:
     """Cheap change-detection token for a parquet file or a directory
-    of part files: (mtime_ns, size) per relevant file."""
+    of part files: (mtime_ns, size) per relevant file.
+
+    ``<name>.parquet`` entries that are themselves DIRECTORIES (Spark
+    writer output: part files inside) are walked one level down and
+    contribute each part file's (mtime_ns, size) — a directory's own
+    mtime does NOT change when an existing part file is overwritten in
+    place, so stat'ing only the top level would let an out-of-band
+    part rewrite serve stale cached plans/results."""
     try:
         if os.path.isdir(path):
             toks = []
             for name in sorted(os.listdir(path)):
-                if name.endswith(".parquet"):
-                    st = os.stat(os.path.join(path, name))
+                if not name.endswith(".parquet"):
+                    continue
+                sub = os.path.join(path, name)
+                if os.path.isdir(sub):
+                    for root, dirs, files in os.walk(sub):
+                        dirs.sort()  # deterministic token order
+                        rel_root = os.path.relpath(root, path)
+                        for f in sorted(files):
+                            st = os.stat(os.path.join(root, f))
+                            toks.append(
+                                (os.path.join(rel_root, f), st.st_mtime_ns, st.st_size)
+                            )
+                else:
+                    st = os.stat(sub)
                     toks.append((name, st.st_mtime_ns, st.st_size))
             return tuple(toks)
         st = os.stat(path)

@@ -463,7 +463,17 @@ class MicroBlockEngine:
         clients). LRU-bounded; results larger than ``max_rows`` are
         returned but never stored (driver-memory guard); any catalog
         change or on-disk table change invalidates by key. Returns a
-        COPY so callers cannot mutate the cached frame."""
+        COPY so callers cannot mutate the cached frame.
+
+        Observability decision (pinned by test_engine_and_prefetch):
+        a cache HIT deliberately does NOT tap ``_observe`` — the
+        access log / history / prefetch stack model BLOCK reads, and
+        a hit reads no blocks; logging phantom accesses would train
+        the prefetcher to warm blocks the result cache already made
+        irrelevant. The reference logs every query because it has no
+        result cache to skip the read (query_enginev5.py:251-261);
+        ``result_cache_stats()`` carries the hit-side telemetry
+        instead."""
         limit = self.RESULT_CACHE_MAX_ROWS if max_rows is None else max_rows
         key = (" ".join(sql.split()), self._catalog_token())
         hit = self._result_cache.get(key)

@@ -512,14 +512,35 @@ def q_events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
     )
-    clicks = first_after(views, "click", "t_click")
+    # Each step's frame is input to the next, so the naive three
+    # .count() actions re-execute the chain (buys recomputes clicks
+    # recomputes views — ~6 scans of events). localCheckpoint cuts
+    # the lineage: events is scanned once per step filter, and the
+    # three counts run in ONE union-agg job over the materialized
+    # frames.
+    views = views.localCheckpoint(eager=True)
+    clicks = first_after(views, "click", "t_click").localCheckpoint(eager=True)
     buys = first_after(clicks, "purchase", "t_buy")
-    n1, n2, n3 = views.count(), clicks.count(), buys.count()
+    counts = {
+        int(r["step"]): int(r["n"])
+        for r in (
+            views.select(F.lit(1).alias("step"))
+            .unionAll(clicks.select(F.lit(2).alias("step")))
+            .unionAll(buys.select(F.lit(3).alias("step")))
+            .groupBy("step")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }
+    n1, n2, n3 = counts.get(1, 0), counts.get(2, 0), counts.get(3, 0)
+    # n1 == 0 → conversion NULL for steps 2-3, matching the oracle's
+    # division semantics (n2/n1 over zero is NULL in the SQL twin, not
+    # 0.0); step 1 is the literal 1.0 in both.
     return spark.createDataFrame(
         [
             (1, "view", n1, 1.0),
-            (2, "click_within_1h", n2, round(n2 / n1, 6) if n1 else 0.0),
-            (3, "purchase_within_1h", n3, round(n3 / n1, 6) if n1 else 0.0),
+            (2, "click_within_1h", n2, round(n2 / n1, 6) if n1 else None),
+            (3, "purchase_within_1h", n3, round(n3 / n1, 6) if n1 else None),
         ],
         "step int, stage string, n_users bigint, conversion double",
     )

@@ -321,13 +321,28 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders↔lineitem co-partition on orderkey via the shuffle join AQE
     plans.
 
-    Join order: (customer ⨝ orders) first, THEN lineitem. The segment
-    filter keeps ~1/5 of customers, so semi-reducing orders before they
-    meet the fact table shrinks the orders-side build/broadcast 5× (at
-    the sf2.5 at-scale point: an 850k-row broadcast became 170k).
-    Catalyst does not reorder across the two equi-joins here (no CBO
-    stats), so the order is stated explicitly — the same heuristic
-    every TPC-H Q3 reference plan uses (dims reduce facts ASAP)."""
+    Join order is SIZE-KEYED on the same regime boundary the session
+    tuner uses (r7 A/B, best-of-N warmed, PLANS.md §Round-7):
+
+        order           sf0.1 (17 MB)  sf0.5 (77 MB)  sf2.5 (377 MB)
+        li⨝orders first     0.549 s        0.864 s        1.368 s
+        dims first          0.634 s        1.638 s        1.010 s
+
+    Below ``SMALL_INPUT_BYTES`` both joins fit comfortably in one
+    broadcast tier and the dims-first shape just adds a plan barrier
+    (the r6 reorder cost q3 1.69× at sf0.1 — the round's only real
+    regression); at or above it, semi-reducing orders through the
+    segment-filtered customer before the fact join shrinks the
+    orders-side build ~5× (850k → 170k rows at sf2.5) and wins 1.35×.
+    Catalyst does not reorder across the two equi-joins itself (no
+    CBO stats), so the heuristic is stated explicitly — and the
+    at-scale branch is the textbook TPC-H Q3 plan (dims reduce facts
+    ASAP), i.e. the 100 TB path is the principled one."""
+    from columnar_database_project_spark.session import (
+        SMALL_INPUT_BYTES,
+        input_bytes,
+    )
+
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -337,9 +352,17 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
     )
-    oc = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    if input_bytes(sf_dir) >= SMALL_INPUT_BYTES:
+        joined = li.join(
+            orders.join(cust, orders.o_custkey == cust.c_custkey),
+            li.l_orderkey == orders.o_orderkey,
+        )
+    else:
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+            cust, orders.o_custkey == cust.c_custkey
+        )
     return (
-        li.join(oc, li.l_orderkey == oc.o_orderkey)
+        joined
         .groupBy("l_orderkey")
         .agg(
             F.round(

@@ -873,7 +873,10 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cs = np.empty(0)
         for pdf in batches:
             v = normalize_rows(stack_embeddings(pdf["embedding"]))
-            sims = v @ q0
+            # round-before-rank (module discipline, = IVF_SIM_DECIMALS):
+            # raw-float ordering of near-equal cosines can differ
+            # between numpy and DuckDB, shifting vec_rank → the fusion
+            sims = np.round(v @ q0, 6)
             vid = pdf["vec_id"].values.astype(np.int64)
             mask = vid != 0                       # exclude the query doc
             ids = np.concatenate([ids, vid[mask]])
@@ -953,9 +956,9 @@ ORACLES["hybrid_rrf_topk"] = f"""
         ), dense AS (
             SELECT doc_id, CAST(vec_rank AS INT) AS vec_rank FROM (
                 SELECT e.vec_id AS doc_id, row_number() OVER (
-                    ORDER BY list_cosine_similarity(
+                    ORDER BY ROUND(list_cosine_similarity(
                         q.qv::DOUBLE[], e.embedding::DOUBLE[]
-                    ) DESC, e.vec_id
+                    ), 6) DESC, e.vec_id
                 ) AS vec_rank
                 FROM embeddings e,
                      (SELECT embedding AS qv FROM embeddings

@@ -1182,7 +1182,6 @@ QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_knn_classify": q_sim_knn_classify,
     "sim_hyperplane_signatures": q_sim_hyperplane_signatures,
-    "sim_bucket_sizes": q_sim_bucket_sizes,
     "sim_bucket_rerank": q_sim_bucket_rerank,
     "sim_ivf_assignments": q_sim_ivf_assignments,
     "sim_ivf_probes": q_sim_ivf_probes,
@@ -1273,12 +1272,6 @@ ORACLES = {
     "sim_hyperplane_signatures": f"""
         SELECT vec_id, CAST({_SIG_TERMS} AS BIGINT) AS signature
         FROM embeddings
-    """,
-    "sim_bucket_sizes": f"""
-        SELECT signature, count(*) AS n_vectors FROM (
-            SELECT vec_id, CAST({_SIG_TERMS} AS BIGINT) AS signature
-            FROM embeddings
-        ) GROUP BY signature HAVING count(*) > 1
     """,
     "sim_bucket_rerank": f"""
         WITH sigs AS (
@@ -2025,7 +2018,27 @@ def _ivfpq_oracle_sql() -> dict[str, str]:
     }
 
 
-ORACLES.update(_ivfpq_oracle_sql())
+_IVFPQ_ORACLE = _ivfpq_oracle_sql()
+ORACLES.update(_IVFPQ_ORACLE)
+
+
+def q_sim_ivfpq_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-backed twin of ``q_sim_ivfpq_topk``: search the streamed,
+    cell-partitioned on-disk index instead of recomputing codes in the
+    scan (impl + rationale: ``streaming/vectors.py``). Registered here
+    with the SAME oracle SQL as the batch query — identical results by
+    construction is the subsystem's core claim, and this entry puts it
+    under the external hash-compare."""
+    from columnar_database_project_spark.streaming.vectors import (
+        q_sim_ivfpq_store_topk as impl,
+    )
+
+    return impl(spark, sf_dir)
+
+
+QUERIES["sim_ivfpq_store_topk"] = q_sim_ivfpq_store_topk
+if "sim_ivfpq_topk" in _IVFPQ_ORACLE:
+    ORACLES["sim_ivfpq_store_topk"] = _IVFPQ_ORACLE["sim_ivfpq_topk"]
 
 
 FILTER_LABEL = 3   # the metadata predicate of the filtered search

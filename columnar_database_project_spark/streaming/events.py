@@ -280,23 +280,32 @@ def _transition_fn(key, pdfs, state):
     as the batch twin, so replaying the stream under any IN-ORDER
     batching (each user's events arrive in (ts, event_id) order
     across drops — the normal stream contract) yields the identical
-    multiset of transitions (invariance is pytest-proven)."""
+    multiset of transitions (invariance is pytest-proven).
+
+    The persisted (last_epoch, last_event_id) enforces that contract:
+    an event sorting AT OR BEFORE the carried position is a
+    cross-batch straggler — emitting it would fabricate a (cur, nxt)
+    pair the true timeline never contained — so it is DROPPED, the
+    streaming analog of the watermark discarding late rows (pytest
+    covers the straggler drop)."""
     import pandas as pd
 
     (user_id,) = key
     if state.exists:
-        _last_epoch, _last_eid, last_type = state.get
+        last_epoch, last_eid, last_type = state.get
     else:
-        last_type = None
-    last_epoch, last_eid = 0, 0
+        last_epoch, last_eid, last_type = 0, 0, None
     out = []
     for pdf in pdfs:
         pdf = pdf.sort_values(["ts", "event_id"])
         for ts, eid, etype in zip(pdf["ts"], pdf["event_id"], pdf["event_type"]):
+            epoch, eid = int(ts.timestamp()), int(eid)
+            if last_type is not None and (epoch, eid) <= (last_epoch, last_eid):
+                continue  # out-of-order across a batch seam: drop
             if last_type is not None:
                 out.append((user_id, last_type, etype))
             last_type = etype
-            last_epoch, last_eid = int(ts.timestamp()), int(eid)
+            last_epoch, last_eid = epoch, eid
     state.update((last_epoch, last_eid, last_type))
     yield pd.DataFrame(out, columns=["user_id", "cur", "nxt"])
 

@@ -185,3 +185,78 @@ def search_index_store(
         .filter(F.col("rank") <= TOP_K)
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "adist", "rank")
     )
+
+
+# ------------------------------------------------------- registry query
+
+def _repo_scratch() -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        ".bench_data",
+    )
+
+
+def ensure_index_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the streamed IVF-PQ store for ``sf_dir``'s
+    embeddings table and return its path. The build is the REAL
+    incremental path — the table replayed as a multi-file drop through
+    ``index_vectors_stream`` (availableNow) — not a batch shortcut, so
+    a registry query over the store exercises exactly what a consumer
+    between drops would read. Reused across calls via a manifest
+    keyed on the source table's file-freshness token; any driver-side
+    regeneration of the testdata invalidates and rebuilds."""
+    import json
+    import os
+    import shutil
+
+    from columnar_database_project_spark.catalog import file_freshness
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    tag = "".join(c if c.isalnum() else "_" for c in os.path.abspath(sf_dir))
+    base = os.path.join(_repo_scratch(), "ivfpq_store", tag)
+    index_path = os.path.join(base, "index")
+    manifest_path = os.path.join(base, "manifest.json")
+    # JSON-stable form of the freshness token (tuples → lists; a
+    # single-file token is a flat (mtime_ns, size) pair of ints)
+    token = [
+        list(t) if isinstance(t, (list, tuple)) else t
+        for t in file_freshness(emb_path)
+    ]
+    if os.path.exists(manifest_path):
+        try:
+            with open(manifest_path) as fh:
+                if json.load(fh).get("freshness") == token:
+                    return index_path
+        except (OSError, ValueError):
+            pass
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    drops = os.path.join(base, "drops")
+    spark.read.parquet(emb_path).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(drops)
+    q = index_vectors_stream(
+        read_vector_stream(spark, drops),
+        index_path,
+        os.path.join(base, "checkpoint"),
+        codebook_sf_dir=sf_dir,
+    )
+    q.awaitTermination()
+    with open(manifest_path, "w") as fh:
+        json.dump({"source": os.path.abspath(sf_dir), "freshness": token}, fh)
+    return index_path
+
+
+def q_sim_ivfpq_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry form of the store-backed ADC search: stream-build the
+    partitioned IVF-PQ store from the embeddings table (cached across
+    calls), then answer top-k from the PERSISTED codes alone. Because
+    cells, codes, LUT sums, and roundings are the same functions as
+    the batch ``q_sim_ivfpq_topk``, that query's SQL twin is this
+    one's oracle too — the driver's hash-compare IS the bit-parity
+    claim tests/test_round6.py makes, now externally checked."""
+    return search_index_store(spark, ensure_index_store(spark, sf_dir), sf_dir)

@@ -52,6 +52,26 @@ class TestEngineObservation:
             next(iter(idx.by_block[b].values())).access_count == 1 for b in blocks
         )
 
+    def test_result_cache_hit_skips_observation(self, spark, layout, tmp_path):
+        """Pins the documented observability decision (engine.py
+        query_cached docstring): a result-cache MISS runs the query →
+        one observation in the access log; a HIT reads no blocks →
+        NO new observation (phantom accesses would mistrain the
+        prefetcher); hit-side telemetry lives in result_cache_stats."""
+        out, idx = layout
+        logger = AccessLogger(str(tmp_path / "rc.jsonl"))
+        eng = MicroBlockEngine(spark, index=idx, logger=logger)
+        eng.register("lineitem", spark.read.parquet(out))
+        sql = "SELECT count(*) AS c FROM lineitem WHERE l_orderkey BETWEEN 100 AND 200"
+
+        eng.query_cached(sql)  # miss → executes + observes
+        after_miss = len(logger.block_sequence())
+        assert after_miss > 0
+        eng.query_cached(sql)  # hit → served from cache, no observation
+        assert len(logger.block_sequence()) == after_miss
+        stats = eng.result_cache_stats()
+        assert stats["hits"] == 1 and stats["misses"] == 1
+
     def test_query_without_where_logs_all(self, spark, layout, tmp_path):
         out, idx = layout
         logger = AccessLogger(str(tmp_path / "a2.jsonl"))

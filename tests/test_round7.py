@@ -1,0 +1,167 @@
+"""Round-7 additions: freshness-token recursion, streaming straggler
+semantics, funnel NULL alignment, store-backed IVF-PQ parity."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+
+# ------------------------------------------------- file_freshness
+
+
+class TestFileFreshnessRecursion:
+    def test_inplace_part_rewrite_changes_token(self, tmp_path):
+        """An in-place overwrite of an existing part file inside a
+        <name>.parquet DIRECTORY changes neither the table dir's nor
+        the subdir's mtime reliably — the token must recurse to the
+        part files themselves or caches serve stale results."""
+        from columnar_database_project_spark.catalog import file_freshness
+
+        tdir = tmp_path / "tables"
+        pdir = tdir / "t.parquet"
+        pdir.mkdir(parents=True)
+        part = pdir / "part-00000.snappy.parquet"
+        part.write_bytes(b"v1-payload")
+        tok1 = file_freshness(str(tdir))
+        assert tok1 and tok1 != ("missing",)
+
+        # rewrite the part IN PLACE (same name, same dir) with content
+        # of a different size — dir mtimes untouched
+        dir_mtime = os.stat(pdir).st_mtime_ns
+        part.write_bytes(b"v2-payload-different-size")
+        os.utime(pdir, ns=(dir_mtime, dir_mtime))  # freeze dir mtime
+        tok2 = file_freshness(str(tdir))
+        assert tok2 != tok1
+
+    def test_flat_file_and_deterministic(self, tmp_path):
+        from columnar_database_project_spark.catalog import file_freshness
+
+        f = tmp_path / "flat.parquet"
+        f.write_bytes(b"x")
+        assert file_freshness(str(tmp_path)) == file_freshness(str(tmp_path))
+        st = os.stat(f)
+        assert file_freshness(str(f)) == (st.st_mtime_ns, st.st_size)
+
+
+# ------------------------------------- streaming transition stragglers
+
+
+class _FakeState:
+    def __init__(self, value=None):
+        self._v = value
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+class TestTransitionStragglerDrop:
+    def _run(self, state, rows):
+        from columnar_database_project_spark.streaming.events import _transition_fn
+
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.to_datetime([r[0] for r in rows], unit="s"),
+                "event_id": [r[1] for r in rows],
+                "event_type": [r[2] for r in rows],
+            }
+        )
+        (out,) = list(_transition_fn(("u1",), [pdf], state))
+        return out, state
+
+    def test_in_order_batches_emit_seam_pair(self):
+        state = _FakeState()
+        out, state = self._run(state, [(100, 1, "view"), (200, 2, "click")])
+        assert list(out["cur"]) == ["view"] and list(out["nxt"]) == ["click"]
+        out2, state = self._run(state, [(300, 3, "purchase")])
+        # the seam pair (click -> purchase) comes from carried state
+        assert list(out2["cur"]) == ["click"]
+        assert list(out2["nxt"]) == ["purchase"]
+        assert state.get == (300, 3, "purchase")
+
+    def test_cross_batch_straggler_dropped(self):
+        """An event sorting BEFORE the carried (epoch, event_id) is a
+        cross-seam straggler: emitting it would fabricate transitions
+        the true timeline never contained — it must be dropped and the
+        state left at the carried position."""
+        state = _FakeState()
+        _, state = self._run(state, [(100, 1, "view"), (200, 2, "click")])
+        out, state = self._run(
+            state, [(150, 9, "stray"), (300, 3, "purchase")]
+        )
+        # only the legitimate (click -> purchase) pair; no pair touches
+        # the straggler in either direction
+        assert list(out["cur"]) == ["click"]
+        assert list(out["nxt"]) == ["purchase"]
+        assert state.get == (300, 3, "purchase")
+
+    def test_duplicate_replay_dropped(self):
+        """Replaying the exact last event (at-least-once delivery)
+        must not emit a self-transition."""
+        state = _FakeState()
+        _, state = self._run(state, [(100, 1, "view")])
+        out, state = self._run(state, [(100, 1, "view")])
+        assert len(out) == 0
+        assert state.get == (100, 1, "view")
+
+
+# ------------------------------------------------- funnel NULL semantics
+
+
+class TestFunnelWindowedNullAlignment:
+    def test_zero_step1_yields_null_conversions(self, spark, tmp_path):
+        """With no qualifying step-1 users the oracle's n2/n1 divides
+        by zero → NULL in DuckDB; the Spark side must emit NULL (not
+        0.0) for steps 2-3 and the literal 1.0 for step 1."""
+        from columnar_database_project_spark.operators.events import (
+            q_events_funnel_windowed,
+        )
+
+        d = str(tmp_path / "sf")
+        os.makedirs(d)
+        pdf = pd.DataFrame(
+            {
+                "event_id": [1, 2],
+                "user_id": [1, 1],
+                "event_type": ["click", "purchase"],  # no 'view' at all
+                "ts": pd.to_datetime([1000, 2000], unit="s"),
+                "value": [1.0, 2.0],
+            }
+        )
+        spark.createDataFrame(pdf).write.parquet(os.path.join(d, "events.parquet"))
+        rows = {
+            r["step"]: r for r in q_events_funnel_windowed(spark, d).collect()
+        }
+        assert rows[1]["n_users"] == 0 and rows[1]["conversion"] == 1.0
+        assert rows[2]["conversion"] is None
+        assert rows[3]["conversion"] is None
+
+
+# ------------------------------------------- store-backed IVF-PQ parity
+
+
+class TestIvfPqStoreRegistryParity:
+    def test_store_matches_batch(self, spark, sf_dir):
+        from columnar_database_project_spark.operators.similarity import (
+            q_sim_ivfpq_store_topk,
+            q_sim_ivfpq_topk,
+        )
+
+        batch = {
+            (r["q_id"], r["rank"]): (r["neighbor_id"], r["adist"])
+            for r in q_sim_ivfpq_topk(spark, sf_dir).collect()
+        }
+        store = {
+            (r["q_id"], r["rank"]): (r["neighbor_id"], r["adist"])
+            for r in q_sim_ivfpq_store_topk(spark, sf_dir).collect()
+        }
+        assert batch == store
