@@ -837,20 +837,12 @@ RRF_CAND = 20     # per-list candidate depth (= BM25_TOP_K)
 RRF_TOP_K = 10
 
 
-def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval: the BM25 lexical ranking and a dense cosine
-    ranking (query vector 0, doc_id = vec_id) fused by reciprocal
-    rank — score(d) = Σ 1/(RRF_K + rank_list(d)) over the lists that
-    retrieved d. RRF is THE production fusion (rank-only, so the two
-    scores' incomparable scales never meet); a doc missing from one
-    list simply contributes nothing from it (rank reported as 0).
-
-    Scale shape: each list is already a bounded top-RRF_CAND (BM25
-    rides its TakeOrdered, the dense side keeps per-partition top-k in
-    the kernel before one ranking window), so the fusion join touches
-    ≤ 2 x RRF_CAND rows no matter the corpus — candidate generation
-    is where the data-bound work lives, fusion is control-plane
-    sized."""
+def _rrf_dense_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dense side's candidate stage, pre-window: per-partition
+    top-RRF_CAND cosines against query vector 0. Separated out so the
+    plan suite can assert the GLOBAL ranking window downstream only
+    ever reads ≤ RRF_CAND x n_partitions rows — the invariant that
+    keeps the unpartitioned window safe at any corpus size."""
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
@@ -859,10 +851,6 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _query_vectors,
         normalize_rows,
         stack_embeddings,
-    )
-
-    lex = q_text_bm25_topk(spark, sf_dir).select(
-        "doc_id", F.col("rank").alias("lex_rank")
     )
 
     _q_ids, q_raw = _query_vectors(sf_dir)
@@ -887,10 +875,32 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         yield pd.DataFrame({"doc_id": ids, "cos": cs})
 
     emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", "embedding").mapInPandas(
+        dense_kernel, schema="doc_id long, cos double"
+    )
+
+
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: the BM25 lexical ranking and a dense cosine
+    ranking (query vector 0, doc_id = vec_id) fused by reciprocal
+    rank — score(d) = Σ 1/(RRF_K + rank_list(d)) over the lists that
+    retrieved d. RRF is THE production fusion (rank-only, so the two
+    scores' incomparable scales never meet); a doc missing from one
+    list simply contributes nothing from it (rank reported as 0).
+
+    Scale shape: each list is already a bounded top-RRF_CAND (BM25
+    rides its TakeOrdered, the dense side keeps per-partition top-k in
+    the kernel before one ranking window — bound asserted by
+    test_plan_verify), so the fusion join touches ≤ 2 x RRF_CAND rows
+    no matter the corpus — candidate generation is where the
+    data-bound work lives, fusion is control-plane sized."""
+    lex = q_text_bm25_topk(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("lex_rank")
+    )
+
     w = W.orderBy(F.col("cos").desc(), F.col("doc_id"))
     dense = (
-        emb.select("vec_id", "embedding")
-        .mapInPandas(dense_kernel, schema="doc_id long, cos double")
+        _rrf_dense_candidates(spark, sf_dir)
         .withColumn("vec_rank", F.row_number().over(w))
         .filter(F.col("vec_rank") <= RRF_CAND)
         .select("doc_id", "vec_rank")

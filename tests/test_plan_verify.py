@@ -486,3 +486,33 @@ class TestRound6LatePlans:
         # planned ONCE; the only remaining shuffle is the per-label
         # stats aggregation over the vector-count-sized dist table
         assert count_shuffles(df) <= 2, count_shuffles(df)
+
+
+class TestRrfBoundedWindow:
+    def test_dense_window_input_bounded(self, spark, sf_dir):
+        """The hybrid-RRF dense ranking window is GLOBAL (no
+        partitionBy) — safe only because its input is the kernel's
+        per-partition top-RRF_CAND. Assert the bound empirically so a
+        refactor that drops the kernel cut (turning the window into a
+        single-task global sort over the corpus) fails here."""
+        from columnar_database_project_spark.operators.selection import (
+            RRF_CAND,
+            _rrf_dense_candidates,
+        )
+
+        cand = _rrf_dense_candidates(spark, sf_dir)
+        n_parts = cand.rdd.getNumPartitions()
+        assert cand.count() <= RRF_CAND * max(1, n_parts)
+
+    def test_window_sits_above_kernel_cut(self, spark, sf_dir):
+        """Plan shape: the ranking Window must be DOWNSTREAM of the
+        MapInPandas kernel (which holds the top-RRF_CAND cut), never
+        between the scan and the kernel."""
+        from columnar_database_project_spark.operators.selection import (
+            q_hybrid_rrf_topk,
+        )
+
+        df = q_hybrid_rrf_topk(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan
+        assert plan.index("Window") < plan.index("MapInPandas")
