@@ -401,6 +401,54 @@ def bench_tpch_suite(spark, sf_dir: str) -> dict:
     }
 
 
+def bench_orc_scan(spark, sf_dir: str) -> dict:
+    """Parquet-vs-ORC microblock scan time (r7: the BASELINE approach
+    line names both formats; this records the cost of choosing one):
+    the same lineitem data in both layouts, same block size, timed on
+    a scan-dominated aggregation with a pushed filter."""
+    from pyspark.sql import functions as F
+
+    from columnar_database_project_spark.catalog import load_table
+    from columnar_database_project_spark.sources.microblock import (
+        MicroBlockWriter,
+    )
+
+    base = os.path.join(REPO, ".bench_data", "format_ab")
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    li = load_table(spark, sf_dir, "lineitem")
+    layouts = {}
+    for fmt in ("parquet", "orc"):
+        d = os.path.join(base, f"lineitem_{fmt}")
+        if not os.path.isdir(d) or os.path.getmtime(src) > os.path.getmtime(d):
+            MicroBlockWriter(block_rows=131_072, format=fmt).write(li, d)
+        layouts[fmt] = d
+
+    def agg(df):
+        return (
+            df.filter(F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+            )
+            .toPandas()
+        )
+
+    out: dict = {}
+    for fmt, d in layouts.items():
+        df = spark.read.format(fmt).load(d)
+        agg(df)  # warm
+        best = float("inf")
+        for _ in range(RUNS_PER_QUERY):
+            t0 = time.time()
+            agg(df)
+            best = min(best, time.time() - t0)
+        out[fmt] = round(best, 3)
+    out["orc_over_parquet"] = (
+        round(out["orc"] / out["parquet"], 2) if out.get("parquet") else None
+    )
+    return out
+
+
 def bench_prefetch_ab(spark, sf_dir: str) -> dict:
     """End-to-end value of the ML prefetch stack — the reference's
     entire thesis (reference README.md:5-9) finally carried as a
@@ -598,6 +646,7 @@ def main() -> None:
     extras_r6 = bench_round6_extras(spark, sf_dir)
     streaming = bench_streaming_throughput(spark, sf_dir)
     prefetch_ab = bench_prefetch_ab(spark, sf_dir)
+    orc_scan = bench_orc_scan(spark, sf_dir)
     scaling = {}
     sf2_dir = os.environ.get("SPARK_GRAFT_SF2_DIR", "/root/testdata/sf0.01")
     # Third scaling point ABOVE the primary SF: a 5× key-offset replica
@@ -714,6 +763,7 @@ def main() -> None:
         "extras_r6": extras_r6,
         "streaming": streaming,
         "prefetch_ab": prefetch_ab,
+        "orc_vs_parquet": orc_scan,
         "scaling": scaling,
     }
     with open(os.path.join(REPO, "BENCH.json"), "w") as fh:

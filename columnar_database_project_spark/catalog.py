@@ -134,6 +134,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     batches to Spark.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if not os.path.exists(path):
+        # ORC fallback: a dir holding <name>.orc serves the same
+        # catalog surface (BASELINE approach line: "Parquet/ORC").
+        # ORC microblocks are always engine-written (MicroBlockWriter
+        # format="orc"), so no nanos-timestamp legacy handling applies.
+        orc_path = os.path.join(sf_dir, f"{name}.orc")
+        if os.path.exists(orc_path):
+            real = os.path.realpath(orc_path)
+            cache_key = (id(spark), real, file_freshness(real))
+            cached = _RELATION_CACHE.get(cache_key)
+            if cached is not None:
+                return cached
+            df = spark.read.orc(orc_path)
+            for field in df.schema.fields:
+                if field.dataType.typeName() == "timestamp_ntz":
+                    df = df.withColumn(
+                        field.name, F.col(field.name).cast("timestamp")
+                    )
+            cache_put(_RELATION_CACHE, cache_key, df)
+            return df
     real = os.path.realpath(path)
     cache_key = (id(spark), real, file_freshness(real))
     cached = _RELATION_CACHE.get(cache_key)
@@ -210,16 +230,20 @@ def register_dir(
     table_dir: str,
     tables: tuple[str, ...] | None = None,
 ) -> dict[str, DataFrame]:
-    """Register every ``<name>.parquet`` under ``table_dir`` as a temp view.
+    """Register every ``<name>.parquet`` / ``<name>.orc`` under
+    ``table_dir`` as a temp view.
 
     Returns name → DataFrame. Unknown extra files are ignored; with
-    ``tables`` given, only those are registered.
+    ``tables`` given, only those are registered. When both formats
+    exist for a name, parquet wins (load_table's lookup order).
     """
     out: dict[str, DataFrame] = {}
     wanted = set(tables) if tables else None
-    for p in sorted(Path(table_dir).glob("*.parquet")):
+    for p in sorted(Path(table_dir).glob("*.parquet")) + sorted(
+        Path(table_dir).glob("*.orc")
+    ):
         name = p.stem
-        if wanted is not None and name not in wanted:
+        if name in out or (wanted is not None and name not in wanted):
             continue
         df = load_table(spark, table_dir, name)
         df.createOrReplaceTempView(name)

@@ -31,31 +31,45 @@ ROW_ID_COL = "_rid"
 
 
 class MicroBlockWriter:
-    """Write a DataFrame as a directory of block-sized parquet files."""
+    """Write a DataFrame as a directory of block-sized columnar files.
+
+    ``format``: ``"parquet"`` (default) or ``"orc"`` — the two
+    columnar layouts the reference's approach line names
+    (BASELINE "columnar Parquet/ORC"). Block = file holds for both:
+    ``maxRecordsPerFile`` is a format-independent write conf, and the
+    per-format row-group/stripe size is set large so each file is one
+    scan unit."""
 
     def __init__(
         self,
         block_rows: int = DEFAULT_BLOCK_ROWS,
         compression: str = "snappy",
+        format: str = "parquet",
     ) -> None:
+        if format not in ("parquet", "orc"):
+            raise ValueError(f"unsupported microblock format: {format!r}")
         self.block_rows = block_rows
         self.compression = compression
+        self.format = format
 
     def write(self, df: DataFrame, path: str, mode: str = "overwrite") -> None:
-        """One row group per file, ``block_rows`` rows per block.
+        """One row group (parquet) / stripe (orc) per file,
+        ``block_rows`` rows per block.
 
-        ``parquet.block.size`` is set large so each file holds exactly
-        one row group; ``maxRecordsPerFile`` caps the rows per file.
-        Partition count determines write parallelism — each task emits
-        ⌈task_rows / block_rows⌉ blocks.
+        ``parquet.block.size`` / ``orc.stripe.size`` is set large so
+        each file holds exactly one scan unit; ``maxRecordsPerFile``
+        caps the rows per file. Partition count determines write
+        parallelism — each task emits ⌈task_rows / block_rows⌉ blocks.
         """
-        (
+        w = (
             df.write.mode(mode)
             .option("maxRecordsPerFile", self.block_rows)
-            .option("parquet.block.size", 1 << 30)
             .option("compression", self.compression)
-            .parquet(path)
         )
+        if self.format == "orc":
+            w.option("orc.stripe.size", 1 << 30).orc(path)
+        else:
+            w.option("parquet.block.size", 1 << 30).parquet(path)
 
     def convert(self, spark: SparkSession, src: str, dst: str) -> None:
         """Rewrite any parquet source into microblock layout (reference
