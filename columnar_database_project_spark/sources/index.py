@@ -108,6 +108,13 @@ class MicroBlockIndex:
         Driver-side only — reads footers, never data pages. For a
         100 TB table this is one metadata pass (or a read of the
         ``_metadata`` summary file when present).
+
+        Parquet-only by design: pyarrow exposes no per-stripe column
+        min/max for ORC, and computing them would require a data scan
+        — the opposite of a footer index. ORC microblock layouts get
+        equivalent pruning from Spark's native ORC predicate pushdown
+        (stripe/row-index stats, asserted in
+        tests/test_plan_verify.py::TestOrcPushdown).
         """
         idx = cls(table_id=table_id)
         files = sorted(glob.glob(os.path.join(path, "*.parquet"))) if os.path.isdir(

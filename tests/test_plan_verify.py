@@ -516,3 +516,35 @@ class TestRrfBoundedWindow:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "MapInPandas" in plan
         assert plan.index("Window") < plan.index("MapInPandas")
+
+
+class TestOrcPushdown:
+    def test_orc_scan_gets_pushed_filters_and_pruned_schema(
+        self, spark, sf_dir, tmp_path_factory
+    ):
+        """The ORC backend must keep the two scan properties the
+        parquet path is audited for: predicate pushdown into the scan
+        (Spark's native orc.filterPushdown — stripe/row-group stats do
+        the pruning the MicroBlockIndex zone maps do for parquet) and
+        column pruning (ReadSchema carries only the projection)."""
+        from pyspark.sql import functions as F
+
+        from columnar_database_project_spark.catalog import load_table
+        from columnar_database_project_spark.sources.microblock import (
+            MicroBlockWriter,
+        )
+
+        d = str(tmp_path_factory.mktemp("orc_pd") / "li.orc")
+        MicroBlockWriter(block_rows=5000, format="orc").write(
+            load_table(spark, sf_dir, "lineitem"), d
+        )
+        df = (
+            spark.read.orc(d)
+            .filter(F.col("l_quantity") > 45)
+            .select("l_orderkey", "l_quantity")
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]" in plan
+        read_schema = plan[plan.index("ReadSchema:"):].splitlines()[0]
+        assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+        assert "l_comment" not in read_schema  # projection pruned the scan
