@@ -645,8 +645,18 @@ def main() -> None:
     hive_pruning = bench_hive_pruning(spark, sf_dir)
     extras_r6 = bench_round6_extras(spark, sf_dir)
     streaming = bench_streaming_throughput(spark, sf_dir)
-    prefetch_ab = bench_prefetch_ab(spark, sf_dir)
-    orc_scan = bench_orc_scan(spark, sf_dir)
+    # New r7 sections are individually guarded: a failure in one must
+    # not cost the round its whole bench artifact.
+    try:
+        prefetch_ab = bench_prefetch_ab(spark, sf_dir)
+    except Exception as exc:  # pragma: no cover - defensive
+        print(f"WARN: prefetch_ab failed ({exc!r})", file=sys.stderr)
+        prefetch_ab = {"error": repr(exc)}
+    try:
+        orc_scan = bench_orc_scan(spark, sf_dir)
+    except Exception as exc:  # pragma: no cover - defensive
+        print(f"WARN: orc_vs_parquet failed ({exc!r})", file=sys.stderr)
+        orc_scan = {"error": repr(exc)}
     scaling = {}
     sf2_dir = os.environ.get("SPARK_GRAFT_SF2_DIR", "/root/testdata/sf0.01")
     # Third scaling point ABOVE the primary SF: a 5× key-offset replica
@@ -784,7 +794,7 @@ def main() -> None:
     compact["prefetch_ab"] = {
         tag: prefetch_ab[tag]["hit_rate"]
         for tag in ("no_cache", "lru_only", "lru_lstm")
-        if tag in prefetch_ab
+        if isinstance(prefetch_ab.get(tag), dict)
     }
     compact["scaling"] = {
         tag: {
