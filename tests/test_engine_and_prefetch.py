@@ -131,6 +131,50 @@ class TestPrefetchStack:
         assert set(cache.cached_ids()) >= first or len(cache) == cache.capacity
         cache.clear()
 
+    def test_lstm_prefetch_beats_lru_on_sequential_walk(self, spark, layout):
+        """The thesis number's invariant, pinned (bench_prefetch_ab
+        measures it at scale): on a cyclic sequential walk over N
+        blocks with cache capacity < N — LRU's pathological case,
+        every revisit arrives exactly after eviction — plain LRU hits
+        ~never, while the LSTM's next-block prefetch runs ahead of
+        the walk and converts those misses to hits."""
+        _, idx = layout
+        n_blocks = idx.num_blocks
+        walk = [i % n_blocks for i in range(360)]
+        ts = build_from_sequence(walk)
+        model = LSTMPrefetcher(ts.vocab_size, seed=3)
+        model.fit(ts.inputs, ts.labels, epochs=4)
+        sched = PrefetchScheduler(model, ts.id2idx, ts.idx2id)
+
+        eval_seq = [i % n_blocks for i in range(60)]
+        rates = {}
+        for tag, with_lstm in (("lru", False), ("lstm", True)):
+            cache = BlockCache(capacity=max(2, n_blocks // 2))
+            history = GlobalHistory(maxlen=100)
+            svc = (
+                PrefetchService(
+                    sched,
+                    Prefetcher(spark, idx, cache),
+                    history,
+                    cache,
+                    interval=3600,
+                    k=3,
+                )
+                if with_lstm
+                else None
+            )
+            for i, b in enumerate(eval_seq):
+                if cache.get(b) is None:
+                    cache.put(b, spark.read.parquet(idx.block_file(b)))
+                history.record(b)
+                if svc is not None and (i + 1) % 3 == 0:
+                    svc.run_once()
+            s = cache.stats()
+            rates[tag] = s["hits"] / (s["hits"] + s["misses"])
+            cache.clear()
+        assert rates["lru"] < 0.2            # the pathological case is real
+        assert rates["lstm"] > rates["lru"] + 0.2   # and the LSTM escapes it
+
     def test_service_thread_start_stop(self, spark, layout):
         _, idx = layout
         cache = BlockCache(capacity=2)
