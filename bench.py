@@ -401,6 +401,51 @@ def bench_tpch_suite(spark, sf_dir: str) -> dict:
     }
 
 
+def machine_health() -> dict:
+    """Contention probe recorded alongside the timings (r7: a host-
+    level CPU-starvation window depressed the sf2.5 section ~5-20×
+    with the guest showing 90% idle — numbers need provenance). Two
+    signals: single-thread numpy matmul GFLOP/s (stable under the
+    observed throttling — a CODE regression moves it, contention does
+    not) and the wall-clock ratio of 16 concurrent matmuls to one
+    (numpy releases the GIL in BLAS; on an idle 32-vCPU box the ratio
+    is ~1-2, under host starvation it balloons). Cheap (<2 s)."""
+    import concurrent.futures
+
+    import numpy as np
+
+    # np.sin on a large vector: GIL-releasing but SINGLE-threaded by
+    # construction (unlike matmul, which OpenBLAS parallelizes and
+    # would confound the concurrency probe with oversubscription).
+    x = np.random.default_rng(0).random(4_000_000)
+
+    def work() -> None:
+        np.sin(x).sum()
+
+    work()  # warm
+    single = min(
+        (lambda t0=time.time(): (work(), time.time() - t0)[1])()
+        for _ in range(3)
+    )
+    with concurrent.futures.ThreadPoolExecutor(16) as ex:
+        list(ex.map(lambda _: work(), range(16)))  # warm pool + allocator
+        t0 = time.time()
+        list(ex.map(lambda _: work(), range(16)))
+        par = time.time() - t0
+    try:
+        load1, load5, _ = os.getloadavg()
+    except OSError:  # pragma: no cover
+        load1 = load5 = None
+    return {
+        "single_thread_ms": round(1000 * single, 1),
+        # 16 GIL-free single-thread tasks on ≥16 free vCPUs ≈ 1×; host
+        # CPU starvation shows up as >>2×
+        "parallel16_wall_over_single": round(par / single, 2) if single else None,
+        "loadavg_1m": load1,
+        "loadavg_5m": load5,
+    }
+
+
 def bench_orc_scan(spark, sf_dir: str) -> dict:
     """Parquet-vs-ORC microblock scan time (r7: the BASELINE approach
     line names both formats; this records the cost of choosing one):
@@ -638,6 +683,7 @@ def main() -> None:
         "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
     spark.sparkContext.setLogLevel("ERROR")
+    health_start = machine_health()
     spark_times = bench_spark(spark, sf_dir, HEADLINE)
     duck_times = bench_duckdb(sf_dir, HEADLINE)
     total = round(sum(spark_times.values()), 3)
@@ -775,6 +821,10 @@ def main() -> None:
         "prefetch_ab": prefetch_ab,
         "orc_vs_parquet": orc_scan,
         "scaling": scaling,
+        # sampled before the headline section and again after the
+        # at-scale section: a ballooned end-sample flags that the
+        # LATER (scaling) numbers ran in a contention window
+        "machine_health": {"start": health_start, "end": machine_health()},
     }
     with open(os.path.join(REPO, "BENCH.json"), "w") as fh:
         json.dump(result, fh, indent=1)
