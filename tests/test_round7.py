@@ -332,3 +332,78 @@ class TestIvfPqStoreLifecycle:
             for r in search_index_store(spark, index_path, sf_dir).collect()
         }
         assert before == after
+
+
+# ---------------------------- transition semantics, property-tested
+
+
+class TestTransitionProperty:
+    """For ANY batching of a user's event stream, _transition_fn must
+    emit exactly the consecutive pairs of the arrival-order GREEDY
+    MONOTONE subsequence (events kept iff they advance the carried
+    (epoch, event_id) position). For in-order streams that equals the
+    batch lead() pairs; stragglers and replays contribute nothing."""
+
+    def _expected(self, events):
+        kept, pos = [], None
+        for e in events:
+            key = (e[0], e[1])
+            if pos is not None and key <= pos:
+                continue
+            kept.append(e)
+            pos = key
+        return [(a[2], b[2]) for a, b in zip(kept, kept[1:])]
+
+    def test_random_batchings_match_greedy_semantics(self):
+        from hypothesis import given, settings, strategies as st
+
+        from columnar_database_project_spark.streaming.events import (
+            _transition_fn,
+        )
+
+        events_strategy = st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=50),     # epoch seconds
+                st.integers(min_value=0, max_value=10**6),  # event_id
+                st.sampled_from(["view", "click", "purchase"]),
+            ),
+            min_size=0,
+            max_size=25,
+        )
+
+        @settings(max_examples=150, deadline=None)
+        @given(
+            events=events_strategy,
+            cuts=st.lists(st.integers(min_value=0, max_value=25), max_size=4),
+        )
+        def check(events, cuts):
+            # event_ids must be unique per the stream contract
+            seen = set()
+            events = [
+                e for e in events if not (e[1] in seen or seen.add(e[1]))
+            ]
+            bounds = sorted({c for c in cuts if c < len(events)})
+            batches, prev = [], 0
+            for b in bounds + [len(events)]:
+                if b > prev:
+                    batches.append(events[prev:b])
+                    prev = b
+            state = _FakeState()
+            got = []
+            for batch in batches:
+                pdf = pd.DataFrame(
+                    {
+                        "ts": pd.to_datetime([e[0] for e in batch], unit="s"),
+                        "event_id": [e[1] for e in batch],
+                        "event_type": [e[2] for e in batch],
+                    }
+                )
+                (out,) = list(_transition_fn(("u",), [pdf], state))
+                got.extend(zip(out["cur"], out["nxt"]))
+            # arrival order WITHIN a batch is its (ts, event_id) sort —
+            # the kernel's own contract — so expected pairs follow the
+            # concatenation of per-batch sorted events
+            arrival = [e for batch in batches for e in sorted(batch, key=lambda e: (e[0], e[1]))]
+            assert got == self._expected(arrival)
+
+        check()
