@@ -407,3 +407,52 @@ class TestTransitionProperty:
             assert got == self._expected(arrival)
 
         check()
+
+
+# --------------------- result-cache invalidation on in-place rewrite
+
+
+class TestResultCacheInplaceRewriteInvalidation:
+    def test_part_rewrite_inside_dir_invalidates(self, spark, tmp_path):
+        """Engine-level form of the freshness-recursion fix: the
+        result cache's catalog token must change when a part file
+        INSIDE a directory-backed <name>.parquet is rewritten in
+        place (same file name, same dir mtime) — previously such a
+        rewrite was invisible and query_cached served stale rows."""
+        import shutil
+
+        from columnar_database_project_spark.engine import MicroBlockEngine
+
+        d = str(tmp_path / "tables")
+        os.makedirs(d)
+        tdir = os.path.join(d, "t.parquet")
+        pdf1 = pd.DataFrame({"k": [1, 2, 3], "v": [10.0, 20.0, 30.0]})
+        spark.createDataFrame(pdf1).repartition(1).write.parquet(tdir)
+        eng = MicroBlockEngine(spark, table_dir=d)
+        sql = "SELECT CAST(sum(v) AS DOUBLE) AS s FROM t"
+        assert float(eng.query_cached(sql)["s"][0]) == 60.0
+
+        # rewrite THE part file in place: write a replacement table
+        # elsewhere, copy its part over the existing part file name,
+        # freeze the directory mtimes
+        part = next(
+            f for f in os.listdir(tdir)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        alt = str(tmp_path / "alt.parquet")
+        spark.createDataFrame(
+            pd.DataFrame({"k": [1, 2, 3], "v": [100.0, 200.0, 300.0]})
+        ).repartition(1).write.parquet(alt)
+        alt_part = next(
+            f for f in os.listdir(alt)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dir_mtime = os.stat(tdir).st_mtime_ns
+        shutil.copyfile(os.path.join(alt, alt_part), os.path.join(tdir, part))
+        for crc in list(os.listdir(tdir)):
+            if crc.endswith(".crc"):
+                os.remove(os.path.join(tdir, crc))
+        os.utime(tdir, ns=(dir_mtime, dir_mtime))
+
+        spark.catalog.refreshByPath(tdir)  # drop Spark's own file-index cache
+        assert float(eng.query_cached(sql)["s"][0]) == 600.0  # not stale
