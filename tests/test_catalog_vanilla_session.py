@@ -79,3 +79,24 @@ def test_pyarrow_fallback_schema_matches_native(spark, sf_dir):
     native = load_table(spark, sf_dir, "events")
     fallback = _load_via_pyarrow(spark, os.path.join(sf_dir, "events.parquet"))
     assert dict(fallback.dtypes) == dict(native.dtypes)
+
+
+def test_orc_fallback_under_vanilla_session(spark, sf_dir, tmp_path):
+    """The ORC fallback must work under the driver's vanilla session
+    too (no engine confs involved — spark.read.orc is conf-free), and
+    an orc-written events table must come back with the same stable
+    timestamp type the parquet path guarantees."""
+    import os
+
+    from columnar_database_project_spark.sources.microblock import MicroBlockWriter
+
+    s = _vanilla(spark)
+    d = str(tmp_path / "orc_tables")
+    os.makedirs(d)
+    ev = load_table(spark, sf_dir, "events")
+    MicroBlockWriter(block_rows=5000, format="orc").write(
+        ev, os.path.join(d, "events.orc")
+    )
+    df = load_table(s, d, "events")
+    assert df.count() == ev.count()
+    assert dict(df.dtypes)["ts"] == "timestamp"
