@@ -91,29 +91,81 @@ def build_from_sequence(sequence: list[int], window: int = WINDOW) -> TrainingSe
     )
 
 
-def build_with_spark(spark, log_df, window: int = WINDOW) -> TrainingSet:
+def build_with_spark(
+    spark, log_df, window: int = WINDOW, n_buckets: int | None = None
+) -> TrainingSet:
     """Same windowing as a Spark job over a (ts, query_id, block) log
-    table: order by ts, collect the trailing window per row. The heavy
-    lifting (ordering + windowing over a potentially huge fleet log)
-    runs cluster-side; only the encoded pairs come back to the driver.
-    """
+    table, PARTITIONED: the naive form (r6 and earlier) was one
+    unpartitioned ``Window.orderBy("ts")`` — a single-task sort of the
+    whole fleet log, exactly the global-window anti-pattern the plan
+    suite polices in the operator library. The scale-correct shape:
+
+    1. bucket rows by time range (``n_buckets`` ≈ rows/100k when not
+       given) — the window partitions on the bucket;
+    2. carry each bucket's last ``window`` rows (by (ts, block) order)
+       into the NEXT bucket as context-only rows, so the first rows of
+       a bucket still see their trailing window across the seam;
+    3. per-bucket ordered windows emit (ctx, label) for OWN rows only.
+
+    Windows equal the global-order result exactly whenever every
+    bucket holds ≥ ``window`` rows (one-bucket carry; an access-log
+    time bucket at fleet scale holds millions) — pinned against
+    ``build_from_sequence`` in tests/test_ml.py. The vocab pass is
+    distinct-block-sized (groupBy min-(ts, block), not a full-log
+    sort): first-appearance order, reference :25-34 semantics."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
-    w = (
-        W.orderBy("ts", "block")
-        .rowsBetween(-(window), -1)
+    ts_num = F.col("ts").cast("double")  # works for float epochs AND timestamps
+    bounds = log_df.agg(
+        F.min(ts_num).alias("mn"),
+        F.max(ts_num).alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if bounds["n"] == 0:
+        return TrainingSet([], [], {}, {}, 1)
+    if n_buckets is None:
+        n_buckets = max(1, int(bounds["n"]) // 100_000)
+    span = (float(bounds["mx"]) - float(bounds["mn"])) / n_buckets or 1.0
+    bkt = F.least(
+        F.floor((ts_num - F.lit(float(bounds["mn"]))) / F.lit(span)),
+        F.lit(n_buckets - 1),
+    ).cast("long")
+    base = log_df.select("ts", "block").withColumn("bkt", bkt)
+
+    tail_w = W.partitionBy("bkt").orderBy(F.desc("ts"), F.desc("block"))
+    carried = (
+        base.withColumn("_rn", F.row_number().over(tail_w))
+        .filter(F.col("_rn") <= window)
+        .select("ts", "block", (F.col("bkt") + 1).alias("bkt"))
+        .filter(F.col("bkt") < n_buckets)
+        .withColumn("own", F.lit(False))
+    )
+    union = base.withColumn("own", F.lit(True)).unionByName(carried)
+
+    ctx_w = (
+        W.partitionBy("bkt")
+        .orderBy("ts", "block")
+        .rowsBetween(-window, -1)
     )
     rows = (
-        log_df.withColumn("ctx", F.collect_list("block").over(w))
-        .filter(F.size("ctx") == window)
-        .select("ctx", F.col("block").alias("label"))
+        union.withColumn("ctx", F.collect_list("block").over(ctx_w))
+        .filter(F.col("own") & (F.size("ctx") == window))
+        .select("ts", "ctx", F.col("block").alias("label"))
         .collect()
     )
-    # vocab must cover every block seen (contexts + labels), in
-    # first-appearance order over the chronological sequence
-    seq = [int(b) for b in log_df.orderBy("ts", "block").select("block").toPandas()["block"]]
-    id2idx, idx2id = build_vocab(seq)
+    rows.sort(key=lambda r: (r["ts"], r["label"]))
+    # vocab in first-appearance order, computed over the DISTINCT
+    # blocks (block-count-sized sort, never a full-log sort)
+    firsts = (
+        base.groupBy("block")
+        .agg(F.min(F.struct("ts", "block")).alias("first"))
+        .orderBy("first")
+        .select("block")
+        .collect()
+    )
+    id2idx = {int(r["block"]): i + 1 for i, r in enumerate(firsts)}
+    idx2id = {v: k for k, v in id2idx.items()}
     inputs = [[id2idx[int(b)] for b in r["ctx"]] for r in rows]
     labels = [id2idx[int(r["label"])] for r in rows]
     return TrainingSet(

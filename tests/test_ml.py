@@ -192,3 +192,64 @@ class TestAltTrainer:
         _, rep1 = train_alt([[4, 5]], epochs=1)
         assert rep1["n_train"] == 1 and rep1["n_eval"] == 0
         assert rep1["accuracy"] is None and rep1["mrr"] is None
+
+
+class TestBuildWithSpark:
+    """C13's cluster-side builder: the r7 rewrite replaced the naive
+    unpartitioned W.orderBy("ts") (single-task sort of the whole
+    fleet log) with time-bucketed windows + seam carry. Parity with
+    the driver-side builder is the correctness bar."""
+
+    def _log_df(self, spark, seq, t0=1000.0, dt=1.5):
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "ts": [t0 + i * dt for i in range(len(seq))],
+                    "query_id": ["q"] * len(seq),
+                    "block": seq,
+                }
+            )
+        )
+
+    def test_matches_driver_builder_across_buckets(self, spark):
+        from columnar_database_project_spark.ml.training_set import (
+            build_from_sequence,
+            build_with_spark,
+        )
+
+        seq = generate_mixed_logs(400, seed=5)
+        want = build_from_sequence(seq)
+        for n_buckets in (1, 4, 9):
+            got = build_with_spark(
+                spark, self._log_df(spark, seq), n_buckets=n_buckets
+            )
+            assert got.id2idx == want.id2idx
+            assert got.vocab_size == want.vocab_size
+            assert got.inputs == want.inputs
+            assert got.labels == want.labels
+
+    def test_empty_log_edge(self, spark):
+        from columnar_database_project_spark.ml.training_set import (
+            build_with_spark,
+        )
+
+        ts = build_with_spark(spark, self._log_df(spark, [1]).limit(0))
+        assert ts.inputs == [] and ts.labels == [] and ts.vocab_size == 1
+
+    def test_no_unpartitioned_window_in_source(self):
+        """Structural pin: the builder must never regress to a global
+        W.orderBy without partitionBy (the single-task fleet-log sort
+        the r7 rewrite removed)."""
+        import inspect
+
+        from columnar_database_project_spark.ml import training_set
+
+        src = inspect.getsource(training_set.build_with_spark)
+        assert "W.partitionBy" in src
+        # every window in the builder must start from a partitionBy
+        # chain; a bare W.orderBy(...) is the regression this pins
+        for line in src.splitlines():
+            if "W.orderBy" in line:
+                raise AssertionError(f"unpartitioned window: {line.strip()}")
