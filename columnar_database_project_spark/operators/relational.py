@@ -317,32 +317,27 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join, group, top-10. Customer scales with
-    SF → no forced broadcast (AQE size-gates the strategy at runtime);
-    orders↔lineitem co-partition on orderkey via the shuffle join AQE
-    plans.
+    SF → no forced broadcast (AQE size-gates the strategy at runtime).
 
-    Join order is SIZE-KEYED on the same regime boundary the session
-    tuner uses (r7 A/B, best-of-N warmed, PLANS.md §Round-7):
+    Both non-fact joins are LEFT SEMI: the output is only
+    (l_orderkey, revenue) — lineitem-side columns — and o_orderkey /
+    c_custkey are unique keys, so the customer and orders sides are
+    pure filters. orders semi-reduces through the segment-filtered
+    customer first (the textbook dims-reduce-facts-first Q3 plan,
+    ~5× fewer qualifying orders at sf2.5), then lineitem semi-joins
+    the surviving o_orderkey column ALONE — the fact-join build side
+    carries one bigint instead of the orders row, and Spark needs no
+    duplicate handling on the probe.
 
-        order           sf0.1 (17 MB)  sf0.5 (77 MB)  sf2.5 (377 MB)
-        li⨝orders first     0.549 s        0.864 s        1.368 s
-        dims first          0.634 s        1.638 s        1.010 s
+    This replaced r7's size-keyed inner-join order switch: the semi
+    form beats BOTH prior branches at every measured point (best-of-3
+    warmed, parity-checked — PLANS.md §Round-7):
 
-    Below ``SMALL_INPUT_BYTES`` both joins fit comfortably in one
-    broadcast tier and the dims-first shape just adds a plan barrier
-    (the r6 reorder cost q3 1.69× at sf0.1 — the round's only real
-    regression); at or above it, semi-reducing orders through the
-    segment-filtered customer before the fact join shrinks the
-    orders-side build ~5× (850k → 170k rows at sf2.5) and wins 1.35×.
-    Catalyst does not reorder across the two equi-joins itself (no
-    CBO stats), so the heuristic is stated explicitly — and the
-    at-scale branch is the textbook TPC-H Q3 plan (dims reduce facts
-    ASAP), i.e. the 100 TB path is the principled one."""
-    from columnar_database_project_spark.session import (
-        SMALL_INPUT_BYTES,
-        input_bytes,
-    )
+        variant        sf0.01    sf0.1    sf0.5    sf2.5
+        prior best     0.557 s  0.650 s  1.147 s  1.288 s
+        semi-reduce    0.485 s  0.541 s  0.935 s  1.161 s
 
+    One plan for all regimes — no size branch to maintain."""
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -352,17 +347,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
     )
-    if input_bytes(sf_dir) >= SMALL_INPUT_BYTES:
-        joined = li.join(
-            orders.join(cust, orders.o_custkey == cust.c_custkey),
-            li.l_orderkey == orders.o_orderkey,
-        )
-    else:
-        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
-            cust, orders.o_custkey == cust.c_custkey
-        )
+    keys = orders.join(
+        cust, orders.o_custkey == cust.c_custkey, "left_semi"
+    ).select("o_orderkey")
     return (
-        joined
+        li.join(keys, li.l_orderkey == keys.o_orderkey, "left_semi")
         .groupBy("l_orderkey")
         .agg(
             F.round(

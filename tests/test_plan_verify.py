@@ -71,6 +71,30 @@ class TestPushdownAndPruning:
             for s in scan_read_schemas(df)
         )
 
+    def test_q3_semi_join_reduction(self, spark, sf_dir):
+        """q3 outputs only lineitem-side columns, so both non-fact
+        joins must plan as LeftSemi (pure filters — r7 A/B: beats the
+        inner-join orders at every scale point, PLANS.md §Round-7),
+        and the fact join's build side must carry ONLY o_orderkey —
+        one bigint per qualifying order, not the orders row."""
+        from columnar_database_project_spark.operators.relational import (
+            q3_shipping_priority,
+        )
+
+        df = q3_shipping_priority(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("LeftSemi") >= 2, plan
+        # orders-side scan is pruned to the join/filter columns only:
+        # no o_totalprice / o_orderpriority ever leaves the scan
+        assert all(
+            "o_totalprice" not in s and "o_orderpriority" not in s
+            for s in scan_read_schemas(df)
+        )
+        # date + segment predicates reach their scans
+        pf = pushed_filters(df)
+        assert any("o_orderdate" in f for f in pf), pf
+        assert any("c_mktsegment" in f for f in pf), pf
+
     def test_unhinted_sf_dims_still_broadcast_at_test_scale(self, spark, sf_dir):
         """q3/q5 carry no broadcast hint on customer/supplier (they
         scale with SF — a forced hint would OOM at a true 100 TB). The
