@@ -649,8 +649,18 @@ def bench_bucketed_q3(spark, sf4_dir: str) -> dict:
     base = os.path.join(REPO, ".bench_data", "bucketed_sf2.5")
     src = os.path.join(sf4_dir, "lineitem.parquet")
     marker = os.path.join(base, "_built")
-    if not os.path.exists(marker) or os.path.getmtime(src) > os.path.getmtime(
-        marker
+    # saveAsTable registers in the SESSION catalog (in-memory, not a
+    # persistent metastore) while the marker file persists across
+    # sessions — so the skip must ALSO require the tables to exist in
+    # THIS session's catalog, else a fresh bench process hits
+    # TABLE_OR_VIEW_NOT_FOUND (r7 artifact gap).
+    if (
+        not os.path.exists(marker)
+        or os.path.getmtime(src) > os.path.getmtime(marker)
+        or not all(
+            spark.catalog.tableExists(f"bench_{t}_bkt")
+            for t in ("lineitem", "orders")
+        )
     ):
         for t, col in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
             write_bucketed(
