@@ -301,6 +301,95 @@ def bench_hive_pruning(spark, sf_dir: str) -> dict:
     return out
 
 
+def bench_layout_pruning(spark, sf_dir: str) -> dict:
+    """Zone-map + row-group pruning vs physical layout, measured: the
+    same 5%-selective shipdate-window aggregation over (a) a
+    hash-shuffled microblock layout of lineitem (every block spans the
+    full date range — zone maps can exclude nothing) and (b) the same
+    blocks written sorted by l_shipdate (each block covers a tight
+    date slice). Two numbers per layout: the engine zone-map index's
+    predicted-block count (OUR skipping — the reference's core thesis,
+    microblock_index.py) and wall clock (Spark's native parquet
+    row-group pruning acting on the same statistics). At 100 TB the
+    block-hit ratio IS the scan cost ratio; at bench scale the wall
+    clock is constant-dominated, so blocks_hit is the number that
+    scales."""
+    from pyspark.sql import functions as F
+
+    from columnar_database_project_spark.catalog import load_table
+    from columnar_database_project_spark.sources.index import MicroBlockIndex
+    from columnar_database_project_spark.sources.microblock import (
+        MicroBlockWriter,
+    )
+
+    base = os.path.join(REPO, ".bench_data", "layout_pruning")
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    li = load_table(spark, sf_dir, "lineitem")
+    marker = os.path.join(base, "_built")
+    if not os.path.exists(marker) or os.path.getmtime(src) > os.path.getmtime(
+        marker
+    ):
+        w = MicroBlockWriter(block_rows=16_384)
+        # shuffled: repartition by a hash spreads every date everywhere
+        w.write(
+            li.repartition(32, "l_orderkey"), os.path.join(base, "shuffled")
+        )
+        # sorted: one global sort → each block holds a tight date slice
+        w.write(
+            li.orderBy("l_shipdate").coalesce(32),
+            os.path.join(base, "sorted"),
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    # ~5% window around the date median, derived from the data so the
+    # selectivity survives testdata regeneration
+    lo, hi = (
+        li.selectExpr(
+            "CAST(percentile_approx(l_shipdate, 0.475) AS STRING) AS lo",
+            "CAST(percentile_approx(l_shipdate, 0.525) AS STRING) AS hi",
+        )
+        .first()
+        .asDict()
+        .values()
+    )
+    where = f"l_shipdate BETWEEN '{lo}' AND '{hi}'"
+    sql = (
+        "SELECT count(*) AS c, CAST(sum(l_extendedprice) AS DOUBLE) AS sp"
+        f" FROM lineitem WHERE {where}"
+    )
+    out: dict = {}
+    results = {}
+    for tag in ("shuffled", "sorted"):
+        path = os.path.join(base, tag)
+        idx = MicroBlockIndex.build(path, table_id="lineitem")
+        hit = idx.predict_blocks_for_sql(sql)
+        out[f"blocks_total_{tag}"] = idx.num_blocks
+        out[f"blocks_hit_{tag}"] = len(hit)
+        df = spark.read.parquet(path)
+        agg = lambda d=df: d.filter(F.expr(where)).agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("l_extendedprice").cast("double").alias("sp"),
+        ).toPandas()
+        results[tag] = agg()  # warm + capture for the parity check
+        best = float("inf")
+        for _ in range(RUNS_PER_QUERY):
+            t0 = time.time()
+            agg()
+            best = min(best, time.time() - t0)
+        out[f"sec_{tag}"] = round(best, 3)
+    # same rows on both layouts or the timing comparison is void
+    assert results["shuffled"]["c"].iloc[0] == results["sorted"]["c"].iloc[0]
+    out["speedup"] = (
+        round(out["sec_shuffled"] / out["sec_sorted"], 2)
+        if out["sec_sorted"]
+        else None
+    )
+    out["block_hit_ratio"] = round(
+        out["blocks_hit_sorted"] / max(1, out["blocks_hit_shuffled"]), 3
+    )
+    return out
+
+
 def bench_ivf_recall(spark, sf_dir: str) -> dict:
     """IVF ANN quality at the LARGEST bench scale: the full
     recall@10-vs-probe-count curve (one scan via
@@ -794,6 +883,11 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover - defensive
         print(f"WARN: orc_vs_parquet failed ({exc!r})", file=sys.stderr)
         orc_scan = {"error": repr(exc)}
+    try:
+        layout_pruning = bench_layout_pruning(spark, sf_dir)
+    except Exception as exc:  # pragma: no cover - defensive
+        print(f"WARN: layout_pruning failed ({exc!r})", file=sys.stderr)
+        layout_pruning = {"error": repr(exc)}
     scaling = {}
     sf2_dir = os.environ.get("SPARK_GRAFT_SF2_DIR", "/root/testdata/sf0.01")
     # Third scaling point ABOVE the primary SF: a 5× key-offset replica
@@ -915,6 +1009,7 @@ def main() -> None:
         "streaming": streaming,
         "prefetch_ab": prefetch_ab,
         "orc_vs_parquet": orc_scan,
+        "layout_pruning": layout_pruning,
         "scaling": scaling,
         # sampled before the headline section and again after the
         # at-scale section: a ballooned end-sample flags that the

@@ -26,5 +26,11 @@ def normalize_rows(m: np.ndarray) -> np.ndarray:
 
 
 def cosine_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(n, d) × (m, d) → (n, m) cosine similarities (float64)."""
-    return normalize_rows(a) @ normalize_rows(b).T
+    """(n, d) × (m, d) → (n, m) cosine similarities (float64).
+
+    Clipped to the mathematical range: rows whose squared norm
+    underflows to a subnormal (|v| ≈ 1e-159) normalize with enough
+    rounding error that the product can exceed 1 by ~1e-7, which
+    breaks downstream invariants (arccos domains, ≥-threshold
+    filters). O(n·m) clip next to the O(n·m·d) matmul."""
+    return np.clip(normalize_rows(a) @ normalize_rows(b).T, -1.0, 1.0)

@@ -20,6 +20,7 @@ drives both the pruning predictor and a DataFrame filter.
 
 from __future__ import annotations
 
+import datetime as _dt
 from dataclasses import dataclass
 from typing import Any, Union
 
@@ -49,13 +50,56 @@ class ColumnStats:
         )
 
 
-def _comparable(a: Any, b: Any) -> bool:
-    if a is None or b is None:
-        return False
+def _as_naive_datetime(v: Any):
+    """Best-effort view of ``v`` as a naive UTC datetime, else None.
+
+    date → midnight (exactly Spark's CAST(date AS timestamp));
+    ISO string → parsed (exactly Spark's string→timestamp cast for
+    the formats the fuzz grammar and TPC-H queries use — naive strings
+    are session-zone values, and ``session.get_spark`` pins the
+    session zone to UTC); tz-aware values (TIMESTAMP_MICROS footers
+    are isAdjustedToUTC, so pyarrow hands back aware datetimes) →
+    converted to naive UTC. Everything lands in one zone, so the
+    comparison is exact, not approximate."""
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            return v
+        return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    if isinstance(v, _dt.date):
+        return _dt.datetime.combine(v, _dt.time())
+    if isinstance(v, str):
+        try:
+            p = _dt.datetime.fromisoformat(v)
+        except ValueError:
+            return None
+        if p.tzinfo is None:
+            return p
+        return p.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return None
+
+
+def _align(stat: Any, lit: Any):
+    """Coerce (zone-map stat, SQL literal) to a comparable pair, or
+    None when no sound coercion exists (→ MAYBE upstream).
+
+    The temporal branch is the load-bearing one: parquet footers hand
+    back datetime/date objects while SQL literals arrive as strings,
+    so without it every date-window predicate — the single most common
+    pruning driver (TPC-H q1/q3/q6 all filter l_shipdate) — evaluated
+    to MAYBE and pruned nothing."""
+    if stat is None or lit is None:
+        return None
+    if isinstance(stat, bool) or isinstance(lit, bool):
+        return (stat, lit) if type(stat) is type(lit) else None
     num = (int, float)
-    if isinstance(a, num) and isinstance(b, num):
-        return True
-    return type(a) is type(b)
+    if isinstance(stat, num) and isinstance(lit, num):
+        return (stat, lit)
+    if type(stat) is type(lit):
+        return (stat, lit)
+    s, v = _as_naive_datetime(stat), _as_naive_datetime(lit)
+    if s is not None and v is not None:
+        return (s, v)
+    return None
 
 
 class Pred:
@@ -105,22 +149,24 @@ class Cmp(Pred):
         st = stats.get(self.col)
         if st is None:
             return MAYBE
-        lo, hi, v = st.min, st.max, self.value
-        if not (_comparable(lo, v) and _comparable(hi, v)):
+        al, ah = _align(st.min, self.value), _align(st.max, self.value)
+        if al is None or ah is None:
             return MAYBE
+        lo, vlo = al
+        hi, vhi = ah
         if self.op == "=":
-            return lo <= v <= hi
+            return lo <= vlo and vhi <= hi
         if self.op == "!=":
             # prunable only when the block is constant at v
-            return not (lo == v == hi)
+            return not (lo == vlo and hi == vhi)
         if self.op == ">":
-            return hi > v
+            return hi > vhi
         if self.op == ">=":
-            return hi >= v
+            return hi >= vhi
         if self.op == "<":
-            return lo < v
+            return lo < vlo
         if self.op == "<=":
-            return lo <= v
+            return lo <= vlo
         return MAYBE
 
     def to_column(self):
@@ -151,9 +197,11 @@ class Between(Pred):
         st = stats.get(self.col)
         if st is None:
             return MAYBE
-        if not (_comparable(st.min, self.hi) and _comparable(st.max, self.lo)):
+        a_max = _align(st.max, self.lo)
+        a_min = _align(st.min, self.hi)
+        if a_max is None or a_min is None:
             return MAYBE
-        return not (st.max < self.lo or st.min > self.hi)
+        return not (a_max[0] < a_max[1] or a_min[0] > a_min[1])
 
     def to_column(self):
         return F.col(self.col).between(self.lo, self.hi)
@@ -176,9 +224,10 @@ class InList(Pred):
             return MAYBE
         ok_any = False
         for v in self.values:
-            if not (_comparable(st.min, v) and _comparable(st.max, v)):
+            am, ax = _align(st.min, v), _align(st.max, v)
+            if am is None or ax is None:
                 return MAYBE
-            if st.min <= v <= st.max:
+            if am[0] <= am[1] and ax[1] <= ax[0]:
                 ok_any = True
         return ok_any
 

@@ -53,6 +53,14 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Spark's default parquet timestamp encoding is legacy INT96,
+        # which the parquet spec gives NO min/max statistics — every
+        # timestamp column written by the engine would carry empty
+        # zone-maps (footer stats None/None), silently disabling both
+        # OUR block pruning and Spark's own row-group pruning on date
+        # predicates. TIMESTAMP_MICROS is the modern standard (what
+        # the testdata itself uses) and restores footer stats.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # testdata events.ts is parquet TIMESTAMP(NANOS); Spark has no
         # nanos timestamp — read as long and convert in the catalog.

@@ -93,6 +93,53 @@ class TestZoneMapRules:
         assert TruePred().may_match({})
 
 
+class TestTemporalAlignment:
+    """Parquet footers hand back datetime/date stats while SQL
+    literals are strings; the zone map must still prune (the gap that
+    made every date-window predicate a MAYBE until r7)."""
+
+    import datetime as dt
+
+    TS = {
+        "ts": ColumnStats(
+            min=dt.datetime(1994, 1, 1), max=dt.datetime(1994, 6, 30)
+        ),
+        "d": ColumnStats(min=dt.date(1994, 1, 1), max=dt.date(1994, 6, 30)),
+        "aware": ColumnStats(
+            min=dt.datetime(1994, 1, 1, tzinfo=dt.timezone.utc),
+            max=dt.datetime(1994, 6, 30, tzinfo=dt.timezone.utc),
+        ),
+    }
+
+    def test_datetime_stat_vs_string_literal_prunes(self):
+        assert not Cmp(">", "ts", "1994-07-01").may_match(self.TS)
+        assert not Cmp("<", "ts", "1993-12-31 23:59:59").may_match(self.TS)
+        assert Cmp(">=", "ts", "1994-06-30 00:00:00").may_match(self.TS)
+        assert not Between("ts", "1995-01-01", "1995-12-31").may_match(self.TS)
+        assert Between("ts", "1994-06-01", "1995-01-01").may_match(self.TS)
+        assert not InList("ts", ("1999-01-01",)).may_match(self.TS)
+        assert InList("ts", ("1999-01-01", "1994-03-15")).may_match(self.TS)
+
+    def test_date_stat_vs_timestamp_literal_is_midnight_cast(self):
+        # CAST(date AS timestamp) = midnight: a 12:00 literal on the
+        # max date is strictly after every value in the block
+        assert not Cmp(">", "d", "1994-06-30 12:00:00").may_match(self.TS)
+        # ...but `<` against the same literal must NOT prune (midnight
+        # of the max day is before 12:00) — the soundness case a naive
+        # date-truncation coercion would get wrong
+        assert Cmp("<", "d", "1994-06-30 12:00:00").may_match(self.TS)
+
+    def test_aware_utc_stats_prune(self):
+        # TIMESTAMP_MICROS footers are isAdjustedToUTC → pyarrow hands
+        # back aware datetimes; the engine session zone is pinned UTC,
+        # so naive literals align exactly and pruning still engages
+        assert not Cmp(">", "aware", "1999-01-01").may_match(self.TS)
+        assert Cmp(">=", "aware", "1994-06-30").may_match(self.TS)
+
+    def test_garbage_string_is_maybe(self):
+        assert Cmp(">", "ts", "not-a-date").may_match(self.TS)
+
+
 class TestWhereParser:
     def test_simple(self):
         p = parse_where("a >= 5")
