@@ -131,6 +131,16 @@ def _norm(rows):
     way on both engines, and jitter-close floats pass the
     ``_rows_equal`` tolerance whichever way they land."""
 
+    import datetime as dt
+
+    def naive_utc(v):
+        # Spark collects session-zone (UTC) timestamps as NAIVE
+        # datetimes; DuckDB reading UTC-adjusted TIMESTAMP_MICROS
+        # parquet returns AWARE ones — same instant, different repr
+        if isinstance(v, dt.datetime) and v.tzinfo is not None:
+            return v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        return v
+
     def cell_key(v):
         if v is None:
             return (1, "", 0.0)
@@ -141,7 +151,7 @@ def _norm(rows):
     def key(r):
         return tuple(cell_key(v) for v in r)
 
-    return sorted((tuple(r) for r in rows), key=key)
+    return sorted((tuple(naive_utc(v) for v in r) for r in rows), key=key)
 
 
 def _run_both(eng: MicroBlockEngine, con, sql: str):
@@ -341,3 +351,73 @@ class TestDifferentialFuzzAgg:
         )
         got, want = _run_both(eng, con, sql)
         assert got == want == [(0, None)]
+
+
+@pytest.fixture(scope="module")
+def orc_setup(spark, sf_dir, tmp_path_factory):
+    """Engine over an ORC microblock layout; DuckDB over the parquet
+    twin written from the SAME ordered frame (DuckDB reads no ORC —
+    the parquet twin carries identical rows by construction)."""
+    base = tmp_path_factory.mktemp("fuzz_orc")
+    li = load_table(spark, sf_dir, "lineitem").orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+    one = li.repartition(1)
+    MicroBlockWriter(block_rows=500, format="orc").write(
+        one, str(base / "orc")
+    )
+    MicroBlockWriter(block_rows=500).write(one, str(base / "pq"))
+    eng = MicroBlockEngine(spark)
+    eng.register("lineitem", spark.read.orc(str(base / "orc")))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM parquet_scan('{base}/pq/*.parquet')"
+    )
+    return eng, con
+
+
+class TestDifferentialFuzzOrc:
+    """The whole fuzz grammar again, but the engine reads ORC.
+
+    The parquet run (above) establishes that the grammar matches
+    DuckDB; this run isolates the ORC READ PATH — a type drift
+    (timestamp NTZ/LTZ is the historical offender,
+    tests/test_catalog_vanilla_session.py), a stripe-boundary bug, or
+    a pushdown divergence shows up as a mismatch HERE while the
+    parquet twin stays green."""
+
+    def test_random_predicates_and_aggregates_match(self, orc_setup):
+        eng, con = orc_setup
+        rng = random.Random(SEED + 5)
+        mismatches = []
+        for i in range(12):
+            p = _pred(rng)
+            sql = (
+                "SELECT count(*) AS c,"
+                " CAST(sum(l_quantity) AS DOUBLE) AS sq,"
+                " CAST(sum(l_extendedprice) AS DOUBLE) AS sp"
+                f" FROM lineitem WHERE {p}"
+            )
+            got, want = _run_both(eng, con, sql)
+            if not _rows_equal(got, want):
+                mismatches.append((sql, got, want))
+        for _ in range(8):
+            sql = _gen_agg_query(rng)
+            got, want = _run_both(eng, con, sql)
+            if not _rows_equal(got, want):
+                mismatches.append((sql, got[:3], want[:3]))
+        assert not mismatches, mismatches
+
+    def test_timestamp_roundtrip_matches(self, orc_setup):
+        """Direct probe of the historical ORC hazard: date-window
+        counts and min/max over the timestamp column must agree with
+        the parquet twin exactly."""
+        eng, con = orc_setup
+        sql = (
+            "SELECT count(*) AS c, min(l_shipdate) AS lo,"
+            " max(l_shipdate) AS hi FROM lineitem"
+            " WHERE l_shipdate >= '1994-01-01'"
+            " AND l_shipdate < '1996-06-15 12:00:00'"
+        )
+        got, want = _run_both(eng, con, sql)
+        assert got == want, (got, want)
