@@ -434,6 +434,55 @@ class MicroBlockEngine:
         self._observe(sql)
         return df
 
+    def explain(self, sql: str) -> dict:
+        """Inspect a query WITHOUT running it: one dict covering both
+        planning layers. The reference sketches an explain/metrics
+        verifier around its engine (SURVEY §4.3); ours reports the
+        zone-map layer (which blocks the prediction says the query
+        touches — what the cache/prefetch stack keys on) and
+        Catalyst's physical facts (what will actually execute:
+        exchanges, broadcast joins, pushed filters, codegen spans).
+
+        Plan-only and side-effect-free: no job is submitted, and —
+        unlike ``query`` — ``_observe`` is NOT tapped, so explaining a
+        query does not pollute the access log the prefetcher trains
+        on."""
+        from columnar_database_project_spark.plans.verify import (
+            count_shuffles,
+            formatted_plan,
+            has_broadcast_join,
+            pushed_filters,
+            whole_stage_codegen_spans,
+        )
+
+        df = self.spark.sql(sql)
+        out: dict = {
+            "physical": {
+                "exchanges": count_shuffles(df),
+                "broadcast_join": has_broadcast_join(df),
+                "pushed_filters": pushed_filters(df),
+                "codegen_spans": whole_stage_codegen_spans(df),
+                "plan": formatted_plan(df),
+            }
+        }
+        if self.index is not None:
+            predicted = self.index.predict_blocks_for_sql(sql)
+            total = self.index.num_blocks
+            zone: dict = {
+                "blocks_total": total,
+                "blocks_predicted": len(predicted),
+                "selectivity": round(len(predicted) / max(total, 1), 4),
+                # bounded: ids are for inspection, not enumeration
+                "predicted_ids": sorted(predicted)[:64],
+            }
+            if self.cache is not None:
+                cached = set(self.cache.cached_ids())
+                zone["predicted_cached"] = sum(
+                    1 for b in predicted if b in cached
+                )
+            out["zone_map"] = zone
+        return out
+
     # The result cache is for dashboard-sized outputs (aggregates,
     # top-k); anything bigger belongs to the block cache / parquet
     # layer below, not driver memory.

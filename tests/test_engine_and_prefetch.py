@@ -52,6 +52,42 @@ class TestEngineObservation:
             next(iter(idx.by_block[b].values())).access_count == 1 for b in blocks
         )
 
+    def test_explain_reports_both_layers_without_side_effects(
+        self, spark, layout, tmp_path
+    ):
+        out, idx = layout
+        logger = AccessLogger(str(tmp_path / "explain_access.jsonl"))
+        cache = BlockCache(capacity=4)
+        eng = MicroBlockEngine(spark, index=idx, logger=logger, cache=cache)
+        eng.register("lineitem", spark.read.parquet(out))
+        sql = (
+            "SELECT count(*) AS c FROM lineitem"
+            " WHERE l_orderkey BETWEEN 100 AND 200"
+        )
+
+        rep = eng.explain(sql)
+        # physical layer: the filter reaches the scan, plan attached
+        phys = rep["physical"]
+        assert any("l_orderkey" in f for f in phys["pushed_filters"])
+        assert phys["codegen_spans"] >= 1
+        assert "Exchange" in phys["plan"] or phys["exchanges"] >= 0
+        # zone-map layer: narrow key range → real pruning, ids bounded
+        zone = rep["zone_map"]
+        assert 0 < zone["blocks_predicted"] < zone["blocks_total"]
+        assert zone["selectivity"] < 1.0
+        assert len(zone["predicted_ids"]) <= 64
+        assert zone["predicted_cached"] == 0  # cold cache
+        # side-effect-free: no access-log rows, nothing cached
+        assert logger.block_sequence() == []
+        assert len(cache) == 0
+        # temporal predicates prune too (the r7 zone-map fix), through
+        # the same public surface
+        t_rep = eng.explain(
+            "SELECT count(*) AS c FROM lineitem"
+            " WHERE l_shipdate < '1800-01-01'"
+        )
+        assert t_rep["zone_map"]["blocks_predicted"] == 0
+
     def test_result_cache_hit_skips_observation(self, spark, layout, tmp_path):
         """Pins the documented observability decision (engine.py
         query_cached docstring): a result-cache MISS runs the query →

@@ -109,6 +109,8 @@ class TestFullStack:
                 "SELECT count(*) AS c FROM mytable WHERE l_quantity < 10",
                 "SELECT NOT VALID SQL !!",
                 r"\stats",
+                r"\explain SELECT count(*) AS c FROM mytable"
+                r" WHERE l_quantity BETWEEN 18 AND 24",
                 "SELECT max(l_orderkey) AS m FROM mytable "
                 "WHERE l_quantity BETWEEN 18 AND 24",
                 r"\q",
@@ -120,6 +122,7 @@ class TestFullStack:
         assert n == 2                       # two SQL statements ran
         assert any("error:" in o for o in outputs)   # bad SQL survived
         assert any("capacity" in o for o in outputs)  # \stats answered
+        assert any("blocks_predicted" in o for o in outputs)  # \explain
         assert len(engine.logger.block_sequence()) > 0
 
 

@@ -10,7 +10,9 @@ Usage:
     python tools/shell.py <table_path.parquet|microblock_dir> [table_name]
 
 Commands: plain SQL (runs + shows), ``\\stats`` (cache stats),
-``\\blocks <sql>`` (predicted blocks for a WHERE), ``\\q`` to quit.
+``\\blocks <sql>`` (predicted blocks for a WHERE),
+``\\explain <sql>`` (zone-map + physical plan report, runs nothing),
+``\\q`` to quit.
 """
 
 from __future__ import annotations
@@ -46,6 +48,12 @@ def run_shell(engine, input_fn=input, output_fn=print, show_rows: int = 20) -> i
                 continue
             if sql.startswith(r"\blocks "):
                 output_fn(engine.index.predict_blocks_for_sql(sql[8:]))
+                continue
+            if sql.startswith(r"\explain "):
+                rep = engine.explain(sql[9:])
+                plan = rep["physical"].pop("plan")
+                output_fn(rep)
+                output_fn(plan)
                 continue
             df = engine.query(sql)
             output_fn(df.limit(show_rows).toPandas().to_string(index=False))
