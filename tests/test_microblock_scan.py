@@ -198,6 +198,49 @@ class TestCompaction:
                 assert pf.num_row_groups == 1
                 assert pf.metadata.num_rows <= 16
 
+    def test_compact_sort_by_restores_zone_map_locality(
+        self, spark, sf_dir, tmp_path_factory
+    ):
+        """Out-of-order ingests spread every date across every block;
+        compaction with sort_by must restore tight per-block min/max
+        so a narrow window predicts a small candidate set again."""
+        from columnar_database_project_spark.catalog import load_table
+        from columnar_database_project_spark.sources.index import (
+            MicroBlockIndex,
+        )
+        from columnar_database_project_spark.sources.microblock import (
+            MicroBlockWriter,
+            compact_blocks,
+        )
+
+        path = str(tmp_path_factory.mktemp("resort") / "lineitem")
+        li = load_table(spark, sf_dir, "lineitem")
+        # interleaved fragmented ingest: hash-spread tiny blocks
+        MicroBlockWriter(block_rows=200).write(
+            li.repartition(16, "l_orderkey"), path
+        )
+        lo, hi = (
+            li.selectExpr(
+                "CAST(percentile_approx(l_shipdate, 0.45) AS STRING)",
+                "CAST(percentile_approx(l_shipdate, 0.55) AS STRING)",
+            ).first()
+        )
+        sql = f"SELECT * FROM t WHERE l_shipdate BETWEEN '{lo}' AND '{hi}'"
+        frag_idx = MicroBlockIndex.build(path, table_id="t")
+        frag_hit = len(frag_idx.predict_blocks_for_sql(sql))
+        assert frag_hit == frag_idx.num_blocks  # damage: nothing prunes
+
+        n_rows = li.count()
+        report = compact_blocks(
+            spark, path, block_rows=1000, sort_by=["l_shipdate"]
+        )
+        assert report["compacted"] is True
+        idx = MicroBlockIndex.build(path, table_id="t")
+        hit = len(idx.predict_blocks_for_sql(sql))
+        # a ~10% window over a sorted layout touches a small fraction
+        assert hit < idx.num_blocks / 2, (hit, idx.num_blocks)
+        assert spark.read.parquet(path).count() == n_rows
+
     def test_healthy_table_is_left_alone(self, spark, sf_dir, tmp_path_factory):
         from columnar_database_project_spark.catalog import load_table
         from columnar_database_project_spark.sources.microblock import (
