@@ -390,6 +390,94 @@ def bench_layout_pruning(spark, sf_dir: str) -> dict:
     return out
 
 
+def bench_bloom_pruning(spark, sf_dir: str) -> dict:
+    """Bloom-sidecar point-lookup pruning, measured — the pruning case
+    zone maps CANNOT cover: ``doc_id = X`` on a hash-distributed
+    layout, where every block's [min, max] straddles any mid-domain
+    key. Three numbers: blocks predicted zone-only vs zone+bloom
+    (the 100 TB scan-cost ratio), and wall clock of the full-layout
+    scan vs reading only the bloom's candidate block files — the plan
+    a block-granular scheduler would actually run. Lookup keys are
+    decile mid-domain doc_ids, so the numbers are an average over the
+    key range, not one lucky block."""
+    from pyspark.sql import functions as F
+
+    from columnar_database_project_spark.catalog import load_table
+    from columnar_database_project_spark.plans.predicate import Cmp
+    from columnar_database_project_spark.sources.bloom import (
+        BlockBloomIndex,
+        build_bloom_index,
+    )
+    from columnar_database_project_spark.sources.index import MicroBlockIndex
+    from columnar_database_project_spark.sources.microblock import (
+        MicroBlockWriter,
+    )
+
+    base = os.path.join(REPO, ".bench_data", "bloom_pruning")
+    layout = os.path.join(base, "docs")
+    src = os.path.join(sf_dir, "documents.parquet")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    marker = os.path.join(base, "_built")
+    if not os.path.exists(marker) or os.path.getmtime(src) > os.path.getmtime(
+        marker
+    ):
+        n = docs.count()
+        MicroBlockWriter(block_rows=max(1024, n // 64)).write(
+            docs.repartition(64, "doc_id"), layout
+        )
+        build_bloom_index(spark, layout, ["doc_id"]).save(layout)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    t0 = time.time()
+    blooms = BlockBloomIndex.load(layout)
+    idx = MicroBlockIndex.build(layout, table_id="documents")
+    idx.attach_blooms(blooms)
+    index_load_sec = round(time.time() - t0, 3)
+    keys = [
+        int(q)
+        for q in docs.approxQuantile(
+            "doc_id", [i / 10 + 0.05 for i in range(10)], 0.0
+        )
+    ]
+    zone_hits, bloom_hits, cand_files = 0, 0, []
+    for key in keys:
+        pred = Cmp("=", "doc_id", key)
+        zone_hits += len(idx.candidate_blocks(pred, use_blooms=False))
+        cands = idx.candidate_blocks(pred)
+        bloom_hits += len(cands)
+        cand_files.append([idx.block_file(b) for b in cands])
+    full = spark.read.parquet(layout)
+    rows_full = rows_bloom = 0
+    sec_full = sec_bloom = float("inf")
+    for _ in range(RUNS_PER_QUERY):
+        t0 = time.time()
+        rows_full = sum(
+            full.filter(F.col("doc_id") == k).count() for k in keys
+        )
+        sec_full = min(sec_full, time.time() - t0)
+        t0 = time.time()
+        rows_bloom = sum(
+            spark.read.parquet(*files).filter(F.col("doc_id") == k).count()
+            if files
+            else 0
+            for k, files in zip(keys, cand_files)
+        )
+        sec_bloom = min(sec_bloom, time.time() - t0)
+    assert rows_full == rows_bloom, "bloom candidate scan lost rows"
+    return {
+        "lookups": len(keys),
+        "blocks_total": idx.num_blocks,
+        "blocks_hit_zone_only": zone_hits,
+        "blocks_hit_bloom": bloom_hits,
+        "block_hit_ratio": round(bloom_hits / max(1, zone_hits), 4),
+        "sec_full_scan": round(sec_full, 3),
+        "sec_bloom_scan": round(sec_bloom, 3),
+        "speedup": round(sec_full / sec_bloom, 2) if sec_bloom else None,
+        "index_load_sec": index_load_sec,
+        "rows_matched": int(rows_full),
+    }
+
+
 def bench_ivf_recall(spark, sf_dir: str) -> dict:
     """IVF ANN quality at the LARGEST bench scale: the full
     recall@10-vs-probe-count curve (one scan via
@@ -888,6 +976,11 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover - defensive
         print(f"WARN: layout_pruning failed ({exc!r})", file=sys.stderr)
         layout_pruning = {"error": repr(exc)}
+    try:
+        bloom_pruning = bench_bloom_pruning(spark, sf_dir)
+    except Exception as exc:  # pragma: no cover - defensive
+        print(f"WARN: bloom_pruning failed ({exc!r})", file=sys.stderr)
+        bloom_pruning = {"error": repr(exc)}
     scaling = {}
     sf2_dir = os.environ.get("SPARK_GRAFT_SF2_DIR", "/root/testdata/sf0.01")
     # Third scaling point ABOVE the primary SF: a 5× key-offset replica
@@ -1010,6 +1103,7 @@ def main() -> None:
         "prefetch_ab": prefetch_ab,
         "orc_vs_parquet": orc_scan,
         "layout_pruning": layout_pruning,
+        "bloom_pruning": bloom_pruning,
         "scaling": scaling,
         # sampled before the headline section and again after the
         # at-scale section: a ballooned end-sample flags that the

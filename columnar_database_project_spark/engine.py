@@ -475,6 +475,17 @@ class MicroBlockEngine:
                 # bounded: ids are for inspection, not enumeration
                 "predicted_ids": sorted(predicted)[:64],
             }
+            if self.index.blooms is not None:
+                # breakdown: how much of the pruning is the Bloom
+                # sidecar's (point lookups) vs the zone maps' (ranges)
+                from columnar_database_project_spark.plans.sql_where import (
+                    extract_where,
+                )
+
+                zone_only = self.index.candidate_blocks(
+                    extract_where(sql), use_blooms=False
+                )
+                zone["blocks_predicted_zone_only"] = len(zone_only)
             if self.cache is not None:
                 cached = set(self.cache.cached_ids())
                 zone["predicted_cached"] = sum(

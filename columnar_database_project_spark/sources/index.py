@@ -99,6 +99,9 @@ class MicroBlockIndex:
         self.by_block: dict[int, dict[str, BlockMetadata]] = {}
         self._block_rows: dict[int, tuple[str, int, int, int]] = {}
         self._lock = threading.Lock()
+        # optional per-block Bloom sidecar (sources/bloom.py): refines
+        # candidate_blocks for = / IN where min/max is wide-open
+        self.blooms = None
 
     # ------------------------------------------------------------- build
     @classmethod
@@ -188,19 +191,44 @@ class MicroBlockIndex:
         return lo, hi
 
     # ----------------------------------------------------------- pruning
-    def candidate_blocks(self, pred: Pred) -> list[int]:
-        """Three-valued zone-map evaluation per block → candidates.
+    def attach_blooms(self, blooms) -> None:
+        """Attach a ``BlockBloomIndex`` sidecar: from here on,
+        ``candidate_blocks`` intersects zone-map MAYBEs with the
+        per-block Bloom answer for = / IN predicates — the point-lookup
+        case where every hash-distributed block's [min, max] spans the
+        key domain and zone maps alone predict everything."""
+        self.blooms = blooms
+
+    def candidate_blocks(self, pred: Pred, use_blooms: bool = True) -> list[int]:
+        """Three-valued zone-map evaluation per block → candidates,
+        refined by the Bloom sidecar when one is attached (candidate
+        iff BOTH layers say MAYBE — each alone is sound, so the
+        intersection is).
 
         Adopts v3 semantics for the empty case — an empty candidate
         list means a provably-empty result, NOT scan-everything
         (reference v5 regressed this: query_enginev5.py:93-95 vs
         query_enginev3.py:212-213; SURVEY §2.5.2).
+
+        ``use_blooms=False`` gives the zone-map-only answer for A/B
+        accounting (bench_bloom_pruning; ``engine.explain``'s
+        breakdown).
         """
-        return [
-            bid
-            for bid in sorted(self.by_block)
-            if pred.may_match(self.stats_for_block(bid))
-        ]
+        out = []
+        blooms = self.blooms if use_blooms else None
+        if blooms is not None:
+            from columnar_database_project_spark.sources.bloom import (
+                bloom_may_match,
+            )
+        for bid in sorted(self.by_block):
+            if not pred.may_match(self.stats_for_block(bid)):
+                continue
+            if blooms is not None and not bloom_may_match(
+                pred, blooms, self.block_file(bid)
+            ):
+                continue
+            out.append(bid)
+        return out
 
     def predict_blocks_for_sql(self, sql: str) -> list[int]:
         """WHERE-clause extraction + pruning prediction for a SQL text

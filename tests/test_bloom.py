@@ -1,0 +1,239 @@
+"""Bloom-filter sidecar (sources/bloom.py): hashing determinism and
+soundness, distributed build, zone-map composition, persistence, and
+the e2e point-lookup pruning the sidecar exists for."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from columnar_database_project_spark.plans.predicate import And, Cmp, InList, Or
+from columnar_database_project_spark.sources.bloom import (
+    BlockBloomIndex,
+    _canon,
+    _params,
+    _set_bits,
+    _test_bits,
+    bloom_may_match,
+    build_bloom_index,
+)
+from columnar_database_project_spark.sources.index import MicroBlockIndex
+from columnar_database_project_spark.sources.microblock import (
+    MicroBlockWriter,
+    read_block,
+)
+
+
+# ------------------------------------------------------------- unit layer
+class TestCanon:
+    def test_type_tags_never_collide(self):
+        assert _canon(5) != _canon("5")
+        assert _canon(1) != _canon(True)
+        assert _canon("") is not None
+
+    def test_numeric_canonicalization(self):
+        # SQL `id = 5` must hit a DOUBLE column storing 5.0
+        assert _canon(5) == _canon(5.0)
+        assert _canon(np.int64(5)) == _canon(5)
+        assert _canon(np.float64(5.0)) == _canon(5)
+        assert _canon(5.5) != _canon(5)
+
+    def test_null_and_nan_unencodable(self):
+        assert _canon(None) is None
+        assert _canon(float("nan")) is None
+
+
+class TestBitmapRoundtrip:
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(
+                st.integers(min_value=-(2**62), max_value=2**62),
+                st.text(max_size=40),
+            ),
+            min_size=1,
+            max_size=200,
+        )
+    )
+    def test_no_false_negatives(self, values):
+        m, k = _params(max(len(values), 1), 0.01)
+        bm = np.zeros(m // 8, dtype=np.uint8)
+        _set_bits(bm, m, k, values)
+        for v in values:
+            assert _test_bits(bm, m, k, _canon(v))
+
+    def test_fpr_within_budget(self):
+        n = 16_384
+        m, k = _params(n, 0.01)
+        bm = np.zeros(m // 8, dtype=np.uint8)
+        rng = np.random.default_rng(7)
+        present = rng.choice(10**9, size=n, replace=False)
+        _set_bits(bm, m, k, present.tolist())
+        absent = present + 10**9  # disjoint by construction
+        fp = sum(
+            _test_bits(bm, m, k, _canon(int(v))) for v in absent[:4000]
+        )
+        # 1% target; allow 3x for sampling noise
+        assert fp / 4000 < 0.03
+
+
+# -------------------------------------------------------- distributed build
+@pytest.fixture(scope="module")
+def bloom_table(spark, sf_dir, tmp_path_factory):
+    """documents hash-distributed on doc_id — the zone-map-blind
+    layout — in 16 small blocks, with blooms on doc_id and lang."""
+    from columnar_database_project_spark.catalog import load_table
+
+    path = str(tmp_path_factory.mktemp("bloomtab") / "docs")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    n = docs.count()
+    MicroBlockWriter(block_rows=max(64, n // 16)).write(
+        docs.repartition(16, "doc_id"), path
+    )
+    blooms = build_bloom_index(spark, path, ["doc_id", "lang"])
+    idx = MicroBlockIndex.build(path, table_id="documents")
+    # a MID-domain key: every hash-distributed block's [min, max]
+    # straddles it, so zone maps alone cannot prune — the case the
+    # bloom exists for (an edge-of-domain key like the global min is
+    # range-prunable and would understate the zone-map blindness)
+    probe_id = int(docs.approxQuantile("doc_id", [0.5], 0.0)[0])
+    if docs.filter(f"doc_id = {probe_id}").count() != 1:
+        probe_id = int(
+            docs.filter(f"doc_id >= {probe_id}").agg({"doc_id": "min"}).first()[0]
+        )
+    return path, idx, blooms, n, probe_id
+
+
+class TestBuild:
+    def test_one_bitmap_per_block_file_per_column(self, bloom_table):
+        path, idx, blooms, _n, _pid = bloom_table
+        files = {os.path.basename(idx.block_file(b)) for b in idx.by_block}
+        assert {f for f, _c in blooms.bitmaps} == files
+        assert {c for _f, c in blooms.bitmaps} == {"doc_id", "lang"}
+
+    def test_every_stored_key_is_maybe_present(self, spark, bloom_table):
+        """Zero false negatives against the actual data: every doc_id
+        is 'maybe' in the block file that holds it."""
+        path, idx, blooms, _n, _pid = bloom_table
+        for bid in sorted(idx.by_block)[:4]:
+            pdf = read_block(spark, idx, bid).select("doc_id").toPandas()
+            f = idx.block_file(bid)
+            assert all(
+                blooms.might_contain(f, "doc_id", int(d))
+                for d in pdf["doc_id"]
+            )
+
+    def test_point_lookup_prunes_most_blocks(self, spark, bloom_table):
+        path, idx, blooms, n, probe_id = bloom_table
+        probe = Cmp("=", "doc_id", probe_id)
+        zone_only = idx.candidate_blocks(probe)
+        # mid-domain key: zone maps leave most blocks as candidates
+        assert len(zone_only) >= idx.num_blocks // 2
+        idx.attach_blooms(blooms)
+        try:
+            refined = idx.candidate_blocks(probe)
+            # 16 blocks, 1% FPR → overwhelmingly 1 hit; allow an fp
+            assert 1 <= len(refined) <= 3
+            assert len(refined) < len(zone_only)
+            # soundness: the surviving candidates contain the row
+            found = sum(
+                read_block(spark, idx, b)
+                .filter(f"doc_id = {probe_id}")
+                .count()
+                for b in refined
+            )
+            assert found == 1
+        finally:
+            idx.attach_blooms(None)
+
+    def test_absent_key_prunes_everything_or_fp(self, bloom_table):
+        path, idx, blooms, n, probe_id = bloom_table
+        idx.attach_blooms(blooms)
+        try:
+            refined = idx.candidate_blocks(Cmp("=", "doc_id", 10**12))
+            assert len(refined) <= 1  # provably-empty (v3 semantics) ± one fp
+        finally:
+            idx.attach_blooms(None)
+
+
+# ----------------------------------------------------------- pred algebra
+class TestPredicateComposition:
+    def test_and_narrows_or_widens(self, bloom_table):
+        path, idx, blooms, _n, _pid = bloom_table
+        f = idx.block_file(sorted(idx.by_block)[0])
+        hit = Cmp("=", "doc_id", 1)
+        # find a doc_id the first block provably lacks
+        miss_val = next(
+            v
+            for v in range(10**12, 10**12 + 50)
+            if not blooms.might_contain(f, "doc_id", v)
+        )
+        miss = Cmp("=", "doc_id", miss_val)
+        assert bloom_may_match(Or(hit, miss), blooms, f) == bloom_may_match(
+            hit, blooms, f
+        )
+        assert bloom_may_match(And(hit, miss), blooms, f) is False
+        assert bloom_may_match(
+            InList("doc_id", (miss_val, miss_val + 1000)), blooms, f
+        ) in (False, True)  # decidable either way, never raises
+
+    def test_uncovered_column_and_ranges_stay_maybe(self, bloom_table):
+        path, idx, blooms, _n, _pid = bloom_table
+        f = idx.block_file(sorted(idx.by_block)[0])
+        assert bloom_may_match(Cmp("=", "text", "zzz"), blooms, f) is True
+        assert bloom_may_match(Cmp(">", "doc_id", 10**12), blooms, f) is True
+
+    def test_null_equality_is_provably_empty(self, bloom_table):
+        path, idx, blooms, _n, _pid = bloom_table
+        f = idx.block_file(sorted(idx.by_block)[0])
+        assert bloom_may_match(Cmp("=", "doc_id", None), blooms, f) is False
+
+
+# ------------------------------------------------------------ persistence
+class TestSidecar:
+    def test_save_load_roundtrip_and_spark_invisibility(
+        self, spark, bloom_table
+    ):
+        path, idx, blooms, n, probe_id = bloom_table
+        before = spark.read.parquet(path).count()
+        blooms.save(path)
+        loaded = BlockBloomIndex.load(path)
+        assert (loaded.m, loaded.k, loaded.columns) == (
+            blooms.m,
+            blooms.k,
+            blooms.columns,
+        )
+        f = idx.block_file(sorted(idx.by_block)[0])
+        assert loaded.might_contain(f, "doc_id", 1) == blooms.might_contain(
+            f, "doc_id", 1
+        )
+        # the sidecar is invisible to Spark's listing AND to the
+        # footer-index builder
+        assert spark.read.parquet(path).count() == before
+        assert MicroBlockIndex.build(path).num_blocks == idx.num_blocks
+
+
+# ------------------------------------------------------------ engine e2e
+class TestEngineExplain:
+    def test_explain_reports_bloom_breakdown(self, spark, bloom_table):
+        from columnar_database_project_spark.engine import MicroBlockEngine
+
+        path, idx, blooms, _n, _pid = bloom_table
+        idx.attach_blooms(blooms)
+        try:
+            eng = MicroBlockEngine(spark, index=idx)
+            eng.register("bloom_docs", spark.read.parquet(path))
+            rep = eng.explain(
+                f"SELECT count(*) FROM bloom_docs WHERE doc_id = {_pid}"
+            )
+            z = rep["zone_map"]
+            assert z["blocks_predicted_zone_only"] >= z["blocks_total"] // 2
+            assert z["blocks_predicted"] <= 3
+        finally:
+            idx.attach_blooms(None)
