@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -475,6 +476,104 @@ def bench_bloom_pruning(spark, sf_dir: str) -> dict:
         "speedup": round(sec_full / sec_bloom, 2) if sec_bloom else None,
         "index_load_sec": index_load_sec,
         "rows_matched": int(rows_full),
+    }
+
+
+def bench_cow_dml(spark, sf_dir: str) -> dict:
+    """Directory-granular vs block-granular (CoW) DML, measured: the
+    same selective DELETE (a ~5% shipdate window on a shipdate-sorted
+    64-block lineitem layout) through (a) the full-rewrite
+    SnapshotStore verb and (b) the ManifestStore CoW verb that carries
+    zone-map-provably-untouched blocks by reference. Three facts per
+    path: wall clock, files written, bytes written. At 100 TB the
+    bytes-written ratio IS the op cost ratio — the full rewrite moves
+    the table, CoW moves the change."""
+    import glob as _glob
+
+    from columnar_database_project_spark.catalog import load_table
+    from columnar_database_project_spark.engine import MicroBlockEngine
+    from columnar_database_project_spark.sources.microblock import (
+        MicroBlockWriter,
+    )
+    from columnar_database_project_spark.storage.cow import (
+        delete_where_cow,
+        init_manifest_table,
+    )
+    from columnar_database_project_spark.storage.manifests import ManifestStore
+    from columnar_database_project_spark.storage.snapshots import SnapshotStore
+
+    base = os.path.join(REPO, ".bench_data", "cow_dml")
+    if os.path.isdir(base):
+        shutil.rmtree(base)  # DML mutates state — every run starts clean
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.count()
+    block_rows = max(4096, n // 64)
+    lo, hi = (
+        li.selectExpr(
+            "CAST(percentile_approx(l_shipdate, 0.475) AS STRING) AS lo",
+            "CAST(percentile_approx(l_shipdate, 0.525) AS STRING) AS hi",
+        )
+        .first()
+        .asDict()
+        .values()
+    )
+    pred = f"l_shipdate BETWEEN '{lo}' AND '{hi}'"
+    sorted_li = li.orderBy("l_shipdate").coalesce(8)
+
+    def _tree_bytes(path: str) -> int:
+        return sum(
+            os.path.getsize(p)
+            for p in _glob.glob(os.path.join(path, "**"), recursive=True)
+            if os.path.isfile(p)
+        )
+
+    # (a) full rewrite through the directory-granular store
+    sstore = SnapshotStore(os.path.join(base, "snap"))
+    eng = MicroBlockEngine(spark)
+    v0, dst0 = sstore.stage_next()
+    MicroBlockWriter(block_rows=block_rows).write(sorted_li, dst0)
+    sstore.commit(v0)
+    eng.register("cow_li", spark.read.parquet(dst0))
+    t0 = time.time()
+    rep_full = eng.delete_versioned("cow_li", pred, sstore)
+    sec_full = time.time() - t0
+    full_dir = sstore.path_for(rep_full["version"])
+    full_files = len(
+        [f for f in os.listdir(full_dir) if not f.endswith((".crc",)) and f != "_SUCCESS"]
+    )
+    full_bytes = _tree_bytes(full_dir)
+
+    # (b) CoW through the manifest store (same layout, same predicate)
+    mstore = ManifestStore(os.path.join(base, "mani"))
+    init_manifest_table(spark, mstore, sorted_li, block_rows=block_rows)
+    t0 = time.time()
+    rep_cow = delete_where_cow(spark, mstore, pred, block_rows=block_rows)
+    sec_cow = time.time() - t0
+    cow_stage = os.path.join(mstore.root, "data", f"c{rep_cow['version']:06d}")
+    cow_bytes = _tree_bytes(cow_stage) if os.path.isdir(cow_stage) else 0
+
+    assert rep_full["deleted"] == rep_cow["deleted"], "verbs disagree"
+    assert (
+        mstore.read(spark).count() == eng.table("cow_li").count()
+    ), "post-DML row counts diverged"
+    return {
+        "rows": n,
+        "deleted": rep_cow["deleted"],
+        "predicate_window": [lo, hi],
+        "blocks_total": rep_cow["blocks_total"],
+        "full_rewrite": {
+            "sec": round(sec_full, 3),
+            "files_written": full_files,
+            "mb_written": round(full_bytes / 1e6, 1),
+        },
+        "cow": {
+            "sec": round(sec_cow, 3),
+            "files_rewritten": rep_cow["files_rewritten"],
+            "files_carried": rep_cow["files_carried"],
+            "mb_written": round(cow_bytes / 1e6, 1),
+        },
+        "bytes_ratio": round(cow_bytes / max(1, full_bytes), 4),
+        "speedup": round(sec_full / sec_cow, 2) if sec_cow else None,
     }
 
 
@@ -981,6 +1080,11 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover - defensive
         print(f"WARN: bloom_pruning failed ({exc!r})", file=sys.stderr)
         bloom_pruning = {"error": repr(exc)}
+    try:
+        cow_dml = bench_cow_dml(spark, sf_dir)
+    except Exception as exc:  # pragma: no cover - defensive
+        print(f"WARN: cow_dml failed ({exc!r})", file=sys.stderr)
+        cow_dml = {"error": repr(exc)}
     scaling = {}
     sf2_dir = os.environ.get("SPARK_GRAFT_SF2_DIR", "/root/testdata/sf0.01")
     # Third scaling point ABOVE the primary SF: a 5× key-offset replica
@@ -1104,6 +1208,7 @@ def main() -> None:
         "orc_vs_parquet": orc_scan,
         "layout_pruning": layout_pruning,
         "bloom_pruning": bloom_pruning,
+        "cow_dml": cow_dml,
         "scaling": scaling,
         # sampled before the headline section and again after the
         # at-scale section: a ballooned end-sample flags that the

@@ -397,6 +397,48 @@ class MicroBlockEngine:
         report["version"] = v
         return report
 
+    # --------------------------------------------- block-granular CoW DML
+    # The versioned verbs above rewrite the WHOLE table per op
+    # (directory-granular snapshots). These rewrite only the blocks the
+    # zone-map/Bloom triage cannot prove untouched — change-
+    # proportional IO, the at-scale DML path (storage/cow.py).
+
+    def delete_where_cow(self, name: str, predicate, mstore, **kw) -> dict:
+        from columnar_database_project_spark.storage.cow import (
+            delete_where_cow,
+        )
+
+        report = delete_where_cow(self.spark, mstore, predicate, **kw)
+        self.register(name, mstore.read(self.spark))
+        return report
+
+    def update_where_cow(
+        self, name: str, predicate, assignments: dict, mstore, **kw
+    ) -> dict:
+        from columnar_database_project_spark.storage.cow import (
+            update_where_cow,
+        )
+
+        report = update_where_cow(
+            self.spark, mstore, predicate, assignments, **kw
+        )
+        self.register(name, mstore.read(self.spark))
+        return report
+
+    def merge_cow(self, name: str, updates, key: str, mstore, **kw) -> dict:
+        from columnar_database_project_spark.storage.cow import merge_cow
+
+        report = merge_cow(self.spark, mstore, updates, key, **kw)
+        self.register(name, mstore.read(self.spark))
+        return report
+
+    def time_travel_cow(self, name: str, mstore, version: int | None = None):
+        """Register (and return) ``name`` as of a manifest version —
+        resolving a manifest is metadata-only, like ``time_travel``."""
+        df = mstore.read(self.spark, version)
+        self.register(name, df)
+        return df
+
     def compact(self, name: str, path: str, **kw) -> dict:
         """Compact a registered table's microblock directory (see
         ``sources.microblock.compact_blocks``) and refresh the

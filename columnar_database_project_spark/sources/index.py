@@ -119,7 +119,6 @@ class MicroBlockIndex:
         (stripe/row-index stats, asserted in
         tests/test_plan_verify.py::TestOrcPushdown).
         """
-        idx = cls(table_id=table_id)
         files = sorted(glob.glob(os.path.join(path, "*.parquet"))) if os.path.isdir(
             path
         ) else [path]
@@ -130,6 +129,18 @@ class MicroBlockIndex:
                 for p in glob.glob(os.path.join(path, "part-*"))
                 if not p.endswith((".crc", "_SUCCESS"))
             )
+        return cls.build_from_files(files, table_id=table_id)
+
+    @classmethod
+    def build_from_files(
+        cls, files: list[str], table_id: str = "t1"
+    ) -> "MicroBlockIndex":
+        """Index an explicit block-file list — the manifest-store path
+        (storage/manifests.py), where a snapshot IS a file list, not a
+        directory. Sorted for the same deterministic block-id
+        assignment as ``build``."""
+        idx = cls(table_id=table_id)
+        files = sorted(files)
         block_id = 0
         row_cursor = 0
         for f in files:

@@ -1,0 +1,259 @@
+"""Block-granular copy-on-write DML over a ManifestStore.
+
+The engine's directory-granular DML verbs (engine.delete_where /
+update_where / merge_into) rewrite the WHOLE table per op — correct,
+but the cost scales with table size. These verbs scale with CHANGE
+size: the zone-map index (plus the Bloom sidecar when attached) triages
+every block of the current manifest into
+
+- **carried** — the predicate PROVABLY matches no row (three-valued
+  may_match == False): the block file enters the next manifest by
+  reference, zero bytes moved;
+- **touched** — everything else: read, rewritten without/with the
+  change, the new files replace them in the manifest.
+
+Soundness is inherited from the pruning layer: may_match == False is a
+proof (tests/test_differential_fuzz.py fuzzes it; the Bloom layer's
+no-false-negative property is tests/test_bloom.py), so a carried block
+is byte-identical to what a full rewrite would have produced for it.
+A predicate outside the WHERE grammar parses to TruePred → every block
+is touched → behavior degrades to the full rewrite, never to a wrong
+answer.
+
+At 100 TB this is the difference between moving 100 TB per DELETE and
+moving the few blocks a selective predicate lands on — the reason
+Iceberg/Delta exist. Measured in bench.py::bench_cow_dml.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from columnar_database_project_spark.plans.predicate import (
+    InList,
+    Pred,
+    TruePred,
+)
+from columnar_database_project_spark.plans.sql_where import (
+    WhereParseError,
+    parse_where,
+)
+from columnar_database_project_spark.sources.index import MicroBlockIndex
+from columnar_database_project_spark.sources.microblock import MicroBlockWriter
+from columnar_database_project_spark.storage.manifests import (
+    ManifestStore,
+    list_block_files,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame, SparkSession
+
+# MERGE key-triage guard: above this many distinct update keys the
+# IN-list predicate (and its driver-side collect) stops being control-
+# plane sized and the op is a backfill — rewrite everything instead.
+MERGE_POINT_KEYS_MAX = 100_000
+
+
+def _pred_of(predicate) -> Pred:
+    """Boolean SQL string → Pred; outside the grammar → TruePred
+    (sound: every block becomes touched)."""
+    if isinstance(predicate, Pred):
+        return predicate
+    try:
+        return parse_where(str(predicate))
+    except WhereParseError:
+        return TruePred()
+
+
+def _triage(
+    files: list[str], pred: Pred, table_id: str, blooms=None
+) -> tuple[list[str], list[str], int]:
+    """(touched_files, carried_files, blocks_total): a FILE is touched
+    if any of its blocks may match (multi-row-group files are
+    file-granular here — the rewrite unit is the file)."""
+    idx = MicroBlockIndex.build_from_files(files, table_id=table_id)
+    if blooms is not None:
+        idx.attach_blooms(blooms)
+    touched = {idx.block_file(b) for b in idx.candidate_blocks(pred)}
+    carried = [f for f in files if f not in touched]
+    return sorted(touched), carried, idx.num_blocks
+
+
+def _cond(predicate):
+    from pyspark.sql import functions as F
+
+    return F.expr(predicate) if isinstance(predicate, str) else predicate
+
+
+def delete_where_cow(
+    spark: "SparkSession",
+    store: ManifestStore,
+    predicate: str,
+    block_rows: int | None = None,
+    blooms=None,
+) -> dict:
+    """DELETE with block-granular rewrite. SQL semantics: only
+    predicate-TRUE rows are removed (NULL keeps). Returns the op
+    report incl. the IO-proportionality facts (files_rewritten /
+    files_carried) the at-scale claim rests on."""
+    from pyspark.sql import functions as F
+
+    pred = _pred_of(predicate)
+    files = store.files_for()
+    touched, carried, n_blocks = _triage(files, pred, "cow_delete", blooms)
+    v, stage = store.stage_next()
+    new_files: list[str] = []
+    deleted = 0
+    if touched:
+        before = spark.read.parquet(*touched)
+        cond = F.coalesce(_cond(predicate), F.lit(False))
+        kept = before.filter(~cond)
+        deleted = before.count() - kept.count()
+        writer = (
+            MicroBlockWriter(block_rows=block_rows)
+            if block_rows
+            else MicroBlockWriter()
+        )
+        writer.write(kept, stage)
+        new_files = list_block_files(stage)
+    store.commit(v, new_files, carried, store.schema_json())
+    return {
+        "version": v,
+        "deleted": deleted,
+        "blocks_total": n_blocks,
+        "files_rewritten": len(touched),
+        "files_carried": len(carried),
+    }
+
+
+def update_where_cow(
+    spark: "SparkSession",
+    store: ManifestStore,
+    predicate: str,
+    assignments: dict,
+    block_rows: int | None = None,
+    blooms=None,
+) -> dict:
+    """UPDATE ... SET with block-granular rewrite. Assignment results
+    are CAST back to the column's current type: carried blocks keep
+    the old schema by construction, so a type-widening assignment must
+    not fork the manifest's schema across files."""
+    from pyspark.sql import functions as F
+
+    pred = _pred_of(predicate)
+    files = store.files_for()
+    touched, carried, n_blocks = _triage(files, pred, "cow_update", blooms)
+    v, stage = store.stage_next()
+    new_files: list[str] = []
+    updated = 0
+    if touched:
+        target = spark.read.parquet(*touched)
+        unknown = set(assignments) - set(target.columns)
+        if unknown:
+            raise ValueError(f"update_where_cow: unknown columns {sorted(unknown)}")
+        cond = F.coalesce(_cond(predicate), F.lit(False))
+        types = dict(target.dtypes)
+        cols = []
+        for c in target.columns:
+            if c in assignments:
+                a = assignments[c]
+                expr = F.expr(a) if isinstance(a, str) else a
+                cols.append(
+                    F.when(cond, expr.cast(types[c]))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                )
+            else:
+                cols.append(F.col(c))
+        updated = target.filter(cond).count()
+        writer = (
+            MicroBlockWriter(block_rows=block_rows)
+            if block_rows
+            else MicroBlockWriter()
+        )
+        writer.write(target.select(*cols), stage)
+        new_files = list_block_files(stage)
+    store.commit(v, new_files, carried, store.schema_json())
+    return {
+        "version": v,
+        "updated": updated,
+        "blocks_total": n_blocks,
+        "files_rewritten": len(touched),
+        "files_carried": len(carried),
+    }
+
+
+def merge_cow(
+    spark: "SparkSession",
+    store: ManifestStore,
+    updates: "DataFrame",
+    key: str,
+    block_rows: int | None = None,
+    blooms=None,
+    max_point_keys: int = MERGE_POINT_KEYS_MAX,
+) -> dict:
+    """MERGE/upsert with block-granular rewrite: only blocks whose
+    key zone range (∧ Bloom, when attached) can contain an update key
+    are anti-joined; the update rows land as NEW blocks; everything
+    else is carried by reference.
+
+    Key triage is an IN-list over the updates' distinct keys —
+    control-plane sized up to ``max_point_keys``; above that the op is
+    a backfill and every block is touched (TruePred), which is also
+    the sound fallback for a key batch too large to enumerate."""
+    target_cols = set(spark.read.parquet(store.files_for()[0]).columns) if store.files_for() else set(updates.columns)
+    if set(updates.columns) != target_cols:
+        raise ValueError(
+            f"merge_cow: updates columns {sorted(updates.columns)} "
+            f"!= target columns {sorted(target_cols)}"
+        )
+    n_keys = updates.select(key).distinct().count()
+    if n_keys > max_point_keys:
+        pred: Pred = TruePred()
+    else:
+        keys = [r[0] for r in updates.select(key).distinct().collect()]
+        pred = InList(key, tuple(keys)) if keys else TruePred()
+    files = store.files_for()
+    touched, carried, n_blocks = _triage(files, pred, "cow_merge", blooms)
+    v, stage = store.stage_next()
+    if touched:
+        survivors = spark.read.parquet(*touched).join(
+            updates.select(key), on=key, how="left_anti"
+        )
+        out = survivors.unionByName(updates)
+    else:
+        out = updates
+    writer = (
+        MicroBlockWriter(block_rows=block_rows)
+        if block_rows
+        else MicroBlockWriter()
+    )
+    writer.write(out, stage)
+    new_files = list_block_files(stage)
+    store.commit(v, new_files, carried, store.schema_json())
+    return {
+        "version": v,
+        "update_rows": updates.count(),
+        "update_keys": n_keys,
+        "blocks_total": n_blocks,
+        "files_rewritten": len(touched),
+        "files_carried": len(carried),
+    }
+
+
+def init_manifest_table(
+    spark: "SparkSession",
+    store: ManifestStore,
+    df: "DataFrame",
+    block_rows: int | None = None,
+) -> dict:
+    """Version 1: materialize ``df`` as the store's initial manifest."""
+    v, stage = store.stage_next()
+    writer = (
+        MicroBlockWriter(block_rows=block_rows)
+        if block_rows
+        else MicroBlockWriter()
+    )
+    writer.write(df, stage)
+    store.commit(v, list_block_files(stage), [], df.schema.json())
+    return {"version": v, "files": len(store.files_for(v))}

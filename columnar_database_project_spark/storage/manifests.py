@@ -1,0 +1,226 @@
+"""ManifestStore — file-granular snapshots: a version IS a file list.
+
+``SnapshotStore`` (storage/snapshots.py) versions whole DIRECTORIES:
+every DML op rewrites the entire table, even a DELETE that touches one
+block. That is correct but scales with TABLE size, not CHANGE size —
+at 100 TB a selective delete must not move 100 TB. This store records
+each version as a MANIFEST (an explicit list of immutable block
+files), so a copy-on-write op writes only the blocks it changes and
+carries every untouched block BY REFERENCE into the next manifest —
+zero IO for the unchanged 99%. This is the core Iceberg/Delta design
+(snapshot = manifest of data files; commit = atomic pointer swap),
+scaled down to a single JSON per version.
+
+Layout:
+
+    <root>/data/c<version>/part-*.parquet   immutable block files,
+                                            grouped by the commit that
+                                            created them
+    <root>/_manifests/m<version>.json       {"version", "files"
+                                            (root-relative), "schema"}
+    <root>/_manifest.json                   {"versions": [...]} head
+                                            log, atomic os.replace swap
+
+Crash story (same discipline as SnapshotStore): a crash mid-write
+leaves data files and possibly an m*.json that the head log never
+names — invisible to readers, reclaimed by ``vacuum``. Readers resolve
+head log → manifest → files; never directory listings.
+
+``vacuum`` is reference-counted: a block file created by commit 3 may
+be referenced by manifests 3..9, so files are deleted only when NO
+surviving manifest names them — the part directory-granular retention
+cannot express.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame, SparkSession
+
+
+def list_block_files(path: str) -> list[str]:
+    """The data files of one Spark-written directory (sorted; crc /
+    _SUCCESS / hidden sidecars excluded)."""
+    out = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    if not out:
+        out = sorted(
+            p
+            for p in glob.glob(os.path.join(path, "part-*"))
+            if not p.endswith((".crc", "_SUCCESS"))
+        )
+    return out
+
+
+class ManifestStore:
+    """Commit log over file-list manifests."""
+
+    HEAD = "_manifest.json"
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+
+    # ------------------------------------------------------------- head log
+    def _head_path(self) -> str:
+        return os.path.join(self.root, self.HEAD)
+
+    def versions(self) -> list[int]:
+        try:
+            with open(self._head_path()) as fh:
+                return sorted(json.load(fh)["versions"])
+        except (OSError, ValueError, KeyError):
+            return []
+
+    def latest(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _write_head(self, versions: list[int]) -> None:
+        tmp = self._head_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"versions": sorted(versions)}, fh)
+        os.replace(tmp, self._head_path())
+
+    # ------------------------------------------------------------ manifests
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, "_manifests", f"m{version:06d}.json")
+
+    def _read_manifest(self, version: int) -> dict:
+        if version not in self.versions():
+            raise ValueError(f"version {version!r} not committed")
+        with open(self._manifest_path(version)) as fh:
+            return json.load(fh)
+
+    def files_for(self, version: int | None = None) -> list[str]:
+        """Absolute block-file paths of a committed version (default
+        latest)."""
+        v = self.latest() if version is None else version
+        if v is None:
+            raise ValueError("empty store")
+        m = self._read_manifest(v)
+        return [os.path.join(self.root, f) for f in m["files"]]
+
+    def schema_json(self, version: int | None = None) -> str:
+        v = self.latest() if version is None else version
+        return self._read_manifest(v)["schema"]
+
+    # -------------------------------------------------------------- writes
+    def stage_next(self) -> tuple[int, str]:
+        """(version, data dir) for the files a new commit will CREATE.
+        Carried-over files are named in the manifest, not copied.
+        Numbering continues past rollbacks (same rationale as
+        SnapshotStore.stage_next)."""
+        staged = [
+            int(d[1:])
+            for d in os.listdir(os.path.join(self.root, "data"))
+            if d.startswith("c") and d[1:].isdigit()
+        ]
+        logged = [
+            int(f[1:7])
+            for f in os.listdir(os.path.join(self.root, "_manifests"))
+            if f.startswith("m") and f[1:7].isdigit()
+        ]
+        v = max(staged + logged, default=0) + 1
+        return v, os.path.join(self.root, "data", f"c{v:06d}")
+
+    def commit(
+        self,
+        version: int,
+        new_files: list[str],
+        carried_files: list[str],
+        schema_json: str,
+    ) -> None:
+        """Publish ``version`` = carried (root-relative or absolute
+        under root) + new files. Manifest first, head-log swap second —
+        a crash between the two leaves an unreferenced manifest, never
+        a dangling head entry."""
+        vs = self.versions()
+        if version in vs:
+            raise ValueError(f"commit: v{version} already committed")
+        rel = []
+        for f in list(carried_files) + list(new_files):
+            if os.path.isabs(f):
+                f = os.path.relpath(f, self.root)
+            if f.startswith(".."):
+                raise ValueError(f"commit: file outside store root: {f!r}")
+            rel.append(f)
+        with open(self._manifest_path(version), "w") as fh:
+            json.dump(
+                {"version": version, "files": sorted(rel), "schema": schema_json},
+                fh,
+            )
+        self._write_head(vs + [version])
+
+    # --------------------------------------------------------------- reads
+    def read(self, spark: "SparkSession", version: int | None = None) -> "DataFrame":
+        """The snapshot as a DataFrame. An all-rows-deleted version has
+        an empty file list — served as an empty frame of the recorded
+        schema, not an error."""
+        from pyspark.sql import types as T
+
+        v = self.latest() if version is None else version
+        if v is None:
+            raise ValueError("empty store")
+        files = self.files_for(v)
+        if not files:
+            schema = T.StructType.fromJson(json.loads(self.schema_json(v)))
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(*files)
+
+    # ----------------------------------------------------------- retention
+    def rollback(self, version: int) -> None:
+        vs = self.versions()
+        if version not in vs:
+            raise ValueError(f"rollback: v{version} is not committed")
+        self._write_head([v for v in vs if v <= version])
+
+    def vacuum(self, keep_last: int = 1) -> dict:
+        """Reference-counted retention: keep the last ``keep_last``
+        committed versions, then delete (a) manifests of dropped or
+        never-committed versions and (b) data files NO surviving
+        manifest references. Returns {"versions_removed",
+        "files_removed"}."""
+        vs = self.versions()
+        keep = vs[-keep_last:] if keep_last > 0 else []
+        referenced: set[str] = set()
+        for v in keep:
+            referenced.update(self._read_manifest(v)["files"])
+        self._write_head(keep)
+        versions_removed = []
+        mdir = os.path.join(self.root, "_manifests")
+        for f in sorted(os.listdir(mdir)):
+            if f.startswith("m") and f[1:7].isdigit():
+                v = int(f[1:7])
+                if v not in keep:
+                    os.unlink(os.path.join(mdir, f))
+                    versions_removed.append(v)
+        files_removed = []
+        ddir = os.path.join(self.root, "data")
+        for cdir in sorted(os.listdir(ddir)):
+            cpath = os.path.join(ddir, cdir)
+            if not os.path.isdir(cpath):
+                continue
+            kept_data = 0
+            for f in sorted(os.listdir(cpath)):
+                if f.endswith(".crc") or f == "_SUCCESS":
+                    continue  # sidecars live and die with their dir
+                rel = os.path.join("data", cdir, f)
+                if rel in referenced:
+                    kept_data += 1
+                else:
+                    os.unlink(os.path.join(cpath, f))
+                    files_removed.append(rel)
+            if kept_data == 0:
+                import shutil
+
+                shutil.rmtree(cpath)
+        return {
+            "versions_removed": versions_removed,
+            "files_removed": files_removed,
+        }

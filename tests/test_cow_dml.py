@@ -1,0 +1,260 @@
+"""Block-granular copy-on-write DML (storage/cow.py + ManifestStore):
+equivalence with the full-rewrite verbs under a random op sequence,
+change-proportional IO, manifest time travel, and reference-counted
+vacuum."""
+
+from __future__ import annotations
+
+import math
+import os
+import random
+
+import pandas as pd
+import pytest
+
+from columnar_database_project_spark.catalog import load_table
+from columnar_database_project_spark.engine import MicroBlockEngine
+from columnar_database_project_spark.sources.microblock import MicroBlockWriter
+from columnar_database_project_spark.storage.cow import (
+    delete_where_cow,
+    init_manifest_table,
+    merge_cow,
+    update_where_cow,
+)
+from columnar_database_project_spark.storage.manifests import ManifestStore
+from columnar_database_project_spark.storage.snapshots import SnapshotStore
+
+KEY = "o_orderkey"
+COLS = [KEY, "o_custkey", "o_orderstatus", "o_totalprice"]
+SEED = 0xC01D
+
+_CUSTKEYS = [0, 10, 75, 149, 5000]
+_PRICES = [0.0, 20000.0, 150000.0, 400000.0]
+_STATUSES = ["F", "O", "P"]
+
+
+def _pred(rng: random.Random) -> str:
+    kind = rng.randrange(4)
+    if kind == 0:
+        return f"o_custkey {rng.choice(['<', '>', '=', '!='])} {rng.choice(_CUSTKEYS)}"
+    if kind == 1:
+        return f"o_totalprice {rng.choice(['<', '>'])} {rng.choice(_PRICES)!r}"
+    if kind == 2:
+        return f"o_orderstatus = '{rng.choice(_STATUSES)}'"
+    lo, hi = sorted(rng.sample(_CUSTKEYS, 2))
+    return f"o_custkey BETWEEN {lo} AND {hi}"
+
+
+def _sorted_state(pdf: pd.DataFrame) -> list[tuple]:
+    return [
+        tuple(r)
+        for r in pdf.sort_values([KEY])[COLS].itertuples(index=False, name=None)
+    ]
+
+
+def _states_equal(got, want) -> bool:
+    if len(got) != len(want):
+        return False
+    for rg, rw in zip(got, want):
+        for a, b in zip(rg, rw):
+            if isinstance(a, float) or isinstance(b, float):
+                if not math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-8):
+                    return False
+            elif a != b:
+                return False
+    return True
+
+
+@pytest.fixture(scope="module")
+def orders_df(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders").select(*COLS)
+
+
+class TestEquivalenceWithFullRewrite:
+    def test_random_sequence_matches_directory_granular_verbs(
+        self, spark, orders_df, tmp_path_factory
+    ):
+        """The CoW verbs must be a pure IO optimization: the same
+        seeded op sequence through the full-rewrite SnapshotStore
+        engine and the manifest CoW engine yields identical states at
+        every step."""
+        rng = random.Random(SEED)
+        root = tmp_path_factory.mktemp("cow_equiv")
+
+        # engine A: directory-granular full rewrite
+        sstore = SnapshotStore(str(root / "snap"))
+        eng_a = MicroBlockEngine(spark)
+        v0, dst0 = sstore.stage_next()
+        MicroBlockWriter().write(orders_df, dst0)
+        sstore.commit(v0)
+        eng_a.register("ta", spark.read.parquet(dst0))
+
+        # engine B: manifest CoW — small blocks so triage matters
+        mstore = ManifestStore(str(root / "mani"))
+        eng_b = MicroBlockEngine(spark)
+        init_manifest_table(
+            spark, mstore, orders_df.repartition(8, KEY), block_rows=256
+        )
+        eng_b.register("tb", mstore.read(spark))
+
+        schema = eng_a.table("ta").schema
+        for step in range(8):
+            op = rng.randrange(3)
+            if op == 0:
+                pred = _pred(rng)
+                eng_a.delete_versioned("ta", pred, sstore)
+                eng_b.delete_where_cow("tb", pred, mstore, block_rows=256)
+            elif op == 1:
+                pred = _pred(rng)
+                col, expr = rng.choice(
+                    [
+                        ("o_totalprice", "o_totalprice * 1.1"),
+                        ("o_orderstatus", "'Z'"),
+                        ("o_custkey", "o_custkey + 7"),
+                    ]
+                )
+                eng_a.update_versioned("ta", pred, {col: expr}, sstore)
+                eng_b.update_where_cow(
+                    "tb", pred, {col: expr}, mstore, block_rows=256
+                )
+            else:
+                cur = eng_a.table("ta").toPandas()
+                n_upd = min(len(cur), rng.randrange(0, 10))
+                upd = cur.sample(n=n_upd, random_state=rng.randrange(2**31))
+                upd = upd.assign(o_orderstatus="M")
+                max_key = int(cur[KEY].max()) if len(cur) else 0
+                new = pd.DataFrame(
+                    {
+                        KEY: [max_key + 1, max_key + 2],
+                        "o_custkey": [1, 2],
+                        "o_orderstatus": ["N", "N"],
+                        "o_totalprice": [5.0, 6.0],
+                    }
+                )
+                upd_pdf = pd.concat([upd, new], ignore_index=True)[COLS]
+                updates = spark.createDataFrame(upd_pdf, schema=schema)
+                eng_a.merge_versioned("ta", updates, KEY, sstore)
+                eng_b.merge_cow("tb", updates, KEY, mstore, block_rows=256)
+
+            got = _sorted_state(eng_b.table("tb").toPandas())
+            want = _sorted_state(eng_a.table("ta").toPandas())
+            assert _states_equal(got, want), f"diverged at step {step}"
+
+
+@pytest.fixture(scope="module")
+def sorted_store(spark, orders_df, tmp_path_factory):
+    """A key-sorted 16-block manifest table — the layout where triage
+    is selective."""
+    store = ManifestStore(str(tmp_path_factory.mktemp("cow_sorted")))
+    n = orders_df.count()
+    init_manifest_table(
+        spark,
+        store,
+        orders_df.orderBy(KEY).coalesce(1),
+        block_rows=max(1, n // 16),
+    )
+    return store, n
+
+
+class TestChangeProportionalIO:
+    def test_selective_delete_carries_most_files(self, spark, sorted_store):
+        store, n = sorted_store
+        before = set(store.files_for())
+        rep = delete_where_cow(
+            spark, store, f"{KEY} BETWEEN 10 AND 20", block_rows=256
+        )
+        assert rep["deleted"] == 11
+        assert rep["files_rewritten"] <= 2
+        assert rep["files_carried"] >= len(before) - 2
+        # carried files are literally the same paths, not copies
+        after = set(store.files_for())
+        assert len(before & after) == rep["files_carried"]
+
+    def test_noop_predicate_rewrites_nothing(self, spark, sorted_store):
+        store, n = sorted_store
+        rep = delete_where_cow(spark, store, f"{KEY} > 99999999")
+        assert rep["files_rewritten"] == 0
+        assert rep["deleted"] == 0
+        # a no-op commit still advances the log with the same files
+        vs = store.versions()
+        assert store.files_for(vs[-1]) == store.files_for(vs[-2])
+
+    def test_selective_merge_triage(self, spark, sorted_store):
+        store, n = sorted_store
+        schema = store.read(spark).schema
+        cur = store.read(spark).toPandas()
+        touch = cur[cur[KEY].isin([100, 101])].assign(o_orderstatus="M")
+        updates = spark.createDataFrame(touch[COLS], schema=schema)
+        rep = merge_cow(spark, store, updates, KEY, block_rows=256)
+        assert rep["files_rewritten"] <= 2
+        assert rep["files_carried"] >= 13
+        got = store.read(spark).filter(f"{KEY} IN (100, 101)").toPandas()
+        assert set(got["o_orderstatus"]) == {"M"}
+        assert store.read(spark).count() == cur.shape[0]
+
+    def test_update_casts_back_to_column_type(self, spark, sorted_store):
+        store, n = sorted_store
+        before = store.read(spark).count()
+        rep = update_where_cow(
+            spark,
+            store,
+            f"{KEY} < 5",
+            {"o_custkey": "o_custkey + 0.5"},  # double expr on bigint col
+            block_rows=256,
+        )
+        assert rep["files_rewritten"] >= 1
+        df = store.read(spark)
+        # schema did not fork across carried + rewritten files
+        assert dict(df.dtypes)["o_custkey"] == "bigint"
+        assert df.count() == before
+
+
+class TestTimeTravelAndVacuum:
+    def test_every_version_reads_and_empty_table_reads(
+        self, spark, orders_df, tmp_path_factory
+    ):
+        store = ManifestStore(str(tmp_path_factory.mktemp("cow_tt")))
+        init_manifest_table(spark, store, orders_df, block_rows=512)
+        n0 = store.read(spark).count()
+        delete_where_cow(spark, store, "o_custkey >= 0")  # all non-null rows
+        vs = store.versions()
+        assert store.read(spark, vs[0]).count() == n0
+        empty = store.read(spark, vs[-1])
+        assert empty.count() == 0
+        assert set(empty.columns) == set(COLS)  # schema survives emptiness
+
+    def test_vacuum_is_reference_counted(
+        self, spark, orders_df, tmp_path_factory
+    ):
+        """v1's untouched blocks are referenced by later manifests:
+        vacuum(keep_last=1) must keep exactly the head's file set —
+        including files CREATED by dropped versions — and delete the
+        rest."""
+        store = ManifestStore(str(tmp_path_factory.mktemp("cow_vac")))
+        init_manifest_table(
+            spark, store, orders_df.orderBy(KEY).coalesce(1), block_rows=128
+        )
+        delete_where_cow(spark, store, f"{KEY} BETWEEN 0 AND 50")
+        update_where_cow(
+            spark, store, f"{KEY} BETWEEN 200 AND 260", {"o_orderstatus": "'U'"}
+        )
+        head_files = set(store.files_for())
+        head_count = store.read(spark).count()
+        head_state = _sorted_state(store.read(spark).toPandas())
+
+        rep = store.vacuum(keep_last=1)
+        assert rep["versions_removed"]  # something was dropped
+        # every head file survived, every removed file is gone
+        assert set(store.files_for()) == head_files
+        for f in head_files:
+            assert os.path.exists(f)
+        for rel in rep["files_removed"]:
+            assert not os.path.exists(os.path.join(store.root, rel))
+        # and the head still reads identically
+        assert store.read(spark).count() == head_count
+        assert _states_equal(
+            _sorted_state(store.read(spark).toPandas()), head_state
+        )
+        # dropped versions now raise
+        with pytest.raises(ValueError):
+            store.read(spark, rep["versions_removed"][0])
