@@ -27,6 +27,7 @@ Iceberg/Delta exist. Measured in bench.py::bench_cow_dml.
 
 from __future__ import annotations
 
+import json
 from typing import TYPE_CHECKING
 
 from columnar_database_project_spark.plans.predicate import (
@@ -43,6 +44,7 @@ from columnar_database_project_spark.sources.microblock import MicroBlockWriter
 from columnar_database_project_spark.storage.manifests import (
     ManifestStore,
     list_block_files,
+    read_with_schema,
 )
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -105,7 +107,7 @@ def delete_where_cow(
     new_files: list[str] = []
     deleted = 0
     if touched:
-        before = spark.read.parquet(*touched)
+        before = read_with_schema(spark, touched, store.schema_json())
         cond = F.coalesce(_cond(predicate), F.lit(False))
         kept = before.filter(~cond)
         deleted = before.count() - kept.count()
@@ -147,7 +149,7 @@ def update_where_cow(
     new_files: list[str] = []
     updated = 0
     if touched:
-        target = spark.read.parquet(*touched)
+        target = read_with_schema(spark, touched, store.schema_json())
         unknown = set(assignments) - set(target.columns)
         if unknown:
             raise ValueError(f"update_where_cow: unknown columns {sorted(unknown)}")
@@ -201,7 +203,9 @@ def merge_cow(
     control-plane sized up to ``max_point_keys``; above that the op is
     a backfill and every block is touched (TruePred), which is also
     the sound fallback for a key batch too large to enumerate."""
-    target_cols = set(spark.read.parquet(store.files_for()[0]).columns) if store.files_for() else set(updates.columns)
+    target_cols = {
+        f["name"] for f in json.loads(store.schema_json())["fields"]
+    }
     if set(updates.columns) != target_cols:
         raise ValueError(
             f"merge_cow: updates columns {sorted(updates.columns)} "
@@ -217,9 +221,12 @@ def merge_cow(
     touched, carried, n_blocks = _triage(files, pred, "cow_merge", blooms)
     v, stage = store.stage_next()
     if touched:
-        survivors = spark.read.parquet(*touched).join(
-            updates.select(key), on=key, how="left_anti"
-        )
+        # reconciled read: touched blocks may predate a metadata-only
+        # add_column — missing columns surface as typed NULL, exactly
+        # what store.read serves for them
+        survivors = read_with_schema(
+            spark, touched, store.schema_json()
+        ).join(updates.select(key), on=key, how="left_anti")
         out = survivors.unionByName(updates)
     else:
         out = updates
@@ -237,6 +244,41 @@ def merge_cow(
         "update_keys": n_keys,
         "blocks_total": n_blocks,
         "files_rewritten": len(touched),
+        "files_carried": len(carried),
+    }
+
+
+def append_cow(
+    spark: "SparkSession",
+    store: ManifestStore,
+    df: "DataFrame",
+    block_rows: int | None = None,
+) -> dict:
+    """INSERT/append: the new rows land as new blocks, every existing
+    block is carried by reference — the cheapest verb (zero reads of
+    existing data, IO = the appended rows). Missing manifest-schema
+    columns in ``df`` (e.g. after a metadata-only add_column) are
+    allowed — they read as NULL; extra columns are an error."""
+    target_cols = {
+        f["name"] for f in json.loads(store.schema_json())["fields"]
+    }
+    extra = set(df.columns) - target_cols
+    if extra:
+        raise ValueError(f"append_cow: unknown columns {sorted(extra)}")
+    v, stage = store.stage_next()
+    writer = (
+        MicroBlockWriter(block_rows=block_rows)
+        if block_rows
+        else MicroBlockWriter()
+    )
+    writer.write(df, stage)
+    new_files = list_block_files(stage)
+    carried = store.files_for()
+    store.commit(v, new_files, carried, store.schema_json())
+    return {
+        "version": v,
+        "appended_rows": df.count(),
+        "files_new": len(new_files),
         "files_carried": len(carried),
     }
 

@@ -43,6 +43,30 @@ if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame, SparkSession
 
 
+def read_with_schema(
+    spark: "SparkSession", files: list[str], schema_json: str
+) -> "DataFrame":
+    """Read block files RECONCILED to a manifest schema: mergeSchema
+    unifies files that disagree, columns no file has yet (metadata-only
+    add_column) are filled with typed NULL, and column order follows
+    the manifest. This is the one read path every consumer of a
+    manifest's files must use — a raw ``spark.read.parquet`` on
+    pre-evolution blocks would miss added columns."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromJson(_json.loads(schema_json))
+    if not files:
+        return spark.createDataFrame([], schema)
+    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    for field in schema.fields:
+        if field.name not in df.columns:
+            df = df.withColumn(field.name, F.lit(None).cast(field.dataType))
+    return df.select(*[f.name for f in schema.fields])
+
+
 def list_block_files(path: str) -> list[str]:
     """The data files of one Spark-written directory (sorted; crc /
     _SUCCESS / hidden sidecars excluded)."""
@@ -161,17 +185,39 @@ class ManifestStore:
     def read(self, spark: "SparkSession", version: int | None = None) -> "DataFrame":
         """The snapshot as a DataFrame. An all-rows-deleted version has
         an empty file list — served as an empty frame of the recorded
-        schema, not an error."""
-        from pyspark.sql import types as T
+        schema, not an error.
 
+        Schema reconciliation (the metadata-only ADD COLUMN read
+        path) via ``read_with_schema``: existing rows of an added
+        column read NULL — the lakehouse-standard metadata-only
+        evolution semantics (Delta/Iceberg ADD COLUMN)."""
         v = self.latest() if version is None else version
         if v is None:
             raise ValueError("empty store")
-        files = self.files_for(v)
-        if not files:
-            schema = T.StructType.fromJson(json.loads(self.schema_json(v)))
-            return spark.createDataFrame([], schema)
-        return spark.read.parquet(*files)
+        return read_with_schema(spark, self.files_for(v), self.schema_json(v))
+
+    # ------------------------------------------------------ schema evolution
+    def add_column(self, name: str, ddl_type: str) -> dict:
+        """Metadata-only ADD COLUMN: a new version with the SAME file
+        list and an extended schema — zero data IO, any table size.
+        Existing rows read as NULL (see ``read``); later rewrites
+        materialize the column in the blocks they touch. Adding an
+        existing column is an error; the added column is nullable by
+        construction."""
+        from pyspark.sql import types as T
+
+        v_cur = self.latest()
+        if v_cur is None:
+            raise ValueError("add_column: empty store")
+        schema = T.StructType.fromJson(json.loads(self.schema_json(v_cur)))
+        if name in [f.name for f in schema.fields]:
+            raise ValueError(f"add_column: column {name!r} already exists")
+        parsed = T.StructType.fromDDL(f"`{name}` {ddl_type}")
+        new_field = T.StructField(name, parsed.fields[0].dataType, True)
+        new_schema = T.StructType(schema.fields + [new_field])
+        v, _stage = self.stage_next()
+        self.commit(v, [], self.files_for(v_cur), new_schema.json())
+        return {"version": v, "column": name, "type": ddl_type}
 
     # ----------------------------------------------------------- retention
     def rollback(self, version: int) -> None:

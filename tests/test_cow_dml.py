@@ -258,3 +258,89 @@ class TestTimeTravelAndVacuum:
         # dropped versions now raise
         with pytest.raises(ValueError):
             store.read(spark, rep["versions_removed"][0])
+
+
+class TestSchemaEvolutionAndAppend:
+    def test_add_column_is_metadata_only(
+        self, spark, orders_df, tmp_path_factory
+    ):
+        from columnar_database_project_spark.storage.cow import append_cow
+
+        store = ManifestStore(str(tmp_path_factory.mktemp("cow_evo")))
+        init_manifest_table(spark, store, orders_df, block_rows=512)
+        n0 = store.read(spark).count()
+        files_before = store.files_for()
+
+        rep = store.add_column("quality", "double")
+        assert rep["column"] == "quality"
+        # zero data IO: the new version names exactly the same files
+        assert store.files_for() == files_before
+        df = store.read(spark)
+        assert dict(df.dtypes)["quality"] == "double"
+        assert df.count() == n0
+        assert df.filter("quality IS NOT NULL").count() == 0
+        # the PREVIOUS version does not have the column (time travel
+        # sees the schema as of its manifest)
+        old = store.read(spark, store.versions()[-2])
+        assert "quality" not in old.columns
+        # duplicate add is an error
+        with pytest.raises(ValueError):
+            store.add_column("quality", "double")
+
+        # a later UPDATE materializes the column in touched blocks;
+        # carried blocks still read NULL
+        rep2 = update_where_cow(
+            spark, store, f"{KEY} < 10", {"quality": "0.5"}
+        )
+        assert rep2["files_rewritten"] >= 1
+        df2 = store.read(spark)
+        assert df2.filter("quality = 0.5").count() == 10
+        assert df2.filter("quality IS NULL").count() == n0 - 10
+        assert df2.count() == n0
+
+        # append AFTER evolution: a frame WITH the new column unions
+        # against carried blocks that lack it
+        extra = spark.createDataFrame(
+            [(99990, 1, "A", 10.0, 0.9)],
+            schema=f"{KEY} bigint, o_custkey bigint, o_orderstatus string,"
+            " o_totalprice double, quality double",
+        )
+        rep3 = append_cow(spark, store, extra, block_rows=512)
+        assert rep3["appended_rows"] == 1
+        assert rep3["files_carried"] == len(store.files_for()) - rep3["files_new"]
+        df3 = store.read(spark)
+        assert df3.count() == n0 + 1
+        assert df3.filter("quality = 0.9").count() == 1
+
+    def test_append_rejects_unknown_columns(
+        self, spark, orders_df, tmp_path_factory
+    ):
+        from columnar_database_project_spark.storage.cow import append_cow
+
+        store = ManifestStore(str(tmp_path_factory.mktemp("cow_app")))
+        init_manifest_table(spark, store, orders_df, block_rows=512)
+        bad = orders_df.withColumn("bogus", orders_df[KEY] * 2)
+        with pytest.raises(ValueError):
+            append_cow(spark, store, bad)
+
+    def test_merge_after_add_column(self, spark, orders_df, tmp_path_factory):
+        """MERGE whose updates carry the evolved schema: survivors from
+        pre-evolution blocks union with NULL for the added column."""
+        store = ManifestStore(str(tmp_path_factory.mktemp("cow_mevo")))
+        init_manifest_table(
+            spark, store, orders_df.orderBy(KEY).coalesce(1), block_rows=256
+        )
+        n0 = store.read(spark).count()
+        store.add_column("quality", "double")
+        schema = store.read(spark).schema
+        upd = spark.createDataFrame(
+            [(5, 1, "M", 1.0, 0.7), (6, 2, "M", 2.0, 0.8)], schema=schema
+        )
+        rep = merge_cow(spark, store, upd, KEY, block_rows=256)
+        assert rep["files_rewritten"] <= 2  # key triage still works
+        df = store.read(spark)
+        assert df.count() == n0
+        assert df.filter("quality IS NOT NULL").count() == 2
+        assert set(
+            r[0] for r in df.filter("o_orderstatus = 'M'").select(KEY).collect()
+        ) == {5, 6}
