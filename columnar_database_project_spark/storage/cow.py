@@ -253,6 +253,7 @@ def append_cow(
     store: ManifestStore,
     df: "DataFrame",
     block_rows: int | None = None,
+    meta: dict | None = None,
 ) -> dict:
     """INSERT/append: the new rows land as new blocks, every existing
     block is carried by reference — the cheapest verb (zero reads of
@@ -274,7 +275,7 @@ def append_cow(
     writer.write(df, stage)
     new_files = list_block_files(stage)
     carried = store.files_for()
-    store.commit(v, new_files, carried, store.schema_json())
+    store.commit(v, new_files, carried, store.schema_json(), meta=meta)
     return {
         "version": v,
         "appended_rows": df.count(),

@@ -159,11 +159,14 @@ class ManifestStore:
         new_files: list[str],
         carried_files: list[str],
         schema_json: str,
+        meta: dict | None = None,
     ) -> None:
         """Publish ``version`` = carried (root-relative or absolute
         under root) + new files. Manifest first, head-log swap second —
         a crash between the two leaves an unreferenced manifest, never
-        a dangling head entry."""
+        a dangling head entry. ``meta`` is carried verbatim in the
+        manifest (e.g. ``{"txn": {"batch_id": N}}`` for the streaming
+        sink's exactly-once dedup)."""
         vs = self.versions()
         if version in vs:
             raise ValueError(f"commit: v{version} already committed")
@@ -174,12 +177,31 @@ class ManifestStore:
             if f.startswith(".."):
                 raise ValueError(f"commit: file outside store root: {f!r}")
             rel.append(f)
+        doc = {"version": version, "files": sorted(rel), "schema": schema_json}
+        if meta:
+            doc["meta"] = meta
         with open(self._manifest_path(version), "w") as fh:
-            json.dump(
-                {"version": version, "files": sorted(rel), "schema": schema_json},
-                fh,
-            )
+            json.dump(doc, fh)
         self._write_head(vs + [version])
+
+    def meta_for(self, version: int) -> dict:
+        return self._read_manifest(version).get("meta", {})
+
+    def txn_batch_ids(self) -> set[int]:
+        """Batch ids of every COMMITTED streaming-sink transaction —
+        the replay-dedup set (a crashed write never committed, so its
+        batch id is absent and the replay goes through). O(committed
+        versions) driver-side manifest reads: control plane, and only
+        versions that survive vacuum can dedup — vacuum past a
+        still-replayable batch would double-append, so keep retention
+        longer than the source's replay horizon (standard lakehouse
+        sink contract)."""
+        out: set[int] = set()
+        for v in self.versions():
+            bid = self.meta_for(v).get("txn", {}).get("batch_id")
+            if bid is not None:
+                out.add(int(bid))
+        return out
 
     # --------------------------------------------------------------- reads
     def read(self, spark: "SparkSession", version: int | None = None) -> "DataFrame":

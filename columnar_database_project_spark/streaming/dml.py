@@ -99,3 +99,51 @@ def upsert_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def append_stream_manifest(
+    rows: DataFrame,
+    store,
+    checkpoint: str,
+    block_rows: int | None = None,
+):
+    """Exactly-once streaming APPEND into a ManifestStore — the
+    transactional-sink pattern (Delta's txnAppId/txnVersion, scaled
+    down to one manifest field): each micro-batch commits as one
+    manifest version carrying ``meta.txn.batch_id``, and a REPLAYED
+    batch (crash after write, before the checkpoint advanced) is
+    detected by its batch id already being committed and skipped —
+    the double-append the plain parquet sink cannot prevent.
+
+    Ordering matters and is the whole guarantee: data files + manifest
+    land FIRST, the head-log swap is the atomic commit point, and the
+    source checkpoint advances LAST. Every crash window therefore
+    resolves to either "not committed → replay commits it once" or
+    "committed → replay is a no-op".
+
+    availableNow trigger: drains what is in the source now, then
+    stops — each call is one idempotent ingest step (same contract as
+    ``dedup_stream_against_store``). Retention note: vacuum must keep
+    at least the source's replay horizon of versions or a replay loses
+    its dedup witness (see ManifestStore.txn_batch_ids)."""
+    from columnar_database_project_spark.storage.cow import append_cow
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if int(batch_id) in store.txn_batch_ids():
+            return  # replayed batch: already committed, exactly-once skip
+        if batch_df.isEmpty():
+            return
+        append_cow(
+            batch_df.sparkSession,
+            store,
+            batch_df,
+            block_rows=block_rows,
+            meta={"txn": {"batch_id": int(batch_id)}},
+        )
+
+    return (
+        rows.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

