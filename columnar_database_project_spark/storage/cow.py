@@ -284,6 +284,83 @@ def append_cow(
     }
 
 
+def compact_manifest(
+    spark: "SparkSession",
+    store: ManifestStore,
+    block_rows: int | None = None,
+    min_fill: float = 0.5,
+    sort_by: list[str] | None = None,
+) -> dict:
+    """Compaction as a manifest commit — the CoW twin of
+    ``sources.microblock.compact_blocks``, with two structural
+    advantages the directory form can't have: (1) WITHOUT ``sort_by``
+    it is itself copy-on-write — only the undersized blocks (every
+    incrementally-ingested table's tail-block debris, e.g. from
+    ``append_stream_manifest``) are coalesced and rewritten, full
+    blocks are carried by reference; (2) the swap is the head-log
+    commit, genuinely atomic, so there is no crash window needing a
+    ``recover_compaction`` procedure at all — a crash mid-compaction
+    leaves the previous version current and orphan files for vacuum.
+
+    ``sort_by`` re-clusters to restore zone-map locality (see
+    compact_blocks' rationale): that is a GLOBAL property, so every
+    block is rewritten through one range shuffle — the opt-in
+    full-rewrite case.
+
+    Idempotent: ≤1 undersized block and no ``sort_by`` → no new
+    version. Row-count-verified before commit."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from columnar_database_project_spark.sources.microblock import (
+        DEFAULT_BLOCK_ROWS,
+    )
+
+    block_rows = block_rows or DEFAULT_BLOCK_ROWS
+    files = store.files_for()
+    rows_of = {f: pq.ParquetFile(f).metadata.num_rows for f in files}
+    small = [f for f in files if rows_of[f] < block_rows * min_fill]
+    if sort_by:
+        touched, carried = files, []
+    else:
+        if len(small) <= 1:  # a single tail block is the expected remainder
+            return {
+                "compacted": False,
+                "blocks_before": len(files),
+                "blocks_after": len(files),
+            }
+        touched, carried = small, [f for f in files if f not in set(small)]
+    v, stage = store.stage_next()
+    new_files: list[str] = []
+    if touched:
+        df = read_with_schema(spark, touched, store.schema_json())
+        n_expect = sum(rows_of[f] for f in touched)
+        if sort_by:
+            n_parts = max(1, sum(rows_of.values()) // block_rows)
+            df = df.repartitionByRange(n_parts, *[F.col(c) for c in sort_by])
+            df = df.sortWithinPartitions(*sort_by)
+        else:
+            df = df.coalesce(max(1, n_expect // block_rows or 1))
+        MicroBlockWriter(block_rows=block_rows).write(df, stage)
+        new_files = list_block_files(stage)
+        n_got = sum(pq.ParquetFile(f).metadata.num_rows for f in new_files)
+        if n_got != n_expect:
+            raise RuntimeError(
+                f"compact_manifest: rewrite lost rows ({n_got} != {n_expect});"
+                " nothing committed — previous version remains current"
+            )
+    store.commit(v, new_files, carried, store.schema_json())
+    return {
+        "compacted": True,
+        "version": v,
+        "blocks_before": len(files),
+        "blocks_after": len(new_files) + len(carried),
+        "files_rewritten": len(touched),
+        "files_carried": len(carried),
+    }
+
+
 def init_manifest_table(
     spark: "SparkSession",
     store: ManifestStore,

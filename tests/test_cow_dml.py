@@ -410,3 +410,76 @@ class TestStreamingManifestSink:
         q = append_stream_manifest(stream(), store, str(base / "ckpt"))
         q.awaitTermination(120)
         assert store.latest() == v_before
+
+
+class TestManifestCompaction:
+    def test_cow_compaction_rewrites_only_small_blocks(
+        self, spark, orders_df, tmp_path_factory
+    ):
+        from columnar_database_project_spark.storage.cow import (
+            append_cow,
+            compact_manifest,
+        )
+
+        store = ManifestStore(str(tmp_path_factory.mktemp("cow_compact")))
+        pdf = orders_df.toPandas()
+        full = spark.createDataFrame(pdf)
+        n = len(pdf)
+        # one full block + five tail-block appends (the stream-ingest shape)
+        init_manifest_table(spark, store, full.limit(1000).coalesce(1),
+                            block_rows=1000)
+        for i in range(5):
+            lo = 1000 + i * 40
+            chunk = spark.createDataFrame(pdf.iloc[lo:lo + 40], schema=full.schema)
+            append_cow(spark, store, chunk.coalesce(1), block_rows=1000)
+        files_before = store.files_for()
+        assert len(files_before) == 6
+        n_total = store.read(spark).count()
+
+        rep = compact_manifest(spark, store, block_rows=1000)
+        assert rep["compacted"]
+        assert rep["files_rewritten"] == 5      # the five 40-row tails
+        assert rep["files_carried"] == 1        # the full block carried
+        assert rep["blocks_after"] == 2
+        assert store.read(spark).count() == n_total
+        # the carried block is literally the same file
+        assert set(files_before) & set(store.files_for())
+
+        # idempotent: a second compaction is a no-op
+        rep2 = compact_manifest(spark, store, block_rows=1000)
+        assert not rep2["compacted"]
+        # and the pre-compaction version still time-travels
+        vs = store.versions()
+        assert store.read(spark, vs[-2]).count() == n_total
+
+    def test_sort_by_recluster_tightens_zone_maps(
+        self, spark, orders_df, tmp_path_factory
+    ):
+        from columnar_database_project_spark.plans.predicate import Between
+        from columnar_database_project_spark.sources.index import (
+            MicroBlockIndex,
+        )
+        from columnar_database_project_spark.storage.cow import (
+            compact_manifest,
+        )
+
+        store = ManifestStore(str(tmp_path_factory.mktemp("cow_recluster")))
+        n = orders_df.count()
+        # hash-shuffled: every block spans the whole key range
+        init_manifest_table(
+            spark, store, orders_df.repartition(8, KEY), block_rows=max(1, n // 8)
+        )
+        probe = Between(KEY, 100, 180)
+        idx0 = MicroBlockIndex.build_from_files(store.files_for())
+        hit0 = len(idx0.candidate_blocks(probe))
+        # hash layout: most blocks straddle the probe window
+        assert hit0 >= (2 * idx0.num_blocks) // 3
+
+        rep = compact_manifest(
+            spark, store, block_rows=max(1, n // 8), sort_by=[KEY]
+        )
+        assert rep["compacted"] and rep["files_carried"] == 0
+        idx1 = MicroBlockIndex.build_from_files(store.files_for())
+        hit = idx1.candidate_blocks(probe)
+        assert len(hit) <= max(2, idx1.num_blocks // 3)
+        assert store.read(spark).count() == n
