@@ -483,3 +483,50 @@ class TestManifestCompaction:
         hit = idx1.candidate_blocks(probe)
         assert len(hit) <= max(2, idx1.num_blocks // 3)
         assert store.read(spark).count() == n
+
+
+class TestBloomRefinedTriage:
+    def test_point_delete_with_blooms_on_hash_layout(
+        self, spark, orders_df, tmp_path_factory
+    ):
+        """The composition the two r7 subsystems exist for: on a
+        hash-distributed layout a point-key DELETE is zone-map-blind
+        (most blocks straddle any mid-domain key), but the Bloom
+        sidecar pins the key to its block(s) — CoW then rewrites ~1
+        file instead of most of the table."""
+        import os as _os
+
+        from columnar_database_project_spark.sources.bloom import (
+            build_bloom_index,
+        )
+
+        store = ManifestStore(str(tmp_path_factory.mktemp("cow_bloom")))
+        n = orders_df.count()
+        init_manifest_table(
+            spark, store, orders_df.repartition(16, KEY),
+            block_rows=max(1, n // 16),
+        )
+        data_dir = _os.path.dirname(store.files_for()[0])
+        blooms = build_bloom_index(spark, data_dir, [KEY])
+
+        key = 750  # mid-domain
+        # zone-map-only triage for comparison
+        from columnar_database_project_spark.plans.sql_where import parse_where
+        from columnar_database_project_spark.sources.index import (
+            MicroBlockIndex,
+        )
+
+        idx = MicroBlockIndex.build_from_files(store.files_for())
+        zone_hits = len(idx.candidate_blocks(parse_where(f"{KEY} = {key}")))
+        assert zone_hits >= idx.num_blocks // 2  # blind without blooms
+
+        rep = delete_where_cow(
+            spark, store, f"{KEY} = {key}", blooms=blooms,
+            block_rows=max(1, n // 16),
+        )
+        assert rep["deleted"] == 1
+        assert rep["files_rewritten"] <= 2  # 1 + possible fp
+        assert rep["files_rewritten"] < zone_hits
+        df = store.read(spark)
+        assert df.count() == n - 1
+        assert df.filter(f"{KEY} = {key}").count() == 0
