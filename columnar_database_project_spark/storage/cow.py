@@ -290,6 +290,7 @@ def compact_manifest(
     block_rows: int | None = None,
     min_fill: float = 0.5,
     sort_by: list[str] | None = None,
+    zorder: bool = False,
 ) -> dict:
     """Compaction as a manifest commit — the CoW twin of
     ``sources.microblock.compact_blocks``, with two structural
@@ -305,7 +306,10 @@ def compact_manifest(
     ``sort_by`` re-clusters to restore zone-map locality (see
     compact_blocks' rationale): that is a GLOBAL property, so every
     block is rewritten through one range shuffle — the opt-in
-    full-rewrite case.
+    full-rewrite case. With ``zorder=True`` and exactly two numeric
+    ``sort_by`` columns, the re-cluster orders on the Morton key
+    (``sources.microblock.zorder_key``) instead — OPTIMIZE ZORDER as a
+    manifest commit, for tables box-filtered on both dimensions.
 
     Idempotent: ≤1 undersized block and no ``sort_by`` → no new
     version. Row-count-verified before commit."""
@@ -336,7 +340,27 @@ def compact_manifest(
     if touched:
         df = read_with_schema(spark, touched, store.schema_json())
         n_expect = sum(rows_of[f] for f in touched)
-        if sort_by:
+        if sort_by and zorder:
+            if len(sort_by) != 2:
+                raise ValueError("zorder=True requires exactly 2 sort_by columns")
+            from columnar_database_project_spark.sources.microblock import (
+                zorder_key,
+            )
+
+            a, b = sort_by
+            r = df.agg(
+                F.min(a).alias("la"), F.max(a).alias("ha"),
+                F.min(b).alias("lb"), F.max(b).alias("hb"),
+            ).first()
+            z = zorder_key(F.col(a), F.col(b), (r["la"], r["ha"], r["lb"], r["hb"]))
+            n_parts = max(1, sum(rows_of.values()) // block_rows)
+            df = (
+                df.withColumn("_z", z)
+                .repartitionByRange(n_parts, F.col("_z"))
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+        elif sort_by:
             n_parts = max(1, sum(rows_of.values()) // block_rows)
             df = df.repartitionByRange(n_parts, *[F.col(c) for c in sort_by])
             df = df.sortWithinPartitions(*sort_by)

@@ -530,3 +530,52 @@ class TestBloomRefinedTriage:
         df = store.read(spark)
         assert df.count() == n - 1
         assert df.filter(f"{KEY} = {key}").count() == 0
+
+
+class TestZorderCompaction:
+    def test_zorder_recluster_prunes_both_dimensions(
+        self, spark, orders_df, tmp_path_factory
+    ):
+        """After OPTIMIZE-ZORDER-style compaction on (key, custkey),
+        a box predicate on EITHER column prunes blocks — a single-
+        column sort can only ever serve its own key."""
+        from columnar_database_project_spark.plans.predicate import Between
+        from columnar_database_project_spark.sources.index import (
+            MicroBlockIndex,
+        )
+        from columnar_database_project_spark.storage.cow import (
+            compact_manifest,
+        )
+
+        store = ManifestStore(str(tmp_path_factory.mktemp("cow_zorder")))
+        n = orders_df.count()
+        init_manifest_table(
+            spark, store, orders_df.repartition(16), block_rows=max(1, n // 16)
+        )
+        rep = compact_manifest(
+            spark, store, block_rows=max(1, n // 16),
+            sort_by=[KEY, "o_custkey"], zorder=True,
+        )
+        assert rep["compacted"]
+        assert store.read(spark).count() == n
+        idx = MicroBlockIndex.build_from_files(store.files_for())
+        nb = idx.num_blocks
+        # ~1/8 range box on each dimension independently
+        hit_a = len(idx.candidate_blocks(Between(KEY, 0, 187)))
+        hit_b = len(idx.candidate_blocks(Between("o_custkey", 0, 18)))
+        assert hit_a < nb
+        assert hit_b < nb
+
+    def test_commit_conflict_is_detected(self, spark, orders_df, tmp_path_factory):
+        """Optimistic concurrency at the head log: two writers staging
+        the same next version — the second commit fails loudly instead
+        of silently clobbering (single-writer is the documented
+        contract; this is the guard that makes violating it safe)."""
+        store = ManifestStore(str(tmp_path_factory.mktemp("cow_occ")))
+        init_manifest_table(spark, store, orders_df.limit(10), block_rows=512)
+        schema = store.schema_json()
+        files = store.files_for()
+        v, _ = store.stage_next()
+        store.commit(v, [], files, schema)  # writer A wins
+        with pytest.raises(ValueError, match="already committed"):
+            store.commit(v, [], files, schema)  # writer B must fail
