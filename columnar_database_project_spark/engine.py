@@ -439,6 +439,29 @@ class MicroBlockEngine:
         self.register(name, df)
         return df
 
+    def register_manifest(
+        self, name: str, mstore, with_index: bool = True, blooms=None
+    ) -> None:
+        """Register a manifest table AND rebuild the zone-map index
+        from its current file list, so the observability stack
+        (explain / access log / prefetch) keys on the live snapshot's
+        blocks. Call again after any CoW verb or compaction — block
+        identity changes with the manifest, the same rebuild rule as
+        ``compact``. ``blooms``: optional Bloom sidecar to attach for
+        point-lookup prediction."""
+        from columnar_database_project_spark.sources.index import (
+            MicroBlockIndex,
+        )
+
+        self.register(name, mstore.read(self.spark))
+        if with_index:
+            idx = MicroBlockIndex.build_from_files(
+                mstore.files_for(), table_id=name
+            )
+            if blooms is not None:
+                idx.attach_blooms(blooms)
+            self.index = idx
+
     def compact(self, name: str, path: str, **kw) -> dict:
         """Compact a registered table's microblock directory (see
         ``sources.microblock.compact_blocks``) and refresh the

@@ -579,3 +579,31 @@ class TestZorderCompaction:
         store.commit(v, [], files, schema)  # writer A wins
         with pytest.raises(ValueError, match="already committed"):
             store.commit(v, [], files, schema)  # writer B must fail
+
+
+class TestRegisterManifest:
+    def test_explain_tracks_live_manifest_blocks(
+        self, spark, orders_df, tmp_path_factory
+    ):
+        store = ManifestStore(str(tmp_path_factory.mktemp("cow_reg")))
+        n = orders_df.count()
+        init_manifest_table(
+            spark, store, orders_df.orderBy(KEY).coalesce(1),
+            block_rows=max(1, n // 8),
+        )
+        eng = MicroBlockEngine(spark)
+        eng.register_manifest("mt", store)
+        total0 = eng.index.num_blocks
+        rep = eng.explain(f"SELECT count(*) AS c FROM mt WHERE {KEY} < 100")
+        assert rep["zone_map"]["blocks_total"] == total0
+        assert rep["zone_map"]["blocks_predicted"] < total0  # sorted layout
+
+        # after a CoW delete + re-register, the index follows the manifest
+        delete_where_cow(spark, store, f"{KEY} < 100")
+        eng.register_manifest("mt", store)
+        assert eng.index.num_blocks != 0
+        rep2 = eng.explain(f"SELECT count(*) AS c FROM mt WHERE {KEY} < 100")
+        assert rep2["zone_map"]["blocks_predicted"] <= 1  # provably empty ± tail
+        assert eng.query(
+            f"SELECT count(*) AS c FROM mt WHERE {KEY} < 100"
+        ).collect()[0]["c"] == 0
