@@ -412,6 +412,18 @@ class MicroBlockEngine:
         self.register(name, mstore.read(self.spark))
         return report
 
+    def delete_where_mor(self, name: str, predicate, mstore, **kw) -> dict:
+        """Merge-on-read DELETE: commits a deletion vector, zero data
+        files written (storage/cow.delete_where_mor); falls back to
+        CoW above the DV budget."""
+        from columnar_database_project_spark.storage.cow import (
+            delete_where_mor,
+        )
+
+        report = delete_where_mor(self.spark, mstore, predicate, **kw)
+        self.register(name, mstore.read(self.spark))
+        return report
+
     def update_where_cow(
         self, name: str, predicate, assignments: dict, mstore, **kw
     ) -> dict:

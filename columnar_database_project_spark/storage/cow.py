@@ -28,6 +28,7 @@ Iceberg/Delta exist. Measured in bench.py::bench_cow_dml.
 from __future__ import annotations
 
 import json
+import os
 from typing import TYPE_CHECKING
 
 from columnar_database_project_spark.plans.predicate import (
@@ -54,6 +55,22 @@ if TYPE_CHECKING:  # pragma: no cover
 # IN-list predicate (and its driver-side collect) stops being control-
 # plane sized and the op is a backfill — rewrite everything instead.
 MERGE_POINT_KEYS_MAX = 100_000
+
+# Merge-on-read guard: a version's TOTAL deletion-vector size stays
+# under this many positions (the read path's bounded anti-join frame);
+# a MoR delete that would exceed it falls back to copy-on-write, which
+# also resets the DV debt for the touched files.
+MOR_DV_MAX_ROWS = 1_048_576
+
+
+def _carried_dvs(store: ManifestStore, carried: list[str]) -> dict:
+    """The current version's deletion vectors restricted to the files a
+    new commit carries forward — rewritten files physically drop their
+    deleted rows, so their vectors are consumed, but a carried file's
+    vector must survive or its deleted rows would resurrect."""
+    dvs = store.dvs_for()
+    rel = {os.path.relpath(f, store.root) for f in carried}
+    return {f: p for f, p in dvs.items() if f in rel}
 
 
 def _pred_of(predicate) -> Pred:
@@ -107,7 +124,7 @@ def delete_where_cow(
     new_files: list[str] = []
     deleted = 0
     if touched:
-        before = read_with_schema(spark, touched, store.schema_json())
+        before = store.read_subset(spark, touched)
         cond = F.coalesce(_cond(predicate), F.lit(False))
         kept = before.filter(~cond)
         deleted = before.count() - kept.count()
@@ -118,13 +135,100 @@ def delete_where_cow(
         )
         writer.write(kept, stage)
         new_files = list_block_files(stage)
-    store.commit(v, new_files, carried, store.schema_json())
+    store.commit(
+        v, new_files, carried, store.schema_json(),
+        dvs=_carried_dvs(store, carried),
+    )
     return {
         "version": v,
         "deleted": deleted,
         "blocks_total": n_blocks,
         "files_rewritten": len(touched),
         "files_carried": len(carried),
+    }
+
+
+def delete_where_mor(
+    spark: "SparkSession",
+    store: ManifestStore,
+    predicate: str,
+    blooms=None,
+    max_dv_rows: int = MOR_DV_MAX_ROWS,
+) -> dict:
+    """DELETE merge-on-read: commit a deletion VECTOR, not data files —
+    the Delta-DV / Iceberg-position-delete design. The new version
+    names exactly the current files plus per-file lists of deleted
+    ``_metadata.row_index`` positions; the store's read path
+    anti-joins them out. Write cost: one manifest JSON — zero data IO
+    even for a one-row delete, where CoW still rewrites a whole block.
+
+    The triage layer bounds the position SCAN too: only may-match
+    blocks are read to find matching positions (carried blocks can't
+    contain a match). Positions are found among LIVE rows (existing
+    DVs applied), so double-deleting is idempotent.
+
+    Guard: if the version's total DV size would exceed
+    ``max_dv_rows``, the op falls back to ``delete_where_cow``
+    (report["mode"] says which ran) — big deletes belong to CoW, and
+    the bound is what keeps the read path's anti-join frame
+    broadcastable. Compaction materializes DVs away
+    (``compact_manifest`` treats any DV'd file as debt)."""
+    from pyspark.sql import functions as F
+
+    pred = _pred_of(predicate)
+    files = store.files_for()
+    touched, carried, n_blocks = _triage(files, pred, "mor_delete", blooms)
+    existing = store.dvs_for()
+    existing_total = sum(len(p) for p in existing.values())
+    base_of = {os.path.basename(f): os.path.relpath(f, store.root) for f in files}
+    merged: dict[str, set] = {f: set(p) for f, p in existing.items()}
+    deleted = 0
+    if touched:
+        # one scan: every matching position (collect is bounded — a
+        # match count past max_dv_rows falls back below, and the triage
+        # already limited the scan to may-match blocks)
+        raw = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*touched)
+            .withColumn(
+                "_file",
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+            )
+            .withColumn("_pos", F.col("_metadata.row_index"))
+            .filter(F.coalesce(_cond(predicate), F.lit(False)))
+            .select("_file", "_pos")
+        )
+        if raw.limit(max_dv_rows + 1).count() > max_dv_rows:
+            rep = delete_where_cow(spark, store, predicate, blooms=blooms)
+            rep["mode"] = "cow_fallback"
+            return rep
+        for r in raw.collect():
+            rel = base_of[r["_file"]]
+            s = merged.setdefault(rel, set())
+            if int(r["_pos"]) not in s:  # idempotent vs existing DVs
+                s.add(int(r["_pos"]))
+                deleted += 1
+        if existing_total + deleted > max_dv_rows:
+            rep = delete_where_cow(spark, store, predicate, blooms=blooms)
+            rep["mode"] = "cow_fallback"
+            return rep
+    v, _stage = store.stage_next()
+    store.commit(
+        v,
+        [],
+        files,
+        store.schema_json(),
+        dvs={f: sorted(p) for f, p in merged.items()},
+    )
+    return {
+        "version": v,
+        "mode": "mor",
+        "deleted": deleted,
+        "dv_rows_total": sum(len(p) for p in merged.values()),
+        "blocks_total": n_blocks,
+        "files_scanned": len(touched),
+        "files_rewritten": 0,
+        "files_carried": len(files),
     }
 
 
@@ -149,7 +253,7 @@ def update_where_cow(
     new_files: list[str] = []
     updated = 0
     if touched:
-        target = read_with_schema(spark, touched, store.schema_json())
+        target = store.read_subset(spark, touched)
         unknown = set(assignments) - set(target.columns)
         if unknown:
             raise ValueError(f"update_where_cow: unknown columns {sorted(unknown)}")
@@ -175,7 +279,10 @@ def update_where_cow(
         )
         writer.write(target.select(*cols), stage)
         new_files = list_block_files(stage)
-    store.commit(v, new_files, carried, store.schema_json())
+    store.commit(
+        v, new_files, carried, store.schema_json(),
+        dvs=_carried_dvs(store, carried),
+    )
     return {
         "version": v,
         "updated": updated,
@@ -224,9 +331,9 @@ def merge_cow(
         # reconciled read: touched blocks may predate a metadata-only
         # add_column — missing columns surface as typed NULL, exactly
         # what store.read serves for them
-        survivors = read_with_schema(
-            spark, touched, store.schema_json()
-        ).join(updates.select(key), on=key, how="left_anti")
+        survivors = store.read_subset(spark, touched).join(
+            updates.select(key), on=key, how="left_anti"
+        )
         out = survivors.unionByName(updates)
     else:
         out = updates
@@ -237,7 +344,10 @@ def merge_cow(
     )
     writer.write(out, stage)
     new_files = list_block_files(stage)
-    store.commit(v, new_files, carried, store.schema_json())
+    store.commit(
+        v, new_files, carried, store.schema_json(),
+        dvs=_carried_dvs(store, carried),
+    )
     return {
         "version": v,
         "update_rows": updates.count(),
@@ -275,7 +385,10 @@ def append_cow(
     writer.write(df, stage)
     new_files = list_block_files(stage)
     carried = store.files_for()
-    store.commit(v, new_files, carried, store.schema_json(), meta=meta)
+    store.commit(
+        v, new_files, carried, store.schema_json(), meta=meta,
+        dvs=_carried_dvs(store, carried),
+    )
     return {
         "version": v,
         "appended_rows": df.count(),
@@ -324,11 +437,28 @@ def compact_manifest(
     block_rows = block_rows or DEFAULT_BLOCK_ROWS
     files = store.files_for()
     rows_of = {f: pq.ParquetFile(f).metadata.num_rows for f in files}
-    small = [f for f in files if rows_of[f] < block_rows * min_fill]
+    dvs = store.dvs_for()
+    dv_rows = {
+        f: len(dvs.get(os.path.relpath(f, store.root), [])) for f in files
+    }
+    # live rows drive the fill test, and ANY file with a deletion
+    # vector is compactable debt — compaction is the DV-materialization
+    # point (rewritten files physically drop their deleted rows)
+    small = [
+        f
+        for f in files
+        if rows_of[f] - dv_rows[f] < block_rows * min_fill or dv_rows[f]
+    ]
     if sort_by:
         touched, carried = files, []
     else:
-        if len(small) <= 1:  # a single tail block is the expected remainder
+        if len(small) <= 1 and not any(dv_rows.values()):
+            return {  # a single tail block is the expected remainder
+                "compacted": False,
+                "blocks_before": len(files),
+                "blocks_after": len(files),
+            }
+        if not small:
             return {
                 "compacted": False,
                 "blocks_before": len(files),
@@ -338,8 +468,8 @@ def compact_manifest(
     v, stage = store.stage_next()
     new_files: list[str] = []
     if touched:
-        df = read_with_schema(spark, touched, store.schema_json())
-        n_expect = sum(rows_of[f] for f in touched)
+        df = store.read_subset(spark, touched)
+        n_expect = sum(rows_of[f] - dv_rows[f] for f in touched)
         if sort_by and zorder:
             if len(sort_by) != 2:
                 raise ValueError("zorder=True requires exactly 2 sort_by columns")
@@ -374,7 +504,10 @@ def compact_manifest(
                 f"compact_manifest: rewrite lost rows ({n_got} != {n_expect});"
                 " nothing committed — previous version remains current"
             )
-    store.commit(v, new_files, carried, store.schema_json())
+    store.commit(
+        v, new_files, carried, store.schema_json(),
+        dvs=_carried_dvs(store, carried),
+    )
     return {
         "compacted": True,
         "version": v,

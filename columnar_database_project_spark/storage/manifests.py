@@ -160,13 +160,16 @@ class ManifestStore:
         carried_files: list[str],
         schema_json: str,
         meta: dict | None = None,
+        dvs: dict | None = None,
     ) -> None:
         """Publish ``version`` = carried (root-relative or absolute
         under root) + new files. Manifest first, head-log swap second —
         a crash between the two leaves an unreferenced manifest, never
         a dangling head entry. ``meta`` is carried verbatim in the
         manifest (e.g. ``{"txn": {"batch_id": N}}`` for the streaming
-        sink's exactly-once dedup)."""
+        sink's exactly-once dedup). ``dvs``: deletion vectors — file →
+        row positions logically deleted from that (still-referenced)
+        file; a DV for a file the manifest doesn't name is an error."""
         vs = self.versions()
         if version in vs:
             raise ValueError(f"commit: v{version} already committed")
@@ -180,9 +183,30 @@ class ManifestStore:
         doc = {"version": version, "files": sorted(rel), "schema": schema_json}
         if meta:
             doc["meta"] = meta
+        if dvs:
+            rel_set = set(rel)
+            dv_doc = {}
+            for f, positions in dvs.items():
+                if os.path.isabs(f):
+                    f = os.path.relpath(f, self.root)
+                if f not in rel_set:
+                    raise ValueError(
+                        f"commit: deletion vector for unreferenced file {f!r}"
+                    )
+                if positions:
+                    dv_doc[f] = sorted(int(p) for p in set(positions))
+            if dv_doc:
+                doc["dvs"] = dv_doc
         with open(self._manifest_path(version), "w") as fh:
             json.dump(doc, fh)
         self._write_head(vs + [version])
+
+    def dvs_for(self, version: int | None = None) -> dict[str, list[int]]:
+        """Deletion vectors of a version: file (root-relative) → sorted
+        deleted row positions (``_metadata.row_index`` space). Empty
+        dict when the version has none."""
+        v = self.latest() if version is None else version
+        return dict(self._read_manifest(v).get("dvs", {}))
 
     def meta_for(self, version: int) -> dict:
         return self._read_manifest(version).get("meta", {})
@@ -212,11 +236,82 @@ class ManifestStore:
         Schema reconciliation (the metadata-only ADD COLUMN read
         path) via ``read_with_schema``: existing rows of an added
         column read NULL — the lakehouse-standard metadata-only
-        evolution semantics (Delta/Iceberg ADD COLUMN)."""
+        evolution semantics (Delta/Iceberg ADD COLUMN). Deletion
+        vectors (merge-on-read DELETE, ``cow.delete_where_mor``) are
+        applied transparently — a logically-deleted row never
+        surfaces."""
         v = self.latest() if version is None else version
         if v is None:
             raise ValueError("empty store")
-        return read_with_schema(spark, self.files_for(v), self.schema_json(v))
+        return self.read_subset(spark, self.files_for(v), version=v)
+
+    def read_subset(
+        self,
+        spark: "SparkSession",
+        files: list[str],
+        version: int | None = None,
+    ) -> "DataFrame":
+        """Reconciled read of a SUBSET of a version's files with that
+        version's deletion vectors applied (only the vectors covering
+        these files). This is the one read path the CoW verbs use for
+        touched blocks — a rewrite that ignored pending DVs would
+        resurrect logically-deleted rows.
+
+        DV application is an anti-join on (file name, row position)
+        against the bounded DV frame (bounded by construction:
+        ``delete_where_mor`` refuses to grow a version's DVs past
+        ``cow.MOR_DV_MAX_ROWS``, falling back to CoW), with
+        ``_metadata.row_index`` supplying positions at scan time —
+        zero cost when the version has no DVs."""
+        from columnar_database_project_spark.functions.broadcast_policy import (
+            bounded_broadcast,
+        )
+
+        from pyspark.sql import functions as F
+
+        v = self.latest() if version is None else version
+        schema_json = self.schema_json(v)
+        if not files:
+            return read_with_schema(spark, files, schema_json)
+        dvs = self.dvs_for(v)
+        rel = {f: os.path.relpath(f, self.root) for f in files}
+        pairs = [
+            (os.path.basename(f), int(p))
+            for f in files
+            for p in dvs.get(rel[f], [])
+        ]
+        if not pairs:
+            return read_with_schema(spark, files, schema_json)
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(_json.loads(schema_json))
+        dv_df = spark.createDataFrame(pairs, "_file string, _pos long")
+        df = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*files)
+            .withColumn(
+                "_file",
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+            )
+            .withColumn("_pos", F.col("_metadata.row_index"))
+            .join(
+                bounded_broadcast(
+                    dv_df,
+                    1_048_576,
+                    "DV frame ≤ MOR_DV_MAX_ROWS by delete_where_mor's "
+                    "fallback-to-CoW guard",
+                ),
+                on=["_file", "_pos"],
+                how="left_anti",
+            )
+            .drop("_file", "_pos")
+        )
+        for field in schema.fields:
+            if field.name not in df.columns:
+                df = df.withColumn(field.name, F.lit(None).cast(field.dataType))
+        return df.select(*[f.name for f in schema.fields])
 
     # ------------------------------------------------------ schema evolution
     def add_column(self, name: str, ddl_type: str) -> dict:

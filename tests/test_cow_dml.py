@@ -607,3 +607,118 @@ class TestRegisterManifest:
         assert eng.query(
             f"SELECT count(*) AS c FROM mt WHERE {KEY} < 100"
         ).collect()[0]["c"] == 0
+
+
+class TestMergeOnReadDeletes:
+    def test_mor_delete_writes_no_data_files(
+        self, spark, orders_df, tmp_path_factory
+    ):
+        import glob as _glob
+
+        from columnar_database_project_spark.storage.cow import (
+            delete_where_mor,
+        )
+
+        store = ManifestStore(str(tmp_path_factory.mktemp("mor")))
+        n = orders_df.count()
+        init_manifest_table(
+            spark, store, orders_df.orderBy(KEY).coalesce(1),
+            block_rows=max(1, n // 8),
+        )
+        files_before = sorted(_glob.glob(
+            os.path.join(store.root, "data", "**", "*"), recursive=True
+        ))
+        rep = delete_where_mor(spark, store, f"{KEY} BETWEEN 10 AND 14")
+        assert rep["mode"] == "mor"
+        assert rep["deleted"] == 5
+        assert rep["files_rewritten"] == 0
+        # literally zero new data files on disk
+        files_after = sorted(_glob.glob(
+            os.path.join(store.root, "data", "**", "*"), recursive=True
+        ))
+        assert files_after == files_before
+        # and the rows are logically gone
+        df = store.read(spark)
+        assert df.count() == n - 5
+        assert df.filter(f"{KEY} BETWEEN 10 AND 14").count() == 0
+        # time travel still sees them
+        assert store.read(spark, store.versions()[-2]).count() == n
+
+        # idempotent: same delete again removes nothing more
+        rep2 = delete_where_mor(spark, store, f"{KEY} BETWEEN 10 AND 14")
+        assert rep2["deleted"] == 0
+        assert store.read(spark).count() == n - 5
+
+    def test_mor_then_cow_interplay(self, spark, orders_df, tmp_path_factory):
+        """A CoW rewrite AFTER a MoR delete must not resurrect the
+        logically-deleted rows: touched blocks apply DVs before
+        rewriting (consumed), carried blocks keep their vectors."""
+        from columnar_database_project_spark.storage.cow import (
+            delete_where_mor,
+        )
+
+        store = ManifestStore(str(tmp_path_factory.mktemp("mor_cow")))
+        n = orders_df.count()
+        init_manifest_table(
+            spark, store, orders_df.orderBy(KEY).coalesce(1),
+            block_rows=max(1, n // 8),
+        )
+        # MoR-delete keys in TWO regions: one in the block a later CoW
+        # update touches, one in a block it carries
+        delete_where_mor(spark, store, f"{KEY} IN (5, 800)")
+        assert store.read(spark).count() == n - 2
+        rep = update_where_cow(
+            spark, store, f"{KEY} < 100", {"o_orderstatus": "'U'"},
+        )
+        assert 1 <= rep["files_rewritten"] < rep["blocks_total"]
+        df = store.read(spark)
+        assert df.count() == n - 2
+        assert df.filter(f"{KEY} IN (5, 800)").count() == 0  # still gone
+        # keys 0..99 minus the MoR-deleted key 5 → 99, NOT 100: the
+        # rewrite applied the pending DV instead of resurrecting row 5
+        assert df.filter("o_orderstatus = 'U'").count() == 99
+        # the carried file's DV survived into the new manifest
+        assert any(store.dvs_for().values())
+
+    def test_compaction_materializes_dvs(
+        self, spark, orders_df, tmp_path_factory
+    ):
+        from columnar_database_project_spark.storage.cow import (
+            compact_manifest,
+            delete_where_mor,
+        )
+
+        store = ManifestStore(str(tmp_path_factory.mktemp("mor_compact")))
+        n = orders_df.count()
+        init_manifest_table(
+            spark, store, orders_df.orderBy(KEY).coalesce(1),
+            block_rows=max(1, n // 8),
+        )
+        delete_where_mor(spark, store, f"{KEY} IN (3, 700)")
+        rep = compact_manifest(spark, store, block_rows=max(1, n // 8))
+        assert rep["compacted"]
+        assert not store.dvs_for()  # vectors consumed
+        df = store.read(spark)
+        assert df.count() == n - 2
+        assert df.filter(f"{KEY} IN (3, 700)").count() == 0
+
+    def test_fallback_to_cow_above_dv_budget(
+        self, spark, orders_df, tmp_path_factory
+    ):
+        from columnar_database_project_spark.storage.cow import (
+            delete_where_mor,
+        )
+
+        store = ManifestStore(str(tmp_path_factory.mktemp("mor_fb")))
+        n = orders_df.count()
+        init_manifest_table(
+            spark, store, orders_df.orderBy(KEY).coalesce(1),
+            block_rows=max(1, n // 8),
+        )
+        rep = delete_where_mor(
+            spark, store, f"{KEY} < 500", max_dv_rows=100
+        )
+        assert rep["mode"] == "cow_fallback"
+        assert rep["deleted"] == 500
+        assert not store.dvs_for()  # CoW path, no vectors
+        assert store.read(spark).count() == n - 500
