@@ -556,7 +556,30 @@ def bench_cow_dml(spark, sf_dir: str) -> dict:
     assert (
         mstore.read(spark).count() == eng.table("cow_li").count()
     ), "post-DML row counts diverged"
+
+    # --- the third rung: merge-on-read for a TINY delete (one key).
+    # Full rewrite moves the table, CoW moves one block, MoR moves
+    # NOTHING — one manifest JSON. The write-cost ladder is the point.
+    from columnar_database_project_spark.storage.cow import delete_where_mor
+
+    key = int(
+        mstore.read(spark).selectExpr("max(l_orderkey) AS k").first()["k"]
+    )
+    t0 = time.time()
+    rep_mor = delete_where_mor(spark, mstore, f"l_orderkey = {key}")
+    sec_mor = time.time() - t0
+    assert rep_mor["mode"] == "mor" and rep_mor["files_rewritten"] == 0
+    n_after = mstore.read(spark).count()
+    mor = {
+        "sec": round(sec_mor, 3),
+        "deleted": rep_mor["deleted"],
+        "files_rewritten": 0,
+        "mb_written": 0.0,
+        "dv_rows_total": rep_mor["dv_rows_total"],
+        "rows_after": int(n_after),
+    }
     return {
+        "mor_point_delete": mor,
         "rows": n,
         "deleted": rep_cow["deleted"],
         "predicate_window": [lo, hi],
