@@ -148,6 +148,51 @@ def delete_where_cow(
     }
 
 
+def _mor_merge_positions(
+    spark: "SparkSession",
+    store: ManifestStore,
+    files: list[str],
+    touched: list[str],
+    cond_col,
+    max_dv_rows: int,
+):
+    """Collect the ``(file, row_index)`` positions matching ``cond_col``
+    in the touched files and merge them into the current version's
+    deletion vectors. Returns ``(merged_dvs, n_new)`` or ``None`` when
+    the result would exceed ``max_dv_rows`` (caller falls back to
+    CoW). Already-deleted positions merge idempotently."""
+    from pyspark.sql import functions as F
+
+    existing = store.dvs_for()
+    existing_total = sum(len(p) for p in existing.values())
+    base_of = {os.path.basename(f): os.path.relpath(f, store.root) for f in files}
+    merged: dict[str, set] = {f: set(p) for f, p in existing.items()}
+    n_new = 0
+    if touched:
+        raw = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*touched)
+            .withColumn(
+                "_file",
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+            )
+            .withColumn("_pos", F.col("_metadata.row_index"))
+            .filter(F.coalesce(cond_col, F.lit(False)))
+            .select("_file", "_pos")
+        )
+        if raw.limit(max_dv_rows + 1).count() > max_dv_rows:
+            return None
+        for r in raw.collect():
+            rel = base_of[r["_file"]]
+            s = merged.setdefault(rel, set())
+            if int(r["_pos"]) not in s:
+                s.add(int(r["_pos"]))
+                n_new += 1
+        if existing_total + n_new > max_dv_rows:
+            return None
+    return {f: sorted(p) for f, p in merged.items()}, n_new
+
+
 def delete_where_mor(
     spark: "SparkSession",
     store: ManifestStore,
@@ -173,53 +218,19 @@ def delete_where_mor(
     the bound is what keeps the read path's anti-join frame
     broadcastable. Compaction materializes DVs away
     (``compact_manifest`` treats any DV'd file as debt)."""
-    from pyspark.sql import functions as F
-
     pred = _pred_of(predicate)
     files = store.files_for()
     touched, carried, n_blocks = _triage(files, pred, "mor_delete", blooms)
-    existing = store.dvs_for()
-    existing_total = sum(len(p) for p in existing.values())
-    base_of = {os.path.basename(f): os.path.relpath(f, store.root) for f in files}
-    merged: dict[str, set] = {f: set(p) for f, p in existing.items()}
-    deleted = 0
-    if touched:
-        # one scan: every matching position (collect is bounded — a
-        # match count past max_dv_rows falls back below, and the triage
-        # already limited the scan to may-match blocks)
-        raw = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*touched)
-            .withColumn(
-                "_file",
-                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
-            )
-            .withColumn("_pos", F.col("_metadata.row_index"))
-            .filter(F.coalesce(_cond(predicate), F.lit(False)))
-            .select("_file", "_pos")
-        )
-        if raw.limit(max_dv_rows + 1).count() > max_dv_rows:
-            rep = delete_where_cow(spark, store, predicate, blooms=blooms)
-            rep["mode"] = "cow_fallback"
-            return rep
-        for r in raw.collect():
-            rel = base_of[r["_file"]]
-            s = merged.setdefault(rel, set())
-            if int(r["_pos"]) not in s:  # idempotent vs existing DVs
-                s.add(int(r["_pos"]))
-                deleted += 1
-        if existing_total + deleted > max_dv_rows:
-            rep = delete_where_cow(spark, store, predicate, blooms=blooms)
-            rep["mode"] = "cow_fallback"
-            return rep
-    v, _stage = store.stage_next()
-    store.commit(
-        v,
-        [],
-        files,
-        store.schema_json(),
-        dvs={f: sorted(p) for f, p in merged.items()},
+    got = _mor_merge_positions(
+        spark, store, files, touched, _cond(predicate), max_dv_rows
     )
+    if got is None:
+        rep = delete_where_cow(spark, store, predicate, blooms=blooms)
+        rep["mode"] = "cow_fallback"
+        return rep
+    merged, deleted = got
+    v, _stage = store.stage_next()
+    store.commit(v, [], files, store.schema_json(), dvs=merged)
     return {
         "version": v,
         "mode": "mor",
@@ -227,6 +238,157 @@ def delete_where_mor(
         "dv_rows_total": sum(len(p) for p in merged.values()),
         "blocks_total": n_blocks,
         "files_scanned": len(touched),
+        "files_rewritten": 0,
+        "files_carried": len(files),
+    }
+
+
+def update_where_mor(
+    spark: "SparkSession",
+    store: ManifestStore,
+    predicate: str,
+    assignments: dict,
+    block_rows: int | None = None,
+    blooms=None,
+    max_dv_rows: int = MOR_DV_MAX_ROWS,
+) -> dict:
+    """UPDATE merge-on-read: deletion-vector the matching rows OUT and
+    append their updated versions as a NEW block — write cost = the
+    changed rows, not the blocks that contain them (a one-row update
+    writes one tiny file + a manifest, where CoW rewrites the whole
+    block). Same hybrid Delta runs when deletion vectors are enabled.
+
+    The updated rows are computed from LIVE matching rows (existing
+    DVs applied), assignments cast back to column types (schema must
+    not fork), and both sides land in ONE commit — no version ever
+    shows the delete without the insert. Falls back to
+    ``update_where_cow`` above the DV budget."""
+    from pyspark.sql import functions as F
+
+    pred = _pred_of(predicate)
+    files = store.files_for()
+    touched, carried, n_blocks = _triage(files, pred, "mor_update", blooms)
+    target_cols = [
+        f["name"] for f in json.loads(store.schema_json())["fields"]
+    ]
+    unknown = set(assignments) - set(target_cols)
+    if unknown:
+        raise ValueError(f"update_where_mor: unknown columns {sorted(unknown)}")
+    got = _mor_merge_positions(
+        spark, store, files, touched, _cond(predicate), max_dv_rows
+    )
+    if got is None:
+        rep = update_where_cow(
+            spark, store, predicate, assignments,
+            block_rows=block_rows, blooms=blooms,
+        )
+        rep["mode"] = "cow_fallback"
+        return rep
+    merged, n_hit = got
+    v, stage = store.stage_next()
+    new_files: list[str] = []
+    if touched and n_hit:
+        live = store.read_subset(spark, touched).filter(
+            F.coalesce(_cond(predicate), F.lit(False))
+        )
+        types = dict(live.dtypes)
+        cols = []
+        for c in live.columns:
+            if c in assignments:
+                a = assignments[c]
+                expr = F.expr(a) if isinstance(a, str) else a
+                cols.append(expr.cast(types[c]).alias(c))
+            else:
+                cols.append(F.col(c))
+        writer = (
+            MicroBlockWriter(block_rows=block_rows)
+            if block_rows
+            else MicroBlockWriter()
+        )
+        # n_hit is DV-budget-bounded, so right-sizing the append to
+        # ⌈n_hit/block⌉ tasks never concentrates more than the budget
+        br = block_rows or writer.block_rows
+        writer.write(
+            live.select(*cols).coalesce(max(1, n_hit // br or 1)), stage
+        )
+        new_files = list_block_files(stage)
+    store.commit(v, new_files, files, store.schema_json(), dvs=merged)
+    return {
+        "version": v,
+        "mode": "mor",
+        "updated": n_hit,
+        "dv_rows_total": sum(len(p) for p in merged.values()),
+        "blocks_total": n_blocks,
+        "files_new": len(new_files),
+        "files_rewritten": 0,
+        "files_carried": len(files),
+    }
+
+
+def merge_mor(
+    spark: "SparkSession",
+    store: ManifestStore,
+    updates: "DataFrame",
+    key: str,
+    block_rows: int | None = None,
+    blooms=None,
+    max_dv_rows: int = MOR_DV_MAX_ROWS,
+    max_point_keys: int = MERGE_POINT_KEYS_MAX,
+) -> dict:
+    """MERGE merge-on-read: deletion-vector the matched keys' old rows
+    and append ALL update rows as new blocks, one commit — upsert cost
+    = the update batch, never the blocks it lands in. Falls back to
+    ``merge_cow`` when the key batch is backfill-sized or the DV
+    budget would overflow."""
+    target_cols = {
+        f["name"] for f in json.loads(store.schema_json())["fields"]
+    }
+    if set(updates.columns) != target_cols:
+        raise ValueError(
+            f"merge_mor: updates columns {sorted(updates.columns)} "
+            f"!= target columns {sorted(target_cols)}"
+        )
+    n_keys = updates.select(key).distinct().count()
+    if n_keys > max_point_keys:
+        rep = merge_cow(
+            spark, store, updates, key,
+            block_rows=block_rows, blooms=blooms,
+        )
+        rep["mode"] = "cow_fallback"
+        return rep
+    keys = [r[0] for r in updates.select(key).distinct().collect()]
+    pred: Pred = InList(key, tuple(keys)) if keys else TruePred()
+    files = store.files_for()
+    touched, carried, n_blocks = _triage(files, pred, "mor_merge", blooms)
+    got = _mor_merge_positions(
+        spark, store, files, touched, pred.to_column(), max_dv_rows
+    )
+    if got is None:
+        rep = merge_cow(
+            spark, store, updates, key,
+            block_rows=block_rows, blooms=blooms,
+        )
+        rep["mode"] = "cow_fallback"
+        return rep
+    merged, n_matched = got
+    v, stage = store.stage_next()
+    writer = (
+        MicroBlockWriter(block_rows=block_rows)
+        if block_rows
+        else MicroBlockWriter()
+    )
+    writer.write(updates, stage)
+    new_files = list_block_files(stage)
+    store.commit(v, new_files, files, store.schema_json(), dvs=merged)
+    return {
+        "version": v,
+        "mode": "mor",
+        "update_rows": updates.count(),
+        "update_keys": n_keys,
+        "matched_rows": n_matched,
+        "dv_rows_total": sum(len(p) for p in merged.values()),
+        "blocks_total": n_blocks,
+        "files_new": len(new_files),
         "files_rewritten": 0,
         "files_carried": len(files),
     }

@@ -722,3 +722,79 @@ class TestMergeOnReadDeletes:
         assert rep["deleted"] == 500
         assert not store.dvs_for()  # CoW path, no vectors
         assert store.read(spark).count() == n - 500
+
+
+class TestMergeOnReadUpdateAndMerge:
+    def test_mor_update_appends_only_changed_rows(
+        self, spark, orders_df, tmp_path_factory
+    ):
+        from columnar_database_project_spark.storage.cow import (
+            update_where_mor,
+        )
+
+        store = ManifestStore(str(tmp_path_factory.mktemp("mor_upd")))
+        n = orders_df.count()
+        init_manifest_table(
+            spark, store, orders_df.orderBy(KEY).coalesce(1),
+            block_rows=max(1, n // 8),
+        )
+        rep = update_where_mor(
+            spark, store, f"{KEY} IN (7, 900)",
+            {"o_orderstatus": "'U'", "o_totalprice": "o_totalprice + 1.0"},
+        )
+        assert rep["mode"] == "mor"
+        assert rep["updated"] == 2
+        assert rep["files_rewritten"] == 0
+        assert rep["files_new"] == 1  # one tiny block of 2 rows
+        df = store.read(spark)
+        assert df.count() == n  # delete+insert net zero
+        got = df.filter(f"{KEY} IN (7, 900)").toPandas()
+        assert len(got) == 2 and set(got["o_orderstatus"]) == {"U"}
+        # non-matching rows untouched, schema type preserved
+        assert dict(df.dtypes)["o_totalprice"] == "double"
+        assert df.filter("o_orderstatus = 'U'").count() == 2
+
+        # idempotence of the DV side: updating the SAME rows again
+        # DVs the previously-appended rows (now live in the new block)
+        rep2 = update_where_mor(
+            spark, store, f"{KEY} IN (7, 900)", {"o_custkey": "1"}
+        )
+        assert rep2["updated"] == 2
+        df2 = store.read(spark)
+        assert df2.count() == n
+        assert df2.filter(f"{KEY} = 7 AND o_custkey = 1").count() == 1
+
+    def test_mor_merge_upserts_without_rewrites(
+        self, spark, orders_df, tmp_path_factory
+    ):
+        from columnar_database_project_spark.storage.cow import merge_mor
+
+        store = ManifestStore(str(tmp_path_factory.mktemp("mor_mrg")))
+        n = orders_df.count()
+        init_manifest_table(
+            spark, store, orders_df.orderBy(KEY).coalesce(1),
+            block_rows=max(1, n // 8),
+        )
+        schema = store.read(spark).schema
+        upd = spark.createDataFrame(
+            [(42, 1, "M", 1.0), (10**6, 2, "N", 2.0)], schema=schema
+        )
+        rep = merge_mor(spark, store, upd, KEY)
+        assert rep["mode"] == "mor"
+        assert rep["matched_rows"] == 1     # key 42 existed
+        assert rep["files_rewritten"] == 0
+        df = store.read(spark)
+        assert df.count() == n + 1          # one update, one insert
+        assert df.filter(f"{KEY} = 42").toPandas()["o_orderstatus"][0] == "M"
+        assert df.filter(f"{KEY} = {10**6}").count() == 1
+        # equivalence with CoW merge on a twin store
+        store2 = ManifestStore(str(tmp_path_factory.mktemp("mor_mrg2")))
+        init_manifest_table(
+            spark, store2, orders_df.orderBy(KEY).coalesce(1),
+            block_rows=max(1, n // 8),
+        )
+        merge_cow(spark, store2, upd, KEY)
+        assert _states_equal(
+            _sorted_state(store.read(spark).toPandas()),
+            _sorted_state(store2.read(spark).toPandas()),
+        )
