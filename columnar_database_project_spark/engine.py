@@ -424,6 +424,29 @@ class MicroBlockEngine:
         self.register(name, mstore.read(self.spark))
         return report
 
+    def update_where_mor(
+        self, name: str, predicate, assignments: dict, mstore, **kw
+    ) -> dict:
+        """Merge-on-read UPDATE: DV the matching rows, append their
+        updated versions (storage/cow.update_where_mor)."""
+        from columnar_database_project_spark.storage.cow import (
+            update_where_mor,
+        )
+
+        report = update_where_mor(
+            self.spark, mstore, predicate, assignments, **kw
+        )
+        self.register(name, mstore.read(self.spark))
+        return report
+
+    def merge_mor(self, name: str, updates, key: str, mstore, **kw) -> dict:
+        """Merge-on-read MERGE/upsert (storage/cow.merge_mor)."""
+        from columnar_database_project_spark.storage.cow import merge_mor
+
+        report = merge_mor(self.spark, mstore, updates, key, **kw)
+        self.register(name, mstore.read(self.spark))
+        return report
+
     def update_where_cow(
         self, name: str, predicate, assignments: dict, mstore, **kw
     ) -> dict:
