@@ -798,3 +798,87 @@ class TestMergeOnReadUpdateAndMerge:
             _sorted_state(store.read(spark).toPandas()),
             _sorted_state(store2.read(spark).toPandas()),
         )
+
+
+class TestLadderEquivalenceFuzz:
+    def test_random_mixed_cow_mor_sequence_matches_full_rewrite(
+        self, spark, orders_df, tmp_path_factory
+    ):
+        """The whole ladder is one semantics: a random sequence where
+        engine B picks CoW or MoR per op must match the full-rewrite
+        engine state-for-state — any DV leak, resurrection, or
+        fallback bug diverges here."""
+        from columnar_database_project_spark.storage.cow import (
+            delete_where_mor,
+            merge_mor,
+            update_where_mor,
+        )
+
+        rng = random.Random(0x1ADDE2)
+        root = tmp_path_factory.mktemp("ladder")
+
+        sstore = SnapshotStore(str(root / "snap"))
+        eng_a = MicroBlockEngine(spark)
+        v0, dst0 = sstore.stage_next()
+        MicroBlockWriter().write(orders_df, dst0)
+        sstore.commit(v0)
+        eng_a.register("la", spark.read.parquet(dst0))
+
+        mstore = ManifestStore(str(root / "mani"))
+        init_manifest_table(
+            spark, mstore, orders_df.repartition(8, KEY), block_rows=256
+        )
+
+        schema = eng_a.table("la").schema
+        for step in range(8):
+            op = rng.randrange(3)
+            mor = rng.random() < 0.5
+            if op == 0:
+                pred = _pred(rng)
+                eng_a.delete_versioned("la", pred, sstore)
+                if mor:
+                    delete_where_mor(spark, mstore, pred)
+                else:
+                    delete_where_cow(spark, mstore, pred, block_rows=256)
+            elif op == 1:
+                pred = _pred(rng)
+                col, expr = rng.choice(
+                    [
+                        ("o_totalprice", "o_totalprice * 1.1"),
+                        ("o_orderstatus", "'Z'"),
+                    ]
+                )
+                eng_a.update_versioned("la", pred, {col: expr}, sstore)
+                if mor:
+                    update_where_mor(
+                        spark, mstore, pred, {col: expr}, block_rows=256
+                    )
+                else:
+                    update_where_cow(
+                        spark, mstore, pred, {col: expr}, block_rows=256
+                    )
+            else:
+                cur = eng_a.table("la").toPandas()
+                n_upd = min(len(cur), rng.randrange(0, 8))
+                upd = cur.sample(n=n_upd, random_state=rng.randrange(2**31))
+                upd = upd.assign(o_orderstatus="M")
+                max_key = int(cur[KEY].max()) if len(cur) else 0
+                new = pd.DataFrame(
+                    {
+                        KEY: [max_key + 1],
+                        "o_custkey": [3],
+                        "o_orderstatus": ["N"],
+                        "o_totalprice": [9.0],
+                    }
+                )
+                upd_pdf = pd.concat([upd, new], ignore_index=True)[COLS]
+                updates = spark.createDataFrame(upd_pdf, schema=schema)
+                eng_a.merge_versioned("la", updates, KEY, sstore)
+                if mor:
+                    merge_mor(spark, mstore, updates, KEY, block_rows=256)
+                else:
+                    merge_cow(spark, mstore, updates, KEY, block_rows=256)
+
+            got = _sorted_state(mstore.read(spark).toPandas())
+            want = _sorted_state(eng_a.table("la").toPandas())
+            assert _states_equal(got, want), f"diverged at step {step} (mor={mor})"
