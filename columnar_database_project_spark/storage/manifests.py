@@ -336,6 +336,36 @@ class ManifestStore:
         self.commit(v, [], self.files_for(v_cur), new_schema.json())
         return {"version": v, "column": name, "type": ddl_type}
 
+    # --------------------------------------------------------- observability
+    def history(self) -> list[dict]:
+        """DESCRIBE HISTORY: one record per committed version —
+        file/DV/schema facts plus txn meta, all from manifests (no
+        data IO). Newest last."""
+        import json as _json
+
+        out = []
+        prev_files: set[str] = set()
+        for v in self.versions():
+            m = self._read_manifest(v)
+            files = set(m["files"])
+            dvs = m.get("dvs", {})
+            out.append(
+                {
+                    "version": v,
+                    "files": len(files),
+                    "files_added": len(files - prev_files),
+                    "files_removed": len(prev_files - files),
+                    "dv_files": len(dvs),
+                    "dv_rows": sum(len(p) for p in dvs.values()),
+                    "columns": len(_json.loads(m["schema"])["fields"]),
+                    "txn_batch_id": m.get("meta", {})
+                    .get("txn", {})
+                    .get("batch_id"),
+                }
+            )
+            prev_files = files
+        return out
+
     # ----------------------------------------------------------- retention
     def rollback(self, version: int) -> None:
         vs = self.versions()

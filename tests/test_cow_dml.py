@@ -882,3 +882,27 @@ class TestLadderEquivalenceFuzz:
             got = _sorted_state(mstore.read(spark).toPandas())
             want = _sorted_state(eng_a.table("la").toPandas())
             assert _states_equal(got, want), f"diverged at step {step} (mor={mor})"
+
+
+class TestHistory:
+    def test_describe_history_facts(self, spark, orders_df, tmp_path_factory):
+        from columnar_database_project_spark.storage.cow import (
+            delete_where_mor,
+        )
+
+        store = ManifestStore(str(tmp_path_factory.mktemp("hist")))
+        n = orders_df.count()
+        init_manifest_table(
+            spark, store, orders_df.orderBy(KEY).coalesce(1),
+            block_rows=max(1, n // 8),
+        )
+        delete_where_cow(spark, store, f"{KEY} < 10")
+        delete_where_mor(spark, store, f"{KEY} = 500")
+        store.add_column("q", "double")
+        h = store.history()
+        assert [r["version"] for r in h] == store.versions()
+        assert h[0]["files_added"] == h[0]["files"]
+        assert h[1]["files_removed"] >= 1          # CoW swapped a block
+        assert h[2]["dv_rows"] == 1 and h[2]["files_added"] == 0   # MoR
+        assert h[3]["columns"] == h[2]["columns"] + 1  # add_column
+        assert h[3]["files_added"] == 0                # metadata-only
