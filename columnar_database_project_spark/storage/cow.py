@@ -45,7 +45,6 @@ from columnar_database_project_spark.sources.microblock import MicroBlockWriter
 from columnar_database_project_spark.storage.manifests import (
     ManifestStore,
     list_block_files,
-    read_with_schema,
 )
 
 if TYPE_CHECKING:  # pragma: no cover
