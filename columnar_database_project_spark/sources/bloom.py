@@ -55,13 +55,20 @@ _SIDECAR = "_blooms.npz"  # leading underscore: hidden to Spark's file listing
 
 
 def _canon(v) -> bytes | None:
-    """Canonical byte encoding of a lookup/stored value.
+    """Canonical byte encoding of a lookup/stored value — keyed by
+    VALUE across every form SQL equality could coerce together, so a
+    stored datetime matches the string literal the WHERE clause
+    carries, and a DOUBLE 5.0 matches the int literal 5. The soundness
+    rule: the bloom must say MAYBE whenever equality COULD hold under
+    any engine's coercion — unifying coercible forms only adds
+    collisions (false positives), never false negatives, which is the
+    direction a pruning filter must err.
 
-    Type-tagged so ``5`` and ``"5"`` never collide, but NUMERICALLY
-    canonical across int/float (SQL ``doc_id = 5`` must hit a DOUBLE
-    column storing 5.0 — Spark and DuckDB both coerce the comparison).
-    Returns None for values a bloom cannot index (NULL, NaN): SQL
-    ``col = NULL`` matches no row, so "absent" is the sound answer.
+    Concretely: numerics encode by value (5 == 5.0 == "5" == "05");
+    strings that parse as ISO timestamps encode like datetimes
+    ('1998-03-31' matches the footer/parquet datetime); everything
+    else is type-tagged. Returns None for NULL/NaN: SQL ``col = NULL``
+    matches no row, so "absent" is the sound answer.
     """
     if v is None:
         return None
@@ -77,6 +84,18 @@ def _canon(v) -> bytes | None:
             return b"i:%d" % int(f)
         return b"f:" + repr(f).encode()
     if isinstance(v, str):
+        try:
+            return _canon(int(v))
+        except ValueError:
+            pass
+        try:
+            return _canon(float(v))
+        except ValueError:
+            pass
+        try:
+            return _canon(_dt.datetime.fromisoformat(v))
+        except ValueError:
+            pass
         return b"s:" + v.encode("utf-8")
     if isinstance(v, (bytes, bytearray)):
         return b"y:" + bytes(v)

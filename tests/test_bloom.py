@@ -8,6 +8,7 @@ import os
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -30,17 +31,27 @@ from columnar_database_project_spark.sources.microblock import (
 
 # ------------------------------------------------------------- unit layer
 class TestCanon:
-    def test_type_tags_never_collide(self):
-        assert _canon(5) != _canon("5")
-        assert _canon(1) != _canon(True)
-        assert _canon("") is not None
-
-    def test_numeric_canonicalization(self):
-        # SQL `id = 5` must hit a DOUBLE column storing 5.0
-        assert _canon(5) == _canon(5.0)
+    def test_coercible_forms_unify(self):
+        """SQL equality coerces across types; the bloom must never
+        false-negative a match any engine's coercion could make."""
+        # numeric: int == float == numeric string
+        assert _canon(5) == _canon(5.0) == _canon("5")
         assert _canon(np.int64(5)) == _canon(5)
         assert _canon(np.float64(5.0)) == _canon(5)
+        assert _canon(5.5) == _canon("5.5")
         assert _canon(5.5) != _canon(5)
+        # temporal: stored datetime == the WHERE clause's string literal
+        import datetime as dt
+
+        assert _canon(dt.datetime(1998, 3, 31)) == _canon("1998-03-31")
+        assert _canon(dt.date(1998, 3, 31)) == _canon(
+            "1998-03-31 00:00:00"
+        )
+
+    def test_non_coercible_strings_stay_tagged(self):
+        assert _canon("abc") != _canon(5)
+        assert _canon(1) != _canon(True)
+        assert _canon("") is not None
 
     def test_null_and_nan_unencodable(self):
         assert _canon(None) is None
@@ -235,5 +246,48 @@ class TestEngineExplain:
             z = rep["zone_map"]
             assert z["blocks_predicted_zone_only"] >= z["blocks_total"] // 2
             assert z["blocks_predicted"] <= 3
+        finally:
+            idx.attach_blooms(None)
+
+
+class TestTemporalColumnBloom:
+    def test_timestamp_column_lookup_not_falsely_pruned(
+        self, spark, sf_dir, tmp_path_factory
+    ):
+        """A bloom on a TIMESTAMP column must answer MAYBE for the
+        string literal the WHERE grammar carries — the coercion case
+        that would otherwise false-prune every temporal point lookup."""
+        from columnar_database_project_spark.catalog import load_table
+
+        path = str(tmp_path_factory.mktemp("bloomts") / "li")
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_shipdate"
+        )
+        MicroBlockWriter(block_rows=512).write(
+            li.repartition(8, "l_orderkey"), path
+        )
+        blooms = build_bloom_index(spark, path, ["l_shipdate"])
+        idx = MicroBlockIndex.build(path)
+        idx.attach_blooms(blooms)
+        try:
+            # every distinct stored timestamp, probed AS A STRING (the
+            # literal form): the true block must always stay a candidate
+            some = [
+                str(r["l_shipdate"])
+                for r in li.select("l_shipdate").distinct().limit(20).collect()
+            ]
+            full = spark.read.parquet(path)
+            for lit in some:
+                cands = idx.candidate_blocks(Cmp("=", "l_shipdate", lit))
+                want = full.filter(
+                    F.col("l_shipdate") == lit
+                ).count()
+                got = sum(
+                    read_block(spark, idx, b)
+                    .filter(F.col("l_shipdate") == lit)
+                    .count()
+                    for b in cands
+                )
+                assert got == want, f"false prune for literal {lit!r}"
         finally:
             idx.attach_blooms(None)
