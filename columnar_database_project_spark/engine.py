@@ -474,6 +474,19 @@ class MicroBlockEngine:
         self.register(name, df)
         return df
 
+    def compact_manifest(self, name: str, mstore, **kw) -> dict:
+        """Compact a manifest table (storage/cow.compact_manifest) and
+        refresh registration + index — block identity changes with the
+        manifest, same rebuild rule as ``compact``."""
+        from columnar_database_project_spark.storage.cow import (
+            compact_manifest,
+        )
+
+        report = compact_manifest(self.spark, mstore, **kw)
+        if report["compacted"]:
+            self.register_manifest(name, mstore, with_index=self.index is not None)
+        return report
+
     def register_manifest(
         self, name: str, mstore, with_index: bool = True, blooms=None
     ) -> None:
