@@ -162,6 +162,10 @@ def _mor_merge_positions(
     CoW). Already-deleted positions merge idempotently."""
     from pyspark.sql import functions as F
 
+    import json as _json
+
+    from pyspark.sql import types as T
+
     existing = store.dvs_for()
     existing_total = sum(len(p) for p in existing.values())
     base_of = {os.path.basename(f): os.path.relpath(f, store.root) for f in files}
@@ -176,8 +180,17 @@ def _mor_merge_positions(
                 F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
             )
             .withColumn("_pos", F.col("_metadata.row_index"))
-            .filter(F.coalesce(cond_col, F.lit(False)))
-            .select("_file", "_pos")
+        )
+        # NULL-fill manifest-schema columns pre-evolution blocks lack,
+        # or a predicate on a metadata-added column fails analysis
+        schema = T.StructType.fromJson(_json.loads(store.schema_json()))
+        for field in schema.fields:
+            if field.name not in raw.columns:
+                raw = raw.withColumn(
+                    field.name, F.lit(None).cast(field.dataType)
+                )
+        raw = raw.filter(F.coalesce(cond_col, F.lit(False))).select(
+            "_file", "_pos"
         )
         if raw.limit(max_dv_rows + 1).count() > max_dv_rows:
             return None

@@ -906,3 +906,33 @@ class TestHistory:
         assert h[2]["dv_rows"] == 1 and h[2]["files_added"] == 0   # MoR
         assert h[3]["columns"] == h[2]["columns"] + 1  # add_column
         assert h[3]["files_added"] == 0                # metadata-only
+
+
+class TestMorOnEvolvedSchema:
+    def test_mor_delete_on_added_column_predicate(
+        self, spark, orders_df, tmp_path_factory
+    ):
+        """MoR DELETE whose predicate references a metadata-added
+        column: pre-evolution blocks lack it physically — the position
+        scan must NULL-fill, not fail analysis; NULL predicate rows
+        are kept (SQL semantics)."""
+        from columnar_database_project_spark.storage.cow import (
+            delete_where_mor,
+            update_where_mor,
+        )
+
+        store = ManifestStore(str(tmp_path_factory.mktemp("mor_evo")))
+        n = orders_df.count()
+        init_manifest_table(
+            spark, store, orders_df.orderBy(KEY).coalesce(1),
+            block_rows=max(1, n // 8),
+        )
+        store.add_column("q", "double")
+        # materialize q on two rows via MoR update, leave the rest NULL
+        update_where_mor(spark, store, f"{KEY} IN (1, 2)", {"q": "0.9"})
+        rep = delete_where_mor(spark, store, "q > 0.5")
+        assert rep["mode"] == "mor"
+        assert rep["deleted"] == 2           # only the materialized rows
+        df = store.read(spark)
+        assert df.count() == n - 2           # NULL-q rows all kept
+        assert df.filter("q IS NOT NULL").count() == 0
