@@ -217,45 +217,15 @@ class BlockBloomIndex:
         )
 
 
-def build_bloom_index(
-    spark,
-    table_path: str,
-    columns: list[str],
-    block_rows: int | None = None,
-    fpr: float = DEFAULT_FPR,
-) -> BlockBloomIndex:
-    """Distributed Bloom build: one scan of ``columns``, per-task
-    partial bitmaps, driver-side OR-merge.
-
-    Each ``mapInPandas`` task hashes its Arrow batches into one partial
-    bitmap per (file, column) it saw and emits ONLY the bitmaps
-    (``m/8`` bytes each) — the OR-merge is associative and commutative,
-    so partials from tasks that split one block file combine exactly
-    like the reference's footer pass combines row groups. Nothing
-    corpus-proportional ever reaches the driver.
-
-    ``block_rows``: bloom capacity per block; defaults to the observed
-    max rows per file (one cheap metadata-sized pre-agg) so the FPR
-    target holds for the densest block.
-    """
+def _build_bitmaps(
+    spark, df, columns: list[str], m: int, k: int
+) -> dict[tuple[str, str], "np.ndarray"]:
+    """One distributed scan of ``df`` (which must carry ``_file``) →
+    per-(file basename, column) OR-merged bitmaps."""
     from collections.abc import Iterator
 
     import pandas as pd
-    from pyspark.sql import functions as F
 
-    df = spark.read.parquet(table_path)
-    missing = [c for c in columns if c not in df.columns]
-    if missing:
-        raise ValueError(f"bloom columns not in table: {missing}")
-
-    src = df.select(
-        F.input_file_name().alias("_file"), *[F.col(c) for c in columns]
-    )
-    if block_rows is None:
-        block_rows = int(
-            src.groupBy("_file").count().agg(F.max("count")).first()[0] or 1
-        )
-    m, k = _params(block_rows, fpr)
     cols = list(columns)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -277,10 +247,9 @@ def build_bloom_index(
             }
         )
 
-    rows = src.mapInPandas(
+    rows = df.mapInPandas(
         kernel, schema="file string, column string, bitmap binary"
     ).collect()
-
     bitmaps: dict[tuple[str, str], np.ndarray] = {}
     for r in rows:
         key = (r["file"], r["column"])
@@ -289,7 +258,75 @@ def build_bloom_index(
             bitmaps[key] = bitmaps[key] | part
         else:
             bitmaps[key] = part.copy()
-    return BlockBloomIndex(m=m, k=k, fpr=fpr, columns=cols, bitmaps=bitmaps)
+    return bitmaps
+
+
+def extend_bloom_index(
+    spark, blooms: BlockBloomIndex, files: list[str]
+) -> BlockBloomIndex:
+    """Incremental maintenance: add bitmaps for NEW block files (e.g.
+    the files a CoW/MoR commit just wrote) with the sidecar's existing
+    (m, k) — one scan of only those files, no full rebuild. Files the
+    sidecar already covers are recomputed (idempotent overwrite, same
+    data → same bitmap). Returns ``blooms`` mutated in place for
+    chaining."""
+    if not files:
+        return blooms
+    from pyspark.sql import functions as F
+
+    src = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*files)
+        .withColumn("_file", F.input_file_name())
+    )
+    present = [c for c in blooms.columns if c in src.columns]
+    src = src.select("_file", *[F.col(c) for c in present])
+    blooms.bitmaps.update(
+        _build_bitmaps(spark, src, present, blooms.m, blooms.k)
+    )
+    return blooms
+
+
+def build_bloom_index(
+    spark,
+    table_path: str,
+    columns: list[str],
+    block_rows: int | None = None,
+    fpr: float = DEFAULT_FPR,
+) -> BlockBloomIndex:
+    """Distributed Bloom build: one scan of ``columns``, per-task
+    partial bitmaps, driver-side OR-merge.
+
+    Each ``mapInPandas`` task hashes its Arrow batches into one partial
+    bitmap per (file, column) it saw and emits ONLY the bitmaps
+    (``m/8`` bytes each) — the OR-merge is associative and commutative,
+    so partials from tasks that split one block file combine exactly
+    like the reference's footer pass combines row groups. Nothing
+    corpus-proportional ever reaches the driver.
+
+    ``block_rows``: bloom capacity per block; defaults to the observed
+    max rows per file (one cheap metadata-sized pre-agg) so the FPR
+    target holds for the densest block.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(table_path)
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"bloom columns not in table: {missing}")
+
+    src = df.select(
+        F.input_file_name().alias("_file"), *[F.col(c) for c in columns]
+    )
+    if block_rows is None:
+        block_rows = int(
+            src.groupBy("_file").count().agg(F.max("count")).first()[0] or 1
+        )
+    m, k = _params(block_rows, fpr)
+    bitmaps = _build_bitmaps(spark, src, list(columns), m, k)
+    return BlockBloomIndex(
+        m=m, k=k, fpr=fpr, columns=list(columns), bitmaps=bitmaps
+    )
 
 
 def bloom_may_match(pred, blooms: BlockBloomIndex, file_path: str) -> bool:

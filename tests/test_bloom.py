@@ -291,3 +291,62 @@ class TestTemporalColumnBloom:
                 assert got == want, f"false prune for literal {lit!r}"
         finally:
             idx.attach_blooms(None)
+
+
+class TestIncrementalExtend:
+    def test_extend_covers_new_files_after_cow_commit(
+        self, spark, sf_dir, tmp_path_factory
+    ):
+        """The bloom-maintenance loop across DML: a CoW delete writes
+        new files the sidecar doesn't cover (sound MAYBE); one
+        extend_bloom_index scan of ONLY those files restores full
+        selectivity — no table-wide rebuild."""
+        from columnar_database_project_spark.catalog import load_table
+        from columnar_database_project_spark.sources.bloom import (
+            extend_bloom_index,
+        )
+        from columnar_database_project_spark.storage.cow import (
+            delete_where_cow,
+            init_manifest_table,
+        )
+        from columnar_database_project_spark.storage.manifests import (
+            ManifestStore,
+        )
+
+        store = ManifestStore(str(tmp_path_factory.mktemp("bloomext")))
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+        n = docs.count()
+        init_manifest_table(
+            spark, store, docs.repartition(8, "doc_id"),
+            block_rows=max(64, n // 8),
+        )
+        data_dir = os.path.dirname(store.files_for()[0])
+        blooms = build_bloom_index(spark, data_dir, ["doc_id"])
+        probe = int(docs.approxQuantile("doc_id", [0.5], 0.0)[0])
+
+        before = set(store.files_for())
+        delete_where_cow(
+            spark, store, f"doc_id = {probe + 1}", blooms=blooms,
+            block_rows=max(64, n // 8),
+        )
+        new_files = [f for f in store.files_for() if f not in before]
+        assert new_files  # the delete rewrote something
+        # uncovered new files: bloom answers MAYBE (sound, unselective)
+        assert all(
+            blooms.might_contain(f, "doc_id", 10**15) for f in new_files
+        )
+        extend_bloom_index(spark, blooms, new_files)
+        # now covered: an absent key is provably absent from them too
+        assert not any(
+            blooms.might_contain(f, "doc_id", 10**15) for f in new_files
+        )
+        # and the live probe key is still findable end-to-end
+        idx = MicroBlockIndex.build_from_files(store.files_for())
+        idx.attach_blooms(blooms)
+        cands = idx.candidate_blocks(Cmp("=", "doc_id", probe))
+        assert 1 <= len(cands) <= 3
+        found = sum(
+            read_block(spark, idx, b).filter(f"doc_id = {probe}").count()
+            for b in cands
+        )
+        assert found == 1
