@@ -419,9 +419,14 @@ def bench_bloom_pruning(spark, sf_dir: str) -> dict:
     src = os.path.join(sf_dir, "documents.parquet")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     marker = os.path.join(base, "_built")
-    if not os.path.exists(marker) or os.path.getmtime(src) > os.path.getmtime(
-        marker
-    ):
+    import columnar_database_project_spark.sources.bloom as _bloom_mod
+
+    # a hashing/canon change invalidates persisted bitmaps — rebuild
+    # whenever the module is newer than the cached layout
+    deps_mtime = max(
+        os.path.getmtime(src), os.path.getmtime(_bloom_mod.__file__)
+    )
+    if not os.path.exists(marker) or deps_mtime > os.path.getmtime(marker):
         n = docs.count()
         MicroBlockWriter(block_rows=max(1024, n // 64)).write(
             docs.repartition(64, "doc_id"), layout
