@@ -189,7 +189,7 @@ def _random_books(seed: int) -> np.ndarray:
     return np.random.RandomState(seed).randn(PQ_M, PQ_K, PQ_SUB)
 
 
-@settings(max_examples=50)
+@settings(max_examples=50, deadline=None)
 @given(pq_vectors, st.integers(min_value=0, max_value=1000))
 def test_pq_assign_range_and_optimality(rows, seed):
     """Codes are valid indices, and each assigned code minimizes the
@@ -211,7 +211,7 @@ def test_pq_assign_range_and_optimality(rows, seed):
             assert codes[i, m] == int(np.flatnonzero(d == d.min())[0])
 
 
-@settings(max_examples=25)
+@settings(max_examples=25, deadline=None)
 @given(pq_vectors, st.integers(min_value=0, max_value=1000), st.randoms())
 def test_pq_assign_row_equivariance(rows, seed, rnd):
     """Assignment is per-row: permuting input rows permutes codes."""
@@ -300,7 +300,7 @@ def _render(p) -> str:
     raise AssertionError(type(p))
 
 
-@settings(max_examples=200)
+@settings(max_examples=200, deadline=None)
 @given(_p_tree)
 def test_where_parser_roundtrip(tree):
     """Render any predicate AST to WHERE-clause SQL, parse it back,
