@@ -583,6 +583,36 @@ def bench_cow_dml(spark, sf_dir: str) -> dict:
         "dv_rows_total": rep_mor["dv_rows_total"],
         "rows_after": int(n_after),
     }
+
+    # the MoR read tax, measured: the DV anti-join rides every read
+    # until compaction materializes the vectors away. Same aggregation
+    # with DVs pending vs after compact_manifest purges them.
+    from pyspark.sql import functions as F
+
+    from columnar_database_project_spark.storage.cow import compact_manifest
+
+    agg = lambda: mstore.read(spark).agg(  # noqa: E731
+        F.count(F.lit(1)).alias("c"),
+        F.sum("l_extendedprice").cast("double").alias("sp"),
+    ).toPandas()
+    sec_dv = float("inf")
+    for _ in range(RUNS_PER_QUERY):
+        t0 = time.time()
+        agg()
+        sec_dv = min(sec_dv, time.time() - t0)
+    comp = compact_manifest(spark, mstore, block_rows=block_rows)
+    sec_clean = float("inf")
+    for _ in range(RUNS_PER_QUERY):
+        t0 = time.time()
+        agg()
+        sec_clean = min(sec_clean, time.time() - t0)
+    assert mstore.read(spark).count() == n_after  # compaction lost nothing
+    mor["read_tax"] = {
+        "sec_with_dvs": round(sec_dv, 3),
+        "sec_after_compaction": round(sec_clean, 3),
+        "ratio": round(sec_dv / sec_clean, 2) if sec_clean else None,
+        "compaction_rewrote": comp.get("files_rewritten"),
+    }
     return {
         "mor_point_delete": mor,
         "rows": n,

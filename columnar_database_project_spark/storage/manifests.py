@@ -275,28 +275,47 @@ class ManifestStore:
             return read_with_schema(spark, files, schema_json)
         dvs = self.dvs_for(v)
         rel = {f: os.path.relpath(f, self.root) for f in files}
-        pairs = [
-            (os.path.basename(f), int(p))
-            for f in files
-            for p in dvs.get(rel[f], [])
-        ]
-        if not pairs:
+        dv_files = [f for f in files if dvs.get(rel[f])]
+        clean_files = [f for f in files if not dvs.get(rel[f])]
+        if not dv_files:
             return read_with_schema(spark, files, schema_json)
+        # ONLY the DV'd files pay the position-extraction + anti-join
+        # path (per-row _metadata cost); clean files — the vast
+        # majority in the MoR regime — scan untouched and union back.
         import json as _json
 
         from pyspark.sql import types as T
 
+        pairs = [
+            (os.path.basename(f), int(p))
+            for f in dv_files
+            for p in dvs[rel[f]]
+        ]
         schema = T.StructType.fromJson(_json.loads(schema_json))
-        dv_df = spark.createDataFrame(pairs, "_file string, _pos long")
-        df = (
+        raw = (
             spark.read.option("mergeSchema", "true")
-            .parquet(*files)
+            .parquet(*dv_files)
             .withColumn(
                 "_file",
                 F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
             )
             .withColumn("_pos", F.col("_metadata.row_index"))
-            .join(
+        )
+        if len(pairs) <= 4096:
+            # the point-delete regime: a codegen'd per-file NOT-IN
+            # expression — no broadcast build job, no join stage
+            keep = F.lit(True)
+            for f in dv_files:
+                keep = keep & ~(
+                    (F.col("_file") == os.path.basename(f))
+                    & F.col("_pos").isin(
+                        *[int(p) for p in dvs[rel[f]]]
+                    )
+                )
+            tainted = raw.filter(keep).drop("_file", "_pos")
+        else:
+            dv_df = spark.createDataFrame(pairs, "_file string, _pos long")
+            tainted = raw.join(
                 bounded_broadcast(
                     dv_df,
                     1_048_576,
@@ -305,13 +324,17 @@ class ManifestStore:
                 ),
                 on=["_file", "_pos"],
                 how="left_anti",
-            )
-            .drop("_file", "_pos")
-        )
+            ).drop("_file", "_pos")
         for field in schema.fields:
-            if field.name not in df.columns:
-                df = df.withColumn(field.name, F.lit(None).cast(field.dataType))
-        return df.select(*[f.name for f in schema.fields])
+            if field.name not in tainted.columns:
+                tainted = tainted.withColumn(
+                    field.name, F.lit(None).cast(field.dataType)
+                )
+        tainted = tainted.select(*[f.name for f in schema.fields])
+        if not clean_files:
+            return tainted
+        clean = read_with_schema(spark, clean_files, schema_json)
+        return clean.unionByName(tainted)
 
     # ------------------------------------------------------ schema evolution
     def add_column(self, name: str, ddl_type: str) -> dict:
