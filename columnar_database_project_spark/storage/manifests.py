@@ -396,17 +396,46 @@ class ManifestStore:
             raise ValueError(f"rollback: v{version} is not committed")
         self._write_head([v for v in vs if v <= version])
 
-    def vacuum(self, keep_last: int = 1) -> dict:
+    def vacuum(self, keep_last: int = 1, dry_run: bool = False) -> dict:
         """Reference-counted retention: keep the last ``keep_last``
         committed versions, then delete (a) manifests of dropped or
         never-committed versions and (b) data files NO surviving
         manifest references. Returns {"versions_removed",
-        "files_removed"}."""
+        "files_removed"}.
+
+        ``dry_run=True`` reports what WOULD be removed without touching
+        head log, manifests or files — the pre-flight every retention
+        job at scale runs before an irreversible delete."""
         vs = self.versions()
         keep = vs[-keep_last:] if keep_last > 0 else []
         referenced: set[str] = set()
         for v in keep:
             referenced.update(self._read_manifest(v)["files"])
+        if dry_run:
+            versions_removed = [v for v in vs if v not in keep]
+            mdir = os.path.join(self.root, "_manifests")
+            for f in sorted(os.listdir(mdir)):
+                if f.startswith("m") and f[1:7].isdigit():
+                    v = int(f[1:7])
+                    if v not in keep and v not in versions_removed:
+                        versions_removed.append(v)
+            files_removed = []
+            ddir = os.path.join(self.root, "data")
+            for cdir in sorted(os.listdir(ddir)):
+                cpath = os.path.join(ddir, cdir)
+                if not os.path.isdir(cpath):
+                    continue
+                for f in sorted(os.listdir(cpath)):
+                    if f.endswith(".crc") or f == "_SUCCESS":
+                        continue
+                    rel = os.path.join("data", cdir, f)
+                    if rel not in referenced:
+                        files_removed.append(rel)
+            return {
+                "versions_removed": sorted(versions_removed),
+                "files_removed": files_removed,
+                "dry_run": True,
+            }
         self._write_head(keep)
         versions_removed = []
         mdir = os.path.join(self.root, "_manifests")

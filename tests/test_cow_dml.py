@@ -936,3 +936,66 @@ class TestMorOnEvolvedSchema:
         df = store.read(spark)
         assert df.count() == n - 2           # NULL-q rows all kept
         assert df.filter("q IS NOT NULL").count() == 0
+
+
+class TestVacuumDryRunAndRollbackParity:
+    def test_vacuum_dry_run_predicts_exactly(
+        self, spark, orders_df, tmp_path_factory
+    ):
+        store = ManifestStore(str(tmp_path_factory.mktemp("vac_dry")))
+        n = orders_df.count()
+        init_manifest_table(
+            spark, store, orders_df.orderBy(KEY).coalesce(1),
+            block_rows=max(1, n // 8),
+        )
+        delete_where_cow(spark, store, f"{KEY} < 50")
+        update_where_cow(spark, store, f"{KEY} > 1400", {"o_orderstatus": "'X'"})
+
+        plan = store.vacuum(keep_last=1, dry_run=True)
+        assert plan["dry_run"]
+        # dry run touched nothing
+        assert len(store.versions()) == 3
+        for rel in plan["files_removed"]:
+            assert os.path.exists(os.path.join(store.root, rel))
+        # the real vacuum removes exactly what the plan said
+        real = store.vacuum(keep_last=1)
+        assert real["versions_removed"] == plan["versions_removed"]
+        assert sorted(real["files_removed"]) == sorted(plan["files_removed"])
+
+    def test_rollback_parity_between_stores(
+        self, spark, orders_df, tmp_path_factory
+    ):
+        """Rollback is a head-log truncation in BOTH stores: after the
+        same op sequence and a rollback to the same logical point, both
+        engines read the same state."""
+        root = tmp_path_factory.mktemp("rb")
+        sstore = SnapshotStore(str(root / "snap"))
+        eng_a = MicroBlockEngine(spark)
+        v0, dst0 = sstore.stage_next()
+        MicroBlockWriter().write(orders_df, dst0)
+        sstore.commit(v0)
+        eng_a.register("ra", spark.read.parquet(dst0))
+
+        mstore = ManifestStore(str(root / "mani"))
+        init_manifest_table(
+            spark, mstore, orders_df.orderBy(KEY).coalesce(1), block_rows=256
+        )
+
+        eng_a.delete_versioned("ra", f"{KEY} < 100", sstore)
+        delete_where_cow(spark, mstore, f"{KEY} < 100", block_rows=256)
+        eng_a.update_versioned(
+            "ra", f"{KEY} > 1200", {"o_orderstatus": "'R'"}, sstore
+        )
+        update_where_cow(
+            spark, mstore, f"{KEY} > 1200", {"o_orderstatus": "'R'"},
+            block_rows=256,
+        )
+
+        # roll both back to the state after the DELETE (2nd commit)
+        sstore.rollback(sstore.versions()[-2])
+        mstore.rollback(mstore.versions()[-2])
+        a = eng_a.time_travel("ra", sstore).toPandas()
+        b = mstore.read(spark).toPandas()
+        assert _states_equal(_sorted_state(a), _sorted_state(b))
+        assert (b["o_orderstatus"] == "R").sum() == 0  # update rolled back
+        assert b[KEY].min() >= 100                      # delete retained
