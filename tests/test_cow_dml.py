@@ -801,8 +801,9 @@ class TestMergeOnReadUpdateAndMerge:
 
 
 class TestLadderEquivalenceFuzz:
+    @pytest.mark.parametrize("fuzz_seed", [0x1ADDE2, 0x5EED2])
     def test_random_mixed_cow_mor_sequence_matches_full_rewrite(
-        self, spark, orders_df, tmp_path_factory
+        self, spark, orders_df, tmp_path_factory, fuzz_seed
     ):
         """The whole ladder is one semantics: a random sequence where
         engine B picks CoW or MoR per op must match the full-rewrite
@@ -814,7 +815,7 @@ class TestLadderEquivalenceFuzz:
             update_where_mor,
         )
 
-        rng = random.Random(0x1ADDE2)
+        rng = random.Random(fuzz_seed)
         root = tmp_path_factory.mktemp("ladder")
 
         sstore = SnapshotStore(str(root / "snap"))
