@@ -1000,3 +1000,30 @@ class TestVacuumDryRunAndRollbackParity:
         assert _states_equal(_sorted_state(a), _sorted_state(b))
         assert (b["o_orderstatus"] == "R").sum() == 0  # update rolled back
         assert b[KEY].min() >= 100                      # delete retained
+
+
+class TestShellHistory:
+    def test_repl_history_over_manifest_table(
+        self, spark, orders_df, tmp_path_factory
+    ):
+        from tools.shell import run_shell
+
+        store = ManifestStore(str(tmp_path_factory.mktemp("shellhist")))
+        init_manifest_table(spark, store, orders_df.limit(100), block_rows=512)
+        delete_where_cow(spark, store, f"{KEY} < 5")
+        eng = MicroBlockEngine(spark)
+        eng.register_manifest("t_hist", store)
+
+        lines = iter(
+            [r"\history", f"SELECT count(*) AS c FROM t_hist", r"\q"]
+        )
+        out = []
+        n = run_shell(
+            eng,
+            input_fn=lambda _: next(lines),
+            output_fn=out.append,
+            mstore=store,
+        )
+        assert n == 1
+        hist_rows = [o for o in out if isinstance(o, dict) and "version" in o]
+        assert [r["version"] for r in hist_rows] == store.versions()

@@ -12,7 +12,8 @@ Usage:
 Commands: plain SQL (runs + shows), ``\\stats`` (cache stats),
 ``\\blocks <sql>`` (predicted blocks for a WHERE),
 ``\\explain <sql>`` (zone-map + physical plan report, runs nothing),
-``\\q`` to quit.
+``\\history`` (DESCRIBE HISTORY when the table is manifest-backed —
+pass a ManifestStore root as the path), ``\\q`` to quit.
 """
 
 from __future__ import annotations
@@ -24,9 +25,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def run_shell(engine, input_fn=input, output_fn=print, show_rows: int = 20) -> int:
+def run_shell(
+    engine,
+    input_fn=input,
+    output_fn=print,
+    show_rows: int = 20,
+    mstore=None,
+) -> int:
     """Drive the REPL with injectable I/O (tests pass fakes; the CLI
-    passes the builtins). Returns the number of SQL statements run."""
+    passes the builtins). Returns the number of SQL statements run.
+    ``mstore``: optional ManifestStore backing the table — enables
+    ``\\history``."""
     n_run = 0
     while True:
         try:
@@ -55,6 +64,13 @@ def run_shell(engine, input_fn=input, output_fn=print, show_rows: int = 20) -> i
                 output_fn(rep)
                 output_fn(plan)
                 continue
+            if sql == r"\history":
+                if mstore is None:
+                    output_fn("no manifest store attached")
+                else:
+                    for row in mstore.history():
+                        output_fn(row)
+                continue
             df = engine.query(sql)
             output_fn(df.limit(show_rows).toPandas().to_string(index=False))
             n_run += 1
@@ -73,9 +89,21 @@ def main() -> int:
     path = sys.argv[1]
     name = sys.argv[2] if len(sys.argv) > 2 else "mytable"
     spark = get_spark("sql-shell")
-    engine, _ = build_full_stack(spark, path, table_name=name)
+    mstore = None
+    if os.path.isfile(os.path.join(path, "_manifest.json")):
+        # a ManifestStore root: register the live snapshot + index
+        from columnar_database_project_spark.engine import MicroBlockEngine
+        from columnar_database_project_spark.storage.manifests import (
+            ManifestStore,
+        )
+
+        mstore = ManifestStore(path)
+        engine = MicroBlockEngine(spark)
+        engine.register_manifest(name, mstore)
+    else:
+        engine, _ = build_full_stack(spark, path, table_name=name)
     print(f"table '{name}' ← {path}; \\q to quit")
-    run_shell(engine)
+    run_shell(engine, mstore=mstore)
     return 0
 
 
