@@ -452,21 +452,30 @@ def bench_bloom_pruning(spark, sf_dir: str) -> dict:
         cands = idx.candidate_blocks(pred)
         bloom_hits += len(cands)
         cand_files.append([idx.block_file(b) for b in cands])
+    # Batch ALL lookups into ONE job per side. The r7 per-key shape
+    # (one spark.read job per key) let ten job-setup constants dominate
+    # ten tiny reads and showed speedup 0.85 DESPITE a 58x block-hit
+    # reduction; a point-lookup batch service unions the candidate
+    # files once and filters isin(keys) — that is also the shape a
+    # 100 TB lookup tier actually runs.
+    union_files = sorted({f for files in cand_files for f in files})
     full = spark.read.parquet(layout)
     rows_full = rows_bloom = 0
     sec_full = sec_bloom = float("inf")
     for _ in range(RUNS_PER_QUERY):
         t0 = time.time()
-        rows_full = sum(
-            full.filter(F.col("doc_id") == k).count() for k in keys
-        )
+        rows_full = full.filter(F.col("doc_id").isin(keys)).count()
         sec_full = min(sec_full, time.time() - t0)
         t0 = time.time()
-        rows_bloom = sum(
-            spark.read.parquet(*files).filter(F.col("doc_id") == k).count()
-            if files
+        # schema supplied from the table's manifest/index — the lookup
+        # tier never pays per-batch footer inference for a known table
+        rows_bloom = (
+            spark.read.schema(full.schema)
+            .parquet(*union_files)
+            .filter(F.col("doc_id").isin(keys))
+            .count()
+            if union_files
             else 0
-            for k, files in zip(keys, cand_files)
         )
         sec_bloom = min(sec_bloom, time.time() - t0)
     assert rows_full == rows_bloom, "bloom candidate scan lost rows"
@@ -475,6 +484,7 @@ def bench_bloom_pruning(spark, sf_dir: str) -> dict:
         "blocks_total": idx.num_blocks,
         "blocks_hit_zone_only": zone_hits,
         "blocks_hit_bloom": bloom_hits,
+        "files_candidate_union": len(union_files),
         "block_hit_ratio": round(bloom_hits / max(1, zone_hits), 4),
         "sec_full_scan": round(sec_full, 3),
         "sec_bloom_scan": round(sec_bloom, 3),

@@ -67,8 +67,13 @@ def _canon(v) -> bytes | None:
     Concretely: numerics encode by value (5 == 5.0 == "5" == "05");
     strings that parse as ISO timestamps encode like datetimes
     ('1998-03-31' matches the footer/parquet datetime); everything
-    else is type-tagged. Returns None for NULL/NaN: SQL ``col = NULL``
-    matches no row, so "absent" is the sound answer.
+    else is type-tagged. Returns None ONLY for NULL: SQL ``col = NULL``
+    matches no row, so "absent" is the sound answer for it — and for
+    nothing else. Float NaN gets its own encoding (Spark SQL treats
+    NaN = NaN as TRUE, so "absent" would be a false negative), and the
+    literal STRING 'nan' must NOT ride the float coercion into that
+    bucket-of-None: it is a perfectly ordinary string value that can
+    be stored and looked up.
     """
     if v is None:
         return None
@@ -79,7 +84,7 @@ def _canon(v) -> bytes | None:
     if isinstance(v, (float, np.floating)):
         f = float(v)
         if math.isnan(f):
-            return None
+            return b"f:nan"
         if f.is_integer():
             return b"i:%d" % int(f)
         return b"f:" + repr(f).encode()
@@ -89,7 +94,12 @@ def _canon(v) -> bytes | None:
         except ValueError:
             pass
         try:
-            return _canon(float(v))
+            f = float(v)
+            if not math.isnan(f):
+                return _canon(f)
+            # 'nan'/'NaN'/... parse as float NaN but are ordinary
+            # strings — fall through to the s: encoding (a float-NaN
+            # VALUE never equals the string, so no unification needed)
         except ValueError:
             pass
         try:
@@ -178,7 +188,7 @@ class BlockBloomIndex:
             return True  # file unknown to the sidecar (e.g. post-build append)
         enc = _canon(value)
         if enc is None:
-            return False  # SQL equality with NULL/NaN matches no row
+            return False  # _canon is None ONLY for SQL NULL: `= NULL` matches no row
         return _test_bits(bm, self.m, self.k, enc)
 
     # ----------------------------------------------------------- persist

@@ -368,9 +368,45 @@ def merge_mor(
         )
         rep["mode"] = "cow_fallback"
         return rep
-    keys = [r[0] for r in updates.select(key).distinct().collect()]
-    pred: Pred = InList(key, tuple(keys)) if keys else TruePred()
+    keys = [
+        r[0] for r in updates.select(key).distinct().collect()
+        if r[0] is not None
+    ]
     files = store.files_for()
+    if not keys:
+        # SQL equality with NULL matches no target row, so a batch
+        # with no non-NULL merge keys has NOTHING to deletion-vector.
+        # Never substitute TruePred here: as a match predicate it
+        # would DV every live row and a no-op MERGE would wipe the
+        # table. Empty batch → full no-op (no commit); NULL-keyed
+        # rows → append-only commit.
+        if updates.isEmpty():
+            return {
+                "version": store.latest(),
+                "mode": "mor_noop",
+                "update_rows": 0,
+                "update_keys": 0,
+                "matched_rows": 0,
+                "dv_rows_total": 0,
+                "blocks_total": 0,
+                "files_new": 0,
+                "files_rewritten": 0,
+                "files_carried": len(files),
+            }
+        rep = append_cow(spark, store, updates, block_rows=block_rows)
+        return {
+            "version": rep["version"],
+            "mode": "mor_append_only",
+            "update_rows": rep["appended_rows"],
+            "update_keys": 0,
+            "matched_rows": 0,
+            "dv_rows_total": 0,
+            "blocks_total": 0,
+            "files_new": rep["files_new"],
+            "files_rewritten": 0,
+            "files_carried": rep["files_carried"],
+        }
+    pred: Pred = InList(key, tuple(keys))
     touched, carried, n_blocks = _triage(files, pred, "mor_merge", blooms)
     got = _mor_merge_positions(
         spark, store, files, touched, pred.to_column(), max_dv_rows
@@ -496,8 +532,36 @@ def merge_cow(
     if n_keys > max_point_keys:
         pred: Pred = TruePred()
     else:
-        keys = [r[0] for r in updates.select(key).distinct().collect()]
-        pred = InList(key, tuple(keys)) if keys else TruePred()
+        keys = [
+            r[0] for r in updates.select(key).distinct().collect()
+            if r[0] is not None
+        ]
+        if not keys:
+            # No non-NULL merge keys → no target row can match (SQL
+            # equality with NULL is never true). Empty batch: full
+            # no-op, no commit. NULL-keyed rows: append-only commit.
+            # TruePred here would rewrite the whole table for nothing.
+            if updates.isEmpty():
+                return {
+                    "version": store.latest(),
+                    "mode": "cow_noop",
+                    "update_rows": 0,
+                    "update_keys": 0,
+                    "blocks_total": 0,
+                    "files_rewritten": 0,
+                    "files_carried": len(store.files_for()),
+                }
+            rep = append_cow(spark, store, updates, block_rows=block_rows)
+            return {
+                "version": rep["version"],
+                "mode": "cow_append_only",
+                "update_rows": rep["appended_rows"],
+                "update_keys": 0,
+                "blocks_total": 0,
+                "files_rewritten": 0,
+                "files_carried": rep["files_carried"],
+            }
+        pred = InList(key, tuple(keys))
     files = store.files_for()
     touched, carried, n_blocks = _triage(files, pred, "cow_merge", blooms)
     v, stage = store.stage_next()
@@ -697,8 +761,11 @@ def init_manifest_table(
     store: ManifestStore,
     df: "DataFrame",
     block_rows: int | None = None,
+    meta: dict | None = None,
 ) -> dict:
-    """Version 1: materialize ``df`` as the store's initial manifest."""
+    """Version 1: materialize ``df`` as the store's initial manifest.
+    ``meta`` is carried in the commit (the streaming sink's first
+    batch needs its ``txn.batch_id`` witness here too)."""
     v, stage = store.stage_next()
     writer = (
         MicroBlockWriter(block_rows=block_rows)
@@ -706,5 +773,5 @@ def init_manifest_table(
         else MicroBlockWriter()
     )
     writer.write(df, stage)
-    store.commit(v, list_block_files(stage), [], df.schema.json())
+    store.commit(v, list_block_files(stage), [], df.schema.json(), meta=meta)
     return {"version": v, "files": len(store.files_for(v))}

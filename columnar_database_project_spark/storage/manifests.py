@@ -180,7 +180,27 @@ class ManifestStore:
             if f.startswith(".."):
                 raise ValueError(f"commit: file outside store root: {f!r}")
             rel.append(f)
-        doc = {"version": version, "files": sorted(rel), "schema": schema_json}
+        # Deletion vectors and Bloom sidecar bitmaps are keyed by file
+        # BASENAME; two referenced files sharing a basename would
+        # silently cross-wire DV positions / bloom bits between them.
+        # Spark's UUID'd part names make collisions near-impossible —
+        # this assert turns "near" into "loudly".
+        by_base: dict[str, str] = {}
+        for f in rel:
+            b = os.path.basename(f)
+            if b in by_base and by_base[b] != f:
+                raise ValueError(
+                    f"commit: basename collision {b!r} between "
+                    f"{by_base[b]!r} and {f!r} — DV/bloom keying "
+                    "requires unique basenames across the manifest"
+                )
+            by_base[b] = f
+        # a path listed twice (e.g. carried and re-passed) is ONE file
+        doc = {
+            "version": version,
+            "files": sorted(set(rel)),
+            "schema": schema_json,
+        }
         if meta:
             doc["meta"] = meta
         if dvs:

@@ -126,12 +126,28 @@ def append_stream_manifest(
     ``dedup_stream_against_store``). Retention note: vacuum must keep
     at least the source's replay horizon of versions or a replay loses
     its dedup witness (see ManifestStore.txn_batch_ids)."""
-    from columnar_database_project_spark.storage.cow import append_cow
+    from columnar_database_project_spark.storage.cow import (
+        append_cow,
+        init_manifest_table,
+    )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if int(batch_id) in store.txn_batch_ids():
             return  # replayed batch: already committed, exactly-once skip
         if batch_df.isEmpty():
+            return
+        if store.latest() is None:
+            # Fresh store: the first non-empty batch initializes it
+            # from its own schema (no init_manifest_table precondition
+            # to trip over); the txn witness rides the init commit so
+            # a replay of batch 0 still dedups.
+            init_manifest_table(
+                batch_df.sparkSession,
+                store,
+                batch_df,
+                block_rows=block_rows,
+                meta={"txn": {"batch_id": int(batch_id)}},
+            )
             return
         append_cow(
             batch_df.sparkSession,

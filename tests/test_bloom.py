@@ -53,9 +53,18 @@ class TestCanon:
         assert _canon(1) != _canon(True)
         assert _canon("") is not None
 
-    def test_null_and_nan_unencodable(self):
+    def test_null_only_is_unencodable(self):
+        # None (SQL NULL) is the ONLY value _canon refuses: `= NULL`
+        # matches no row, so "provably absent" is sound for it alone.
         assert _canon(None) is None
-        assert _canon(float("nan")) is None
+        # Float NaN encodes (Spark SQL: NaN = NaN is TRUE — pruning a
+        # NaN lookup as "absent" would be a false negative)...
+        assert _canon(float("nan")) == b"f:nan"
+        # ...and the literal STRING 'nan' must NOT ride the float
+        # coercion into None: it is an ordinary, storable string.
+        assert _canon("nan") == b"s:nan"
+        assert _canon("NaN") == b"s:NaN"
+        assert _canon("nan") != _canon(float("nan"))
 
 
 class TestBitmapRoundtrip:

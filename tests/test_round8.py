@@ -1,0 +1,240 @@
+"""Round-8 regression tests for the ADVICE.md findings:
+
+1. (high) merge_mor with an empty / all-NULL-key update batch must
+   never DV out the table (the TruePred-match-predicate bug).
+2. (medium) the literal string 'nan' must survive bloom insert+lookup
+   (no false-negative prune), and float-NaN lookups are MAYBE, not
+   provably-absent.
+3. (low) ManifestStore.commit rejects basename collisions (DV/bloom
+   bitmaps are basename-keyed).
+4. (low) append_stream_manifest's first batch on a FRESH store
+   initializes it from the batch schema instead of raising inside
+   foreachBatch.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from columnar_database_project_spark.catalog import load_table
+from columnar_database_project_spark.storage.cow import (
+    append_cow,
+    init_manifest_table,
+    merge_cow,
+    merge_mor,
+)
+from columnar_database_project_spark.storage.manifests import ManifestStore
+
+KEY = "o_orderkey"
+COLS = [KEY, "o_custkey", "o_orderstatus", "o_totalprice"]
+
+
+@pytest.fixture(scope="module")
+def orders_df(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders").select(*COLS)
+
+
+def _init(spark, orders_df, tmp_path_factory, name):
+    store = ManifestStore(str(tmp_path_factory.mktemp(name)))
+    n = orders_df.count()
+    init_manifest_table(
+        spark, store, orders_df.orderBy(KEY).coalesce(1),
+        block_rows=max(1, n // 8),
+    )
+    return store, n
+
+
+class TestEmptyMergeIsNoop:
+    def test_mor_empty_batch_does_not_wipe_table(
+        self, spark, orders_df, tmp_path_factory
+    ):
+        """ADVICE high: empty updates → TruePred → every live row DV'd
+        → table emptied by a no-op MERGE. Must be a full no-op."""
+        store, n = _init(spark, orders_df, tmp_path_factory, "mor_empty")
+        v_before = store.latest()
+        rep = merge_mor(spark, store, orders_df.limit(0), KEY)
+        assert rep["mode"] == "mor_noop"
+        assert rep["matched_rows"] == 0 and rep["dv_rows_total"] == 0
+        assert store.latest() == v_before          # no commit at all
+        assert store.read(spark).count() == n      # nothing deleted
+        assert store.dvs_for() == {}
+
+    def test_mor_all_null_keys_appends_only(
+        self, spark, orders_df, tmp_path_factory
+    ):
+        """NULL merge keys match no target row (SQL equality): the
+        batch lands append-only, existing rows untouched."""
+        store, n = _init(spark, orders_df, tmp_path_factory, "mor_null")
+        schema = store.read(spark).schema
+        upd = spark.createDataFrame(
+            [(None, 7, "Z", 9.0), (None, 8, "Z", 9.5)], schema=schema
+        )
+        rep = merge_mor(spark, store, upd, KEY)
+        assert rep["mode"] == "mor_append_only"
+        assert rep["matched_rows"] == 0 and rep["dv_rows_total"] == 0
+        got = store.read(spark)
+        assert got.count() == n + 2
+        assert got.filter("o_orderstatus = 'Z'").count() == 2
+        # every pre-existing row survived
+        assert got.filter(f"{KEY} is not null").count() == n
+
+    def test_cow_empty_batch_is_noop_not_full_rewrite(
+        self, spark, orders_df, tmp_path_factory
+    ):
+        store, n = _init(spark, orders_df, tmp_path_factory, "cow_empty")
+        v_before = store.latest()
+        files_before = sorted(store.files_for())
+        rep = merge_cow(spark, store, orders_df.limit(0), KEY)
+        assert rep["mode"] == "cow_noop"
+        assert rep["files_rewritten"] == 0
+        assert store.latest() == v_before
+        assert sorted(store.files_for()) == files_before
+        assert store.read(spark).count() == n
+
+    def test_cow_all_null_keys_appends_only(
+        self, spark, orders_df, tmp_path_factory
+    ):
+        store, n = _init(spark, orders_df, tmp_path_factory, "cow_null")
+        schema = store.read(spark).schema
+        upd = spark.createDataFrame([(None, 7, "Z", 9.0)], schema=schema)
+        rep = merge_cow(spark, store, upd, KEY)
+        assert rep["mode"] == "cow_append_only"
+        assert rep["files_rewritten"] == 0
+        assert store.read(spark).count() == n + 1
+
+
+class TestBloomNanStrings:
+    def test_nan_string_is_not_falsely_pruned(self, spark, tmp_path_factory):
+        """ADVICE medium: the string 'nan' parsed to float NaN →
+        encoded None → never inserted → lookup 'provably absent' →
+        WHERE col = 'nan' wrongly pruned every block holding the row."""
+        from columnar_database_project_spark.sources.bloom import (
+            build_bloom_index,
+        )
+
+        path = str(tmp_path_factory.mktemp("bloom_nan") / "t")
+        pdf = pd.DataFrame(
+            {
+                "k": list(range(8)),
+                "s": ["nan", "NaN", "inf", "alpha", "beta", "5", "5.5", ""],
+            }
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(path)
+        blooms = build_bloom_index(spark, path, ["s"])
+        files = [f for (f, _c) in blooms.bitmaps]
+        assert files
+        for probe in ["nan", "NaN", "inf", "alpha", "5", "5.5", ""]:
+            assert any(
+                blooms.might_contain(f, "s", probe) for f in files
+            ), f"stored string {probe!r} falsely pruned"
+        # float NaN lookup is MAYBE/absent by bitmap, never a crash;
+        # and NULL lookup is still provably empty
+        assert all(
+            blooms.might_contain(f, "s", None) is False for f in files
+        )
+
+    def test_nan_keyed_mor_delete_removes_the_row(
+        self, spark, tmp_path_factory
+    ):
+        """End-to-end: DELETE WHERE s = 'nan' over a bloom-triaged
+        store must actually delete the row (the old false negative
+        carried the block unchanged)."""
+        from columnar_database_project_spark.sources.bloom import (
+            build_bloom_index,
+        )
+        from columnar_database_project_spark.storage.cow import (
+            delete_where_cow,
+        )
+
+        store = ManifestStore(str(tmp_path_factory.mktemp("nan_del")))
+        pdf = pd.DataFrame(
+            {"k": list(range(6)), "s": ["nan", "a", "b", "c", "d", "e"]}
+        )
+        init_manifest_table(
+            spark, store, spark.createDataFrame(pdf), block_rows=2
+        )
+        import os as _os
+
+        data_dir = _os.path.dirname(store.files_for()[0])
+        blooms = build_bloom_index(spark, data_dir, ["s"])
+        rep = delete_where_cow(spark, store, "s = 'nan'", blooms=blooms)
+        got = store.read(spark)
+        assert got.filter("s = 'nan'").count() == 0
+        assert got.count() == 5
+        assert rep["deleted"] == 1
+
+
+class TestCommitBasenameGuard:
+    def test_basename_collision_is_rejected(self, spark, tmp_path_factory):
+        base = tmp_path_factory.mktemp("basecol")
+        store = ManifestStore(str(base / "store"))
+        pdf = pd.DataFrame({"k": [1, 2, 3]})
+        init_manifest_table(spark, store, spark.createDataFrame(pdf))
+        files = store.files_for()
+        assert files
+        # forge a second directory carrying the SAME basename
+        import os
+        import shutil
+
+        dupe_dir = os.path.join(store.root, "data", "c999999")
+        os.makedirs(dupe_dir, exist_ok=True)
+        dupe = os.path.join(dupe_dir, os.path.basename(files[0]))
+        shutil.copyfile(files[0], dupe)
+        with pytest.raises(ValueError, match="basename collision"):
+            store.commit(
+                store.latest() + 1, [dupe], files, store.schema_json()
+            )
+
+    def test_same_file_carried_once_is_fine(self, spark, tmp_path_factory):
+        # the guard must not fire on a legitimately re-listed path
+        base = tmp_path_factory.mktemp("basecol2")
+        store = ManifestStore(str(base / "store"))
+        pdf = pd.DataFrame({"k": [1, 2, 3]})
+        init_manifest_table(spark, store, spark.createDataFrame(pdf))
+        files = store.files_for()
+        store.commit(store.latest() + 1, [], files + files, store.schema_json())
+        assert store.read(spark).count() == 3
+
+
+class TestStreamFirstBatchInit:
+    def test_fresh_store_initialized_by_first_batch(
+        self, spark, tmp_path_factory
+    ):
+        """ADVICE low: first batch on a fresh ManifestStore raised
+        inside foreachBatch; now it initializes the store from the
+        batch schema with the txn witness attached."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from columnar_database_project_spark.streaming.dml import (
+            append_stream_manifest,
+        )
+
+        base = tmp_path_factory.mktemp("fresh_sink")
+        drops = base / "drops"
+        drops.mkdir()
+        store = ManifestStore(str(base / "store"))  # NO init_manifest_table
+        pdf = pd.DataFrame({"k": [1, 2, 3, 4], "v": ["a", "b", "c", "d"]})
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            str(drops / "b0.parquet"),
+        )
+        stream = lambda: spark.readStream.schema("k bigint, v string").parquet(
+            str(drops)
+        )
+        q = append_stream_manifest(stream(), store, str(base / "ckpt"))
+        q.awaitTermination(120)
+        assert store.latest() is not None
+        assert store.read(spark).count() == 4
+        assert store.txn_batch_ids() == {0}  # exactly-once witness on init
+        # second drain appends normally
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame({"k": [5], "v": ["e"]}), preserve_index=False
+            ),
+            str(drops / "b1.parquet"),
+        )
+        q = append_stream_manifest(stream(), store, str(base / "ckpt"))
+        q.awaitTermination(120)
+        assert store.read(spark).count() == 5
