@@ -634,36 +634,78 @@ def q_sampled_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct counts (no oracle — Spark's
-    HLL++ and DuckDB's approx sketch differ by design; the driver
-    records the weaker rows-only check). At 100 TB this replaces the
-    exact two-stage distinct with a constant-memory sketch."""
+    """HyperLogLog++ approximate distinct counts, in the
+    driver-checkable form (VERDICT r7 #4): the raw HLL estimate is not
+    cross-engine reproducible (Spark HLL++ vs DuckDB's sketch differ
+    by design), so the query returns the DETERMINISTIC projection of
+    it — the exact distinct counts plus the estimate's relative-error
+    band (``floor(|approx-exact| * 20 / exact)``, 0 ⇔ within 5%). The
+    bands are stable (HLL++ is deterministic for fixed data/rsd and
+    lands well inside 5% at rsd=0.01), so the oracle pins BOTH the
+    exact counts (hash) and the sketch's accuracy contract (band = 0)
+    every round, not just in a pytest. At 100 TB the sketch is the
+    operator and the exact side is this gate query's harness; the 1%
+    tolerance pytest (tests/test_round5.py) keeps the tighter bound."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+
+    def band(approx: str, exact: str):
+        return F.floor(
+            F.abs(F.col(approx) - F.col(exact)) * 20 / F.col(exact)
+        ).cast("long")
+
+    return (
+        li.agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("a_parts"),
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("a_orders"),
+        )
+        .select(
+            "exact_parts",
+            "exact_orders",
+            band("a_parts", "exact_parts").alias("parts_err_band"),
+            band("a_orders", "exact_orders").alias("orders_err_band"),
+        )
     )
 
 
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentiles via the Greenwald-Khanna sketch (no
-    oracle — Spark's GK summary and DuckDB's t-digest are different
-    sketches by design; the driver records the rows-only check and the
-    tolerance pytest is the correctness signal). At 100 TB this is the
-    constant-memory replacement for exact sort-based percentiles:
-    mergeable per-partition summaries, one tiny final merge."""
+    """Approximate percentiles via the Greenwald-Khanna sketch, in the
+    driver-checkable form (VERDICT r7 #4): the GK summary value is not
+    cross-engine reproducible (DuckDB uses t-digest), so the query
+    returns the exact interpolated percentiles (Spark ``percentile``
+    ≡ DuckDB ``quantile_cont``, hash-checked) plus the sketch's
+    relative-error band per statistic (``floor(|approx-exact| * 20 /
+    exact)``, 0 ⇔ within 5% — generous vs the sketch's actual
+    accuracy at 10k buckets; the 1% pytest keeps the tight bound).
+    At 100 TB the sketch is the operator (mergeable per-partition
+    summaries, one tiny final merge) and the exact side is the gate
+    harness."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
+    fr = F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))
+
+    def band(approx, exact):
+        return F.floor(F.abs(approx - exact) * 20 / exact).cast("long")
+
+    agg = li.agg(
         F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "price_pcts"
+            "a_price"
         ),
-        F.percentile_approx("l_quantity", 0.5, 10000).alias("qty_median"),
-    ).select(
-        F.round(F.element_at("price_pcts", 1), 2).alias("price_p50"),
-        F.round(F.element_at("price_pcts", 2), 2).alias("price_p95"),
-        F.round(F.element_at("price_pcts", 3), 2).alias("price_p99"),
-        F.round("qty_median", 2).alias("qty_median"),
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("a_qty"),
+        F.percentile("l_extendedprice", fr).alias("e_price"),
+        F.percentile("l_quantity", F.lit(0.5)).alias("e_qty"),
     )
+    cols = [
+        F.round(F.element_at("e_price", i + 1), 4).alias(f"price_p{p}")
+        for i, p in enumerate((50, 95, 99))
+    ] + [F.round("e_qty", 4).alias("qty_median")]
+    bands = [
+        band(
+            F.element_at("a_price", i + 1), F.element_at("e_price", i + 1)
+        ).alias(f"band_p{p}")
+        for i, p in enumerate((50, 95, 99))
+    ] + [band(F.col("a_qty"), F.col("e_qty")).alias("band_qty")]
+    return agg.select(*cols, *bands)
 
 
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2176,6 +2218,29 @@ ORACLES = {
                ROUND(stddev_samp(l_quantity), 6) AS stddev_qty,
                ROUND(var_samp(l_discount), 8) AS var_disc
         FROM lineitem GROUP BY l_returnflag
+    """,
+    # The band columns pin the sketch's accuracy contract: the Spark
+    # side computes floor(|approx-exact|*20/exact) (0 <=> within 5%),
+    # the oracle asserts the contract holds by expecting 0 — a band
+    # excursion (sketch drift/regression) is a hash FAIL, not a
+    # silently-weaker rows-only row.
+    "approx_distinct": """
+        SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+               CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+               CAST(0 AS BIGINT) AS parts_err_band,
+               CAST(0 AS BIGINT) AS orders_err_band
+        FROM lineitem
+    """,
+    "approx_percentile": """
+        SELECT ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50,
+               ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS price_p95,
+               ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS price_p99,
+               ROUND(quantile_cont(l_quantity, 0.5), 4) AS qty_median,
+               CAST(0 AS BIGINT) AS band_p50,
+               CAST(0 AS BIGINT) AS band_p95,
+               CAST(0 AS BIGINT) AS band_p99,
+               CAST(0 AS BIGINT) AS band_qty
+        FROM lineitem
     """,
     "percentile_agg": """
         SELECT l_returnflag,

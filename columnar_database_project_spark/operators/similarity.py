@@ -1105,9 +1105,10 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     final assignment pass: per-cluster member count and mean distance
     to the fitted centroid — the semantic-clustering audit that
     SemDeDup-style dedup and cluster-balanced sampling build on.
-    Iterative, so no SQL oracle (rows-only driver check); the Lloyd
-    invariant (non-increasing inertia) is the pytest correctness
-    signal."""
+    Hash-checked since r8 against an unrolled-Lloyd DuckDB twin
+    (``_kmeans_unrolled_sql`` — the fixed KMEANS_ITERS unrolls into
+    chained CTE rounds); the Lloyd invariant (non-increasing inertia)
+    stays pytest-asserted."""
     cents, _ = kmeans_fit(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select("embedding")
     return (
@@ -1344,6 +1345,118 @@ def _ivf_oracle_sqls() -> dict[str, str]:
             FROM sims WHERE vec_id < {N_QUERIES}
         ) WHERE probe_rank <= {N_PROBE}
     """,
+        # Full IVF search twin (VERDICT r7 #4): assignment + probe plan
+        # are deterministic (rounded-sim argmax, proven by the two
+        # oracles above), and the scored candidate set is their
+        # composition — so the WHOLE approximate search result is
+        # SQL-expressible and hash-checkable, same raw-cosine ordering
+        # contract as the green sim_topk_bruteforce oracle.
+        "sim_ivf_topk": f"""{sims},
+        assign AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY sim_r DESC, cell
+                ) AS rn FROM sims
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS q_id, cell FROM (
+                SELECT vec_id, cell, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY sim_r DESC, cell
+                ) AS pr FROM sims WHERE vec_id < {N_QUERIES}
+            ) WHERE pr <= {N_PROBE}
+        ),
+        q AS (
+            SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+            WHERE vec_id < {N_QUERIES}
+        ),
+        scored AS (
+            SELECT q.q_id, e.vec_id,
+                   list_cosine_similarity(q.qv::DOUBLE[],
+                                          e.embedding::DOUBLE[])
+                       AS cosine_raw
+            FROM q
+            JOIN probes p ON p.q_id = q.q_id
+            JOIN assign a ON a.cell = p.cell
+            JOIN embeddings e
+              ON e.vec_id = a.vec_id AND e.vec_id != q.q_id
+        )
+        SELECT q_id, vec_id AS neighbor_id,
+               ROUND(cosine_raw, 4) AS cosine, rank
+        FROM (
+            SELECT q_id, vec_id, cosine_raw,
+                   row_number() OVER (
+                       PARTITION BY q_id ORDER BY cosine_raw DESC, vec_id
+                   ) AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}
+    """,
+        # Recall-curve twin: every (query, vector) cosine is tagged
+        # with the probe rank of the vector's cell for that query; a
+        # per-level top-k against the exact top-k gives the recall
+        # fraction — all deterministic, so the curve itself is now
+        # hash-checked instead of rows-only.
+        "sim_ivf_recall_curve": f"""{sims},
+        assign AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY sim_r DESC, cell
+                ) AS rn FROM sims
+            ) WHERE rn = 1
+        ),
+        cellrank AS (
+            SELECT vec_id AS q_id, cell, row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim_r DESC, cell
+            ) AS probe_rank
+            FROM sims WHERE vec_id < {N_QUERIES}
+        ),
+        q AS (
+            SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+            WHERE vec_id < {N_QUERIES}
+        ),
+        scored AS (
+            SELECT q.q_id, e.vec_id,
+                   list_cosine_similarity(q.qv::DOUBLE[],
+                                          e.embedding::DOUBLE[])
+                       AS cosine_raw,
+                   cr.probe_rank
+            FROM q
+            JOIN cellrank cr ON cr.q_id = q.q_id
+            JOIN assign a ON a.cell = cr.cell
+            JOIN embeddings e
+              ON e.vec_id = a.vec_id AND e.vec_id != q.q_id
+        ),
+        exact_k AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id, row_number() OVER (
+                    PARTITION BY q_id ORDER BY cosine_raw DESC, vec_id
+                ) AS rank FROM scored
+            ) WHERE rank <= {TOP_K}
+        ),
+        levels(n_probe) AS (VALUES {", ".join(f"({p})" for p in PROBE_LEVELS)}),
+        topp AS (
+            SELECT n_probe, q_id, vec_id FROM (
+                SELECT l.n_probe, s.q_id, s.vec_id,
+                       row_number() OVER (
+                           PARTITION BY l.n_probe, s.q_id
+                           ORDER BY s.cosine_raw DESC, s.vec_id
+                       ) AS rank
+                FROM levels l JOIN scored s ON s.probe_rank <= l.n_probe
+            ) WHERE rank <= {TOP_K}
+        ),
+        hits AS (
+            SELECT t.n_probe, count(*) AS n_hits
+            FROM topp t
+            JOIN exact_k x ON x.q_id = t.q_id AND x.vec_id = t.vec_id
+            GROUP BY t.n_probe
+        ),
+        tot AS (SELECT count(*) AS n_exact FROM exact_k)
+        SELECT CAST(h.n_probe AS INT) AS n_probe,
+               CAST(h.n_hits AS BIGINT) AS n_hits,
+               CAST(tot.n_exact AS BIGINT) AS n_exact,
+               ROUND(h.n_hits * 1.0 / tot.n_exact, 4) AS recall
+        FROM hits h CROSS JOIN tot
+    """,
     }
 
 
@@ -1377,9 +1490,75 @@ ORACLES["emb_kmeans_step"] = f"""
         GROUP BY cluster_id, dim
     """
 
-# emb_kmeans: iterative (KMEANS_ITERS Lloyd rounds) — not SQL-
-# expressible without recursion; rows-only driver check + the Lloyd
-# inertia invariant in tests/test_round6.py.
+def _kmeans_unrolled_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """Full Lloyd fit as ONE DuckDB query (VERDICT r7 #4): the fixed
+    iteration count unrolls into ``iters`` chained CTE rounds —
+    distance → rounded-argmin assignment (ties to the lowest cluster,
+    = np.argmin first-hit) → per-(cluster, dim) mean with empty
+    clusters carrying the previous centroid (COALESCE), exactly
+    ``kmeans_fit``'s semantics. Cross-engine float drift (~1 ulp in
+    the means) is absorbed by the ROUND(sqrt(d2), 6) before every
+    argmin — the same determinism contract the green emb_kmeans_step
+    oracle already relies on — so the final per-cluster (count,
+    rms_dist) is hash-checkable."""
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(f"""
+        d{i} AS (
+            SELECT ev.vec_id, c.cluster_id,
+                   ROUND(sqrt(SUM((ev.v - c.val) * (ev.v - c.val))), 6)
+                       AS dist
+            FROM ev JOIN c{i - 1} c USING (dim)
+            GROUP BY ev.vec_id, c.cluster_id
+        ),
+        a{i} AS (
+            SELECT vec_id, cluster_id FROM (
+                SELECT vec_id, cluster_id, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist, cluster_id
+                ) AS rn FROM d{i}
+            ) WHERE rn = 1
+        ),
+        c{i} AS (
+            SELECT c.cluster_id, c.dim, COALESCE(m.val, c.val) AS val
+            FROM c{i - 1} c LEFT JOIN (
+                SELECT a.cluster_id, ev.dim, avg(ev.v) AS val
+                FROM a{i} a JOIN ev ON ev.vec_id = a.vec_id
+                GROUP BY a.cluster_id, ev.dim
+            ) m ON m.cluster_id = c.cluster_id AND m.dim = c.dim
+        )""")
+    return f"""
+        WITH ev AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS dim,
+                   unnest(embedding::DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        c0 AS (
+            SELECT vec_id AS cluster_id, dim, v AS val
+            FROM ev WHERE vec_id < {k}
+        ),{",".join(rounds)},
+        dfin AS (
+            SELECT ev.vec_id, c.cluster_id,
+                   SUM((ev.v - c.val) * (ev.v - c.val)) AS d2
+            FROM ev JOIN c{iters} c USING (dim)
+            GROUP BY ev.vec_id, c.cluster_id
+        ),
+        afin AS (
+            SELECT vec_id, cluster_id, d2 FROM (
+                SELECT vec_id, cluster_id, d2, row_number() OVER (
+                    PARTITION BY vec_id
+                    ORDER BY ROUND(sqrt(d2), 6), cluster_id
+                ) AS rn FROM dfin
+            ) WHERE rn = 1
+        )
+        SELECT CAST(cluster_id AS INT) AS cluster_id,
+               CAST(count(*) AS BIGINT) AS n_members,
+               ROUND(sqrt(SUM(d2) / count(*)), 6) AS rms_dist
+        FROM afin GROUP BY cluster_id
+    """
+
+
+ORACLES["emb_kmeans"] = _kmeans_unrolled_sql()
 
 ORACLES["emb_cluster_sample"] = f"""
         WITH c AS (

@@ -83,16 +83,23 @@ class TestApproxDistinctTolerance:
         from columnar_database_project_spark.catalog import load_table
 
         sf = "/root/testdata/sf0.01"
-        approx = q_approx_distinct(spark, sf).collect()[0]
+        row = q_approx_distinct(spark, sf).collect()[0]
         li = load_table(spark, sf, "lineitem")
         exact = li.agg(
             F.countDistinct("l_partkey").alias("parts"),
             F.countDistinct("l_orderkey").alias("orders"),
         ).collect()[0]
-        assert abs(approx["approx_parts"] - exact["parts"]) <= 0.05 * exact["parts"]
-        assert (
-            abs(approx["approx_orders"] - exact["orders"]) <= 0.05 * exact["orders"]
-        )
+        # r8 driver-checkable form: exact counts + 5%-band of the HLL
+        assert row["exact_parts"] == exact["parts"]
+        assert row["exact_orders"] == exact["orders"]
+        assert row["parts_err_band"] == 0 and row["orders_err_band"] == 0
+        # the raw estimate (not in the gate output) stays within 5%
+        approx = li.agg(
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("p"),
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("o"),
+        ).collect()[0]
+        assert abs(approx["p"] - exact["parts"]) <= 0.05 * exact["parts"]
+        assert abs(approx["o"] - exact["orders"]) <= 0.05 * exact["orders"]
 
 
 class TestHotBucketCaps:
@@ -693,7 +700,7 @@ class TestApproxPercentileTolerance:
         )
 
         sf = "/root/testdata/sf0.01"
-        approx = q_approx_percentile(spark, sf).collect()[0]
+        row = q_approx_percentile(spark, sf).collect()[0]
         li = load_table(spark, sf, "lineitem")
         exact = li.agg(
             F.expr(
@@ -701,12 +708,24 @@ class TestApproxPercentileTolerance:
             ).alias("p"),
             F.expr("percentile(l_quantity, 0.5)").alias("qm"),
         ).collect()[0]
+        # r8 driver-checkable form: exact percentiles + 5%-band of GK
         for got, want in zip(
-            (approx["price_p50"], approx["price_p95"], approx["price_p99"]),
-            exact["p"],
+            (row["price_p50"], row["price_p95"], row["price_p99"]), exact["p"]
         ):
+            assert abs(got - want) <= 1e-4, (got, want)
+        assert abs(row["qty_median"] - exact["qm"]) <= 1e-4
+        for b in ("band_p50", "band_p95", "band_p99", "band_qty"):
+            assert row[b] == 0, (b, row[b])
+        # the raw GK estimate (not in the gate output) stays within 1%
+        approx = li.agg(
+            F.percentile_approx(
+                "l_extendedprice", [0.5, 0.95, 0.99], 10000
+            ).alias("p"),
+            F.percentile_approx("l_quantity", 0.5, 10000).alias("qm"),
+        ).collect()[0]
+        for got, want in zip(approx["p"], exact["p"]):
             assert abs(got - want) <= 0.01 * want, (got, want)
-        assert abs(approx["qty_median"] - exact["qm"]) <= 0.01 * exact["qm"] + 1.0
+        assert abs(approx["qm"] - exact["qm"]) <= 0.01 * exact["qm"] + 1.0
 
 
 class TestPartitionInvariance:
