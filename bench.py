@@ -623,6 +623,42 @@ def bench_cow_dml(spark, sf_dir: str) -> dict:
         "ratio": round(sec_dv / sec_clean, 2) if sec_clean else None,
         "compaction_rewrote": comp.get("files_rewritten"),
     }
+
+    # r8: the MECHANIZED steady state — a second MoR point delete, then
+    # the engine's threshold policy (maybe_compact_mor, the hook every
+    # engine MoR verb runs). At this layout 1 tainted block exceeds the
+    # 5% taint threshold, so the policy fires, DVs are materialized,
+    # and the post-policy read pays ratio ~1.0: the read tax is bounded
+    # by the engine, not by an operator remembering to compact.
+    from columnar_database_project_spark.storage.cow import (
+        maybe_compact_mor,
+        mor_compaction_debt,
+    )
+
+    key2 = int(
+        mstore.read(spark).selectExpr("max(l_orderkey) AS k").first()["k"]
+    )
+    delete_where_mor(spark, mstore, f"l_orderkey = {key2}")
+    debt = mor_compaction_debt(mstore)
+    t0 = time.time()
+    policy = maybe_compact_mor(spark, mstore, block_rows=block_rows)
+    sec_policy = time.time() - t0
+    sec_steady = float("inf")
+    for _ in range(RUNS_PER_QUERY):
+        t0 = time.time()
+        agg()
+        sec_steady = min(sec_steady, time.time() - t0)
+    mor["auto_compact"] = {
+        "taint_ratio_before": round(debt["taint_ratio"], 4),
+        "dv_rows_before": debt["dv_rows"],
+        "fired": policy["fired"],
+        "policy_sec": round(sec_policy, 3),
+        "sec_read_steady": round(sec_steady, 3),
+        "steady_ratio_vs_clean": (
+            round(sec_steady / sec_clean, 2) if sec_clean else None
+        ),
+        "dv_rows_after": mor_compaction_debt(mstore)["dv_rows"],
+    }
     return {
         "mor_point_delete": mor,
         "rows": n,

@@ -412,20 +412,45 @@ class MicroBlockEngine:
         self.register(name, mstore.read(self.spark))
         return report
 
-    def delete_where_mor(self, name: str, predicate, mstore, **kw) -> dict:
+    def _auto_compact_mor(self, mstore, report: dict, kw: dict) -> dict:
+        """Threshold-triggered DV materialization after a MoR commit
+        (storage/cow.maybe_compact_mor) — the read tax is bounded by
+        the engine, not by an operator remembering DEPLOY.md."""
+        from columnar_database_project_spark.storage.cow import (
+            maybe_compact_mor,
+        )
+
+        report["auto_compact"] = maybe_compact_mor(
+            self.spark, mstore, block_rows=kw.get("block_rows")
+        )
+        return report
+
+    def delete_where_mor(
+        self, name: str, predicate, mstore, auto_compact: bool = True, **kw
+    ) -> dict:
         """Merge-on-read DELETE: commits a deletion vector, zero data
         files written (storage/cow.delete_where_mor); falls back to
-        CoW above the DV budget."""
+        CoW above the DV budget. ``auto_compact`` (default on) runs
+        the threshold policy afterwards so accumulated DV read tax is
+        bounded without manual compaction."""
         from columnar_database_project_spark.storage.cow import (
             delete_where_mor,
         )
 
         report = delete_where_mor(self.spark, mstore, predicate, **kw)
+        if auto_compact:
+            self._auto_compact_mor(mstore, report, kw)
         self.register(name, mstore.read(self.spark))
         return report
 
     def update_where_mor(
-        self, name: str, predicate, assignments: dict, mstore, **kw
+        self,
+        name: str,
+        predicate,
+        assignments: dict,
+        mstore,
+        auto_compact: bool = True,
+        **kw,
     ) -> dict:
         """Merge-on-read UPDATE: DV the matching rows, append their
         updated versions (storage/cow.update_where_mor)."""
@@ -436,14 +461,26 @@ class MicroBlockEngine:
         report = update_where_mor(
             self.spark, mstore, predicate, assignments, **kw
         )
+        if auto_compact:
+            self._auto_compact_mor(mstore, report, kw)
         self.register(name, mstore.read(self.spark))
         return report
 
-    def merge_mor(self, name: str, updates, key: str, mstore, **kw) -> dict:
+    def merge_mor(
+        self,
+        name: str,
+        updates,
+        key: str,
+        mstore,
+        auto_compact: bool = True,
+        **kw,
+    ) -> dict:
         """Merge-on-read MERGE/upsert (storage/cow.merge_mor)."""
         from columnar_database_project_spark.storage.cow import merge_mor
 
         report = merge_mor(self.spark, mstore, updates, key, **kw)
+        if auto_compact:
+            self._auto_compact_mor(mstore, report, kw)
         self.register(name, mstore.read(self.spark))
         return report
 
@@ -605,6 +642,20 @@ class MicroBlockEngine:
                     1 for b in predicted if b in cached
                 )
             out["zone_map"] = zone
+        elif "scan orc" in out["physical"]["plan"].lower():
+            # Guard (VERDICT r7 #6): the explicit MicroBlockIndex is
+            # parquet-only (pyarrow exposes no ORC stripe statistics),
+            # so an ORC-backed query must say WHY the predicted-pruning
+            # section is absent instead of silently reading as
+            # "nothing pruned". Spark's native ORC predicate pushdown
+            # still applies — see physical.pushed_filters.
+            out["zone_map"] = {
+                "unavailable": (
+                    "zone-map index unavailable (ORC backend) — native "
+                    "ORC predicate pushdown only; pyarrow exposes no "
+                    "stripe stats to build MicroBlockIndex"
+                )
+            }
         return out
 
     # The result cache is for dashboard-sized outputs (aggregates,

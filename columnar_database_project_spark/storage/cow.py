@@ -756,6 +756,74 @@ def compact_manifest(
     }
 
 
+# --------------------------------------------------------------------
+# Merge-on-read auto-compaction policy (VERDICT r7 #3). The measured
+# MoR read tax (BENCH.json cow_dml.read_tax: 1.55x) is driven by the
+# fraction of rows that must scan through the per-row _metadata +
+# DV-filter path — 4 point-deleted rows tainting ~6% of the table's
+# rows already cost 1.55x — with the logically-deleted-row fraction a
+# secondary (wasted-IO) term. The defaults therefore trigger at 5%
+# row taint or 2% logical deletes: below that the steady-state tax
+# stays near 1.0, above it compaction buys the tax back (1.55 -> 1.0
+# measured) for one bounded rewrite of only the DV'd files.
+MOR_COMPACT_TAINT_RATIO = 0.05
+MOR_COMPACT_DV_ROWS_RATIO = 0.02
+
+
+def mor_compaction_debt(store: ManifestStore) -> dict:
+    """Control-plane measurement of the live version's MoR read-tax
+    drivers: rows in DV-carrying files (the per-row scan-path taint)
+    and logically-deleted rows. O(files) driver-side footer reads —
+    the same bounded metadata pass ``compact_manifest`` makes."""
+    import pyarrow.parquet as pq
+
+    files = store.files_for()
+    dvs = store.dvs_for()
+    rows_total = rows_tainted = dv_rows = dv_files = 0
+    for f in files:
+        n = pq.ParquetFile(f).metadata.num_rows
+        rows_total += n
+        d = dvs.get(os.path.relpath(f, store.root))
+        if d:
+            dv_files += 1
+            rows_tainted += n
+            dv_rows += len(d)
+    return {
+        "files": len(files),
+        "dv_files": dv_files,
+        "rows_total": rows_total,
+        "rows_tainted": rows_tainted,
+        "dv_rows": dv_rows,
+        "taint_ratio": rows_tainted / rows_total if rows_total else 0.0,
+        "dv_rows_ratio": dv_rows / rows_total if rows_total else 0.0,
+    }
+
+
+def maybe_compact_mor(
+    spark: "SparkSession",
+    store: ManifestStore,
+    block_rows: int | None = None,
+    taint_ratio: float = MOR_COMPACT_TAINT_RATIO,
+    dv_rows_ratio: float = MOR_COMPACT_DV_ROWS_RATIO,
+) -> dict:
+    """Mechanized DV compaction: fire ``compact_manifest`` (the DV
+    materialization point) exactly when the live manifest's measured
+    debt exceeds a threshold — the policy an operator previously had
+    to remember to run by hand (DEPLOY.md). The engine's MoR DML verbs
+    call this after every commit, so the read tax is BOUNDED by
+    construction: taint can exceed the threshold for at most the one
+    commit that crossed it. Returns {"fired", "debt"} and, when fired,
+    the compaction report."""
+    debt = mor_compaction_debt(store)
+    if not (
+        debt["taint_ratio"] > taint_ratio
+        or debt["dv_rows_ratio"] > dv_rows_ratio
+    ):
+        return {"fired": False, "debt": debt}
+    rep = compact_manifest(spark, store, block_rows=block_rows)
+    return {"fired": True, "debt": debt, "compaction": rep}
+
+
 def init_manifest_table(
     spark: "SparkSession",
     store: ManifestStore,

@@ -238,3 +238,126 @@ class TestStreamFirstBatchInit:
         q = append_stream_manifest(stream(), store, str(base / "ckpt"))
         q.awaitTermination(120)
         assert store.read(spark).count() == 5
+
+
+class TestMorAutoCompaction:
+    """VERDICT r7 #3: mechanized DV compaction — the threshold policy
+    fires exactly at threshold, materializes the DVs, and preserves
+    table contents; the engine's MoR verbs run it automatically."""
+
+    def _store_with_dvs(self, spark, orders_df, tmp_path_factory, name):
+        from columnar_database_project_spark.storage.cow import (
+            delete_where_mor,
+        )
+
+        store = ManifestStore(str(tmp_path_factory.mktemp(name)))
+        n = orders_df.count()
+        init_manifest_table(
+            spark, store, orders_df.orderBy(KEY).coalesce(1),
+            block_rows=max(1, n // 8),
+        )
+        # point-delete a handful of keys → DVs land in >=1 of 8 blocks
+        keys = [r[0] for r in orders_df.select(KEY).limit(3).collect()]
+        rep = delete_where_mor(
+            spark, store, f"{KEY} IN ({', '.join(map(str, keys))})"
+        )
+        assert rep["mode"] == "mor" and store.dvs_for()
+        return store, n - rep["deleted"]
+
+    def test_fires_exactly_at_threshold(
+        self, spark, orders_df, tmp_path_factory
+    ):
+        from columnar_database_project_spark.storage.cow import (
+            maybe_compact_mor,
+            mor_compaction_debt,
+        )
+
+        store, n_live = self._store_with_dvs(
+            spark, orders_df, tmp_path_factory, "acomp1"
+        )
+        debt = mor_compaction_debt(store)
+        assert 0 < debt["taint_ratio"] <= 1
+        # epsilon above the measured taint → must NOT fire
+        off = maybe_compact_mor(
+            spark, store,
+            taint_ratio=debt["taint_ratio"] + 1e-9,
+            dv_rows_ratio=1.0,
+        )
+        assert off["fired"] is False and store.dvs_for()
+        # epsilon below → must fire, materializing every DV
+        on = maybe_compact_mor(
+            spark, store,
+            taint_ratio=debt["taint_ratio"] - 1e-9,
+            dv_rows_ratio=1.0,
+        )
+        assert on["fired"] is True
+        assert store.dvs_for() == {}            # DVs materialized away
+        assert store.read(spark).count() == n_live
+        # post-compaction debt is zero → policy is idempotent
+        again = maybe_compact_mor(
+            spark, store, taint_ratio=0.0 + 1e-12, dv_rows_ratio=1e-12
+        )
+        assert again["fired"] is False
+        assert again["debt"]["dv_rows"] == 0
+
+    def test_engine_mor_delete_auto_compacts(
+        self, spark, orders_df, tmp_path_factory
+    ):
+        from columnar_database_project_spark.engine import MicroBlockEngine
+
+        eng = MicroBlockEngine(spark)
+        store = ManifestStore(str(tmp_path_factory.mktemp("acomp2")))
+        n = orders_df.count()
+        init_manifest_table(
+            spark, store, orders_df.orderBy(KEY).coalesce(1),
+            block_rows=max(1, n // 8),
+        )
+        key = orders_df.select(KEY).limit(1).collect()[0][0]
+        # default thresholds: 1 tainted block of 8 = 12.5% > 5% → fires
+        rep = eng.delete_where_mor("t_mor", f"{KEY} = {key}", store)
+        ac = rep["auto_compact"]
+        assert ac["fired"] is True
+        assert ac["debt"]["taint_ratio"] > 0.05
+        assert store.dvs_for() == {}
+        assert eng.table("t_mor").count() == n - rep["deleted"]
+        # opt-out leaves the DV in place
+        store2 = ManifestStore(str(tmp_path_factory.mktemp("acomp3")))
+        init_manifest_table(
+            spark, store2, orders_df.orderBy(KEY).coalesce(1),
+            block_rows=max(1, n // 8),
+        )
+        rep2 = eng.delete_where_mor(
+            "t_mor2", f"{KEY} = {key}", store2, auto_compact=False
+        )
+        assert "auto_compact" not in rep2
+        assert store2.dvs_for() != {}
+
+
+class TestOrcExplainGuard:
+    def test_orc_table_explain_names_the_gap(self, spark, tmp_path_factory):
+        """VERDICT r7 #6: an ORC-backed table must say WHY there is no
+        predicted-pruning section, not silently omit it."""
+        from columnar_database_project_spark.engine import MicroBlockEngine
+        from columnar_database_project_spark.sources.microblock import (
+            MicroBlockWriter,
+        )
+
+        path = str(tmp_path_factory.mktemp("orc_guard") / "t")
+        pdf = pd.DataFrame({"k": list(range(100)), "v": [1.0] * 100})
+        MicroBlockWriter(block_rows=25, format="orc").write(
+            spark.createDataFrame(pdf), path
+        )
+        eng = MicroBlockEngine(spark)  # no index attached
+        eng.register("orc_t", spark.read.orc(path))
+        rep = eng.explain("SELECT count(*) AS c FROM orc_t WHERE k > 50")
+        assert "zone_map" in rep
+        assert "ORC" in rep["zone_map"]["unavailable"]
+        # the native layer still reports its own pushdown facts
+        assert "physical" in rep and "pushed_filters" in rep["physical"]
+        # a parquet-backed, index-less engine stays as before (no
+        # zone_map section, no false ORC note)
+        ppath = str(tmp_path_factory.mktemp("orc_guard") / "p")
+        spark.createDataFrame(pdf).write.parquet(ppath)
+        eng.register("pq_t", spark.read.parquet(ppath))
+        rep2 = eng.explain("SELECT count(*) AS c FROM pq_t WHERE k > 50")
+        assert "zone_map" not in rep2
