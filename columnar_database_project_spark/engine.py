@@ -643,17 +643,19 @@ class MicroBlockEngine:
                 )
             out["zone_map"] = zone
         elif "scan orc" in out["physical"]["plan"].lower():
-            # Guard (VERDICT r7 #6): the explicit MicroBlockIndex is
-            # parquet-only (pyarrow exposes no ORC stripe statistics),
-            # so an ORC-backed query must say WHY the predicted-pruning
+            # Guard (VERDICT r7 #6): no index is attached and pyarrow
+            # exposes no ORC stripe statistics for a footer build, so
+            # an ORC-backed query must say WHY the predicted-pruning
             # section is absent instead of silently reading as
             # "nothing pruned". Spark's native ORC predicate pushdown
-            # still applies — see physical.pushed_filters.
+            # still applies (physical.pushed_filters), and a scan-built
+            # index restores the full report.
             out["zone_map"] = {
                 "unavailable": (
-                    "zone-map index unavailable (ORC backend) — native "
-                    "ORC predicate pushdown only; pyarrow exposes no "
-                    "stripe stats to build MicroBlockIndex"
+                    "zone-map index unavailable (ORC backend, no index "
+                    "attached) — native ORC predicate pushdown only; "
+                    "attach MicroBlockIndex.build_from_scan(spark, path,"
+                    " format='orc') for the predicted-pruning report"
                 )
             }
         return out

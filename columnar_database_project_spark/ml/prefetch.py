@@ -65,6 +65,7 @@ class PrefetchService:
         interval: float = 60.0,
         history_len: int = 100,
         k: int = 10,
+        min_prob: float = 0.0,
     ) -> None:
         self.scheduler = scheduler
         self.prefetcher = prefetcher
@@ -73,10 +74,18 @@ class PrefetchService:
         self.interval = interval
         self.history_len = history_len
         self.k = k
+        # Confidence floor (r8 prefetch economics): at 100 TB the
+        # wasted speculative reads ARE the bill, so suggestions below
+        # this sigmoid probability are dropped even inside the top-k.
+        # 0.0 keeps the reference's pure-top-k behavior; the benched
+        # operating point lives in BENCH prefetch_ab.min_prob_sweep.
+        self.min_prob = min_prob
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self.cycles = 0
         self.prefetched = 0
+        self.suppressed = 0          # suggestions dropped by the floor
+        self.issued_log: list[int] = []  # every block actually loaded
 
     def run_once(self) -> int:
         """One prediction+prefetch cycle; returns blocks prefetched."""
@@ -89,10 +98,17 @@ class PrefetchService:
         )
         if not suggestions:
             return 0
-        n = self.prefetcher.prefetch_many([b for b, _ in suggestions])
-        self.prefetched += n
+        if self.min_prob > 0.0:
+            kept = [(b, p) for b, p in suggestions if p >= self.min_prob]
+            self.suppressed += len(suggestions) - len(kept)
+            suggestions = kept
+        loaded = [
+            b for b, _p in suggestions if self.prefetcher.prefetch_block(b)
+        ]
+        self.issued_log.extend(loaded)
+        self.prefetched += len(loaded)
         self.cycles += 1
-        return n
+        return len(loaded)
 
     def _loop(self) -> None:
         while not self._stop.wait(self.interval):

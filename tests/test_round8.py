@@ -361,3 +361,141 @@ class TestOrcExplainGuard:
         eng.register("pq_t", spark.read.parquet(ppath))
         rep2 = eng.explain("SELECT count(*) AS c FROM pq_t WHERE k > 50")
         assert "zone_map" not in rep2
+
+
+class TestPrefetchConfidenceFloor:
+    def test_min_prob_filters_and_tracks_issued(self, spark, tmp_path_factory):
+        """r8 prefetch economics: a min_prob floor suppresses low-
+        confidence suggestions (the wasted-read bill at 100 TB), and
+        the service logs every block it actually loaded so precision
+        (prefetched-and-hit / prefetched) is measurable."""
+        from columnar_database_project_spark.ml.lstm import LSTMPrefetcher
+        from columnar_database_project_spark.ml.prefetch import (
+            Prefetcher,
+            PrefetchService,
+        )
+        from columnar_database_project_spark.ml.scheduler import (
+            PrefetchScheduler,
+        )
+        from columnar_database_project_spark.ml.synthetic import (
+            generate_mixed_logs,
+        )
+        from columnar_database_project_spark.ml.training_set import (
+            build_from_sequence,
+        )
+        from columnar_database_project_spark.sources.index import (
+            MicroBlockIndex,
+        )
+        from columnar_database_project_spark.sources.microblock import (
+            MicroBlockWriter,
+        )
+        from columnar_database_project_spark.storage.access_logger import (
+            GlobalHistory,
+        )
+        from columnar_database_project_spark.storage.block_cache import (
+            BlockCache,
+        )
+
+        path = str(tmp_path_factory.mktemp("pfloor") / "t")
+        pdf = pd.DataFrame({"k": list(range(4000)), "v": [0.5] * 4000})
+        MicroBlockWriter(block_rows=250).write(
+            spark.createDataFrame(pdf).repartition(1), path
+        )
+        idx = MicroBlockIndex.build(path, table_id="t")
+        n_blocks = idx.num_blocks
+        seq = generate_mixed_logs(800, ranges=[(0, n_blocks - 1)], seed=3)
+        ts = build_from_sequence(seq)
+        model = LSTMPrefetcher(ts.vocab_size, seed=5)
+        model.fit(ts.inputs, ts.labels, epochs=4)
+        sched = PrefetchScheduler(model, ts.id2idx, ts.idx2id)
+        history = GlobalHistory(maxlen=100)
+        history.record_many(seq[-40:])
+
+        def cycle(min_prob):
+            cache = BlockCache(capacity=8)
+            svc = PrefetchService(
+                sched, Prefetcher(spark, idx, cache), history, cache,
+                interval=3600, k=5, min_prob=min_prob,
+            )
+            n = svc.run_once()
+            out = (n, svc.suppressed, list(svc.issued_log))
+            cache.clear()
+            return out
+
+        n0, sup0, issued0 = cycle(0.0)
+        assert n0 > 0 and sup0 == 0
+        assert len(issued0) == n0       # every load is in the log
+        # an impossible floor suppresses everything
+        n1, sup1, issued1 = cycle(1.1)
+        assert n1 == 0 and issued1 == []
+        assert sup1 > 0                 # suggestions existed, all dropped
+        # a permissive floor behaves like no floor
+        n2, _sup2, issued2 = cycle(0.0 + 1e-12)
+        assert set(issued2) == set(issued0)
+
+
+class TestOrcScanBuiltIndex:
+    def test_orc_index_prunes_soundly_and_explain_reports(
+        self, spark, tmp_path_factory
+    ):
+        """r8: build_from_scan closes the ORC backend asymmetry — an
+        ORC layout gets a real zone-map index (block = file), with the
+        same soundness contract as the parquet footer build: NO false
+        negatives (every file actually containing a match is a
+        candidate), and real pruning on a sorted layout."""
+        from columnar_database_project_spark.engine import MicroBlockEngine
+        from columnar_database_project_spark.plans.sql_where import parse_where
+        from columnar_database_project_spark.sources.index import (
+            MicroBlockIndex,
+        )
+        from columnar_database_project_spark.sources.microblock import (
+            MicroBlockWriter,
+        )
+
+        path = str(tmp_path_factory.mktemp("orc_idx") / "t")
+        pdf = pd.DataFrame(
+            {
+                "k": list(range(1000)),
+                "name": [f"u{i:04d}" for i in range(1000)],
+                "price": [float(i) / 7 for i in range(1000)],
+            }
+        )
+        df = spark.createDataFrame(pdf).orderBy("k").coalesce(1)
+        MicroBlockWriter(block_rows=125, format="orc").write(df, path)
+        idx = MicroBlockIndex.build_from_scan(
+            spark, path, table_id="t", format="orc"
+        )
+        assert idx.num_blocks >= 4
+        # selective range on the sort key prunes most blocks...
+        pred = parse_where("k BETWEEN 100 AND 140")
+        cands = idx.candidate_blocks(pred)
+        assert 0 < len(cands) < idx.num_blocks
+        # ...with zero false negatives vs per-file ground truth
+        import pyarrow.orc as po
+
+        cand_files = {idx.block_file(b) for b in cands}
+        for bid in range(idx.num_blocks):
+            f = idx.block_file(bid)
+            t = po.ORCFile(f).read(columns=["k"]).to_pandas()
+            if ((t["k"] >= 100) & (t["k"] <= 140)).any():
+                assert f in cand_files, f"false negative on {f}"
+        # string + float columns carry stats too
+        assert idx.candidate_blocks(parse_where("name = 'u0130'"))
+        assert idx.candidate_blocks(parse_where("price < 1.0"))
+        # provably-empty predicate → empty candidates (v3 semantics)
+        assert idx.candidate_blocks(parse_where("k > 99999")) == []
+        # row ranges cover the table contiguously
+        lo, hi = idx.block_row_range(0)
+        assert lo == 0
+        total = sum(
+            idx.block_row_range(b)[1] - idx.block_row_range(b)[0] + 1
+            for b in range(idx.num_blocks)
+        )
+        assert total == 1000
+        # engine.explain now serves the FULL zone-map report for ORC
+        eng = MicroBlockEngine(spark, index=idx)
+        eng.register("orc_t2", spark.read.orc(path))
+        rep = eng.explain(
+            "SELECT count(*) AS c FROM orc_t2 WHERE k BETWEEN 100 AND 140"
+        )
+        assert rep["zone_map"]["blocks_predicted"] == len(cands)
