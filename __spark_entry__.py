@@ -33,9 +33,11 @@ _QUERIES, _ORACLES = all_queries()
 
 def _last_verified_round() -> dict[str, tuple[int, float]]:
     """query name → (latest round number in which a past driver
-    correctness run checked it, mtime of that round's file) from
-    CORRECTNESS_r*.json in the repo root. Names never checked are
-    absent."""
+    correctness run checked it GREEN, mtime of that round's file) from
+    CORRECTNESS_r*.json in the repo root. Names never green are
+    absent — a row that errored (e.g. the pre-r8 ``no_oracle`` rows)
+    or mismatched is not verification, so those queries front the
+    queue for a real check instead of hiding behind the attempt."""
     rounds: dict[str, tuple[int, float]] = {}
     for path in glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -50,7 +52,11 @@ def _last_verified_round() -> dict[str, tuple[int, float]]:
             continue
         if not isinstance(checked, dict):
             continue
-        for name in checked:
+        for name, rec in checked.items():
+            if isinstance(rec, dict) and (
+                rec.get("err") is not None or not rec.get("rows_match")
+            ):
+                continue
             if name not in rounds or rnum > rounds[name][0]:
                 rounds[name] = (rnum, mtime)
     return rounds
