@@ -811,6 +811,7 @@ class TestLadderEquivalenceFuzz:
         fallback bug diverges here."""
         from columnar_database_project_spark.storage.cow import (
             delete_where_mor,
+            maybe_compact_mor,
             merge_mor,
             update_where_mor,
         )
@@ -879,6 +880,15 @@ class TestLadderEquivalenceFuzz:
                     merge_mor(spark, mstore, updates, KEY, block_rows=256)
                 else:
                     merge_cow(spark, mstore, updates, KEY, block_rows=256)
+
+            # r8: interleave the auto-compaction policy (aggressive
+            # thresholds so it actually fires mid-sequence) — DV
+            # materialization must be invisible to table semantics
+            if rng.random() < 0.4:
+                maybe_compact_mor(
+                    spark, mstore, block_rows=256,
+                    taint_ratio=0.0, dv_rows_ratio=0.0,
+                )
 
             got = _sorted_state(mstore.read(spark).toPandas())
             want = _sorted_state(eng_a.table("la").toPandas())
