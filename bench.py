@@ -871,6 +871,33 @@ def bench_orc_scan(spark, sf_dir: str) -> dict:
     out["orc_over_parquet"] = (
         round(out["orc"] / out["parquet"], 2) if out.get("parquet") else None
     )
+    # r8: the scan-built ORC zone-map index (closes the backend
+    # asymmetry — parquet gets its index from footers, ORC from one
+    # distributed stats scan). Record build cost + the predicted
+    # pruning for a selective orderkey range, proving the ORC side of
+    # engine.explain now reports real numbers.
+    try:
+        from columnar_database_project_spark.plans.sql_where import (
+            parse_where,
+        )
+        from columnar_database_project_spark.sources.index import (
+            MicroBlockIndex,
+        )
+
+        t0 = time.time()
+        oidx = MicroBlockIndex.build_from_scan(
+            spark, layouts["orc"], table_id="lineitem_orc", format="orc"
+        )
+        build_sec = time.time() - t0
+        hi_key = li.agg(F.max("l_orderkey")).first()[0]
+        pred = parse_where(f"l_orderkey BETWEEN 1 AND {int(hi_key) // 20}")
+        out["orc_index"] = {
+            "build_sec": round(build_sec, 3),
+            "blocks_total": oidx.num_blocks,
+            "blocks_predicted_5pct_range": len(oidx.candidate_blocks(pred)),
+        }
+    except Exception as exc:  # pragma: no cover - defensive
+        out["orc_index"] = {"error": repr(exc)}
     return out
 
 
@@ -1371,6 +1398,13 @@ def main() -> None:
         for tag in ("no_cache", "lru_only", "lru_lstm")
         if isinstance(prefetch_ab.get(tag), dict)
     }
+    if isinstance(prefetch_ab.get("chosen_min_prob"), dict):
+        ch = prefetch_ab["chosen_min_prob"]
+        compact["prefetch_ab"]["chosen_min_prob"] = ch["min_prob"]
+        compact["prefetch_ab"]["precision_at_chosen"] = ch.get("precision")
+        compact["prefetch_ab"]["wasted_reads_at_chosen"] = ch.get(
+            "wasted_reads"
+        )
     compact["scaling"] = {
         tag: {
             "spark_total": round(sum(sec["queries"].values()), 3),
