@@ -273,6 +273,176 @@ class MicroBlockIndex:
             row_cursor += n_rows
         return idx
 
+    def extend_from_scan(
+        self,
+        spark,
+        new_files: list[str],
+        format: str = "orc",
+    ) -> int:
+        """Incremental maintenance for the scan-built index: stat-scan
+        ONLY the given files (a commit's new blocks) and append them —
+        the per-commit discipline that makes ``build_from_scan``'s
+        one-data-scan cost amortize at 100 TB (same lifecycle as
+        ``bloom.extend_bloom_index``). New blocks get ids after the
+        existing ones (append-only, ids stay stable across extends —
+        commit order, not re-sorted path order). Returns the number of
+        blocks added; files already indexed are skipped."""
+        known = {f for (f, _rg, _lo, _hi) in self._block_rows.values()}
+        todo = sorted(f for f in new_files if f not in known)
+        if not todo:
+            return 0
+        cols = sorted(self.by_column) or None
+        sub = MicroBlockIndex.build_from_scan(
+            spark,
+            todo[0] if len(todo) == 1 else todo,  # reader takes a list too
+            table_id=self.table_id,
+            format=format,
+            columns=cols,
+        )
+        base_id = (max(self.by_block) + 1) if self.by_block else 0
+        row_cursor = (
+            max(hi for (_f, _rg, _lo, hi) in self._block_rows.values()) + 1
+            if self._block_rows
+            else 0
+        )
+        with self._lock:
+            for old_id in sorted(sub.by_block):
+                new_id = base_id + old_id
+                f, rg, lo, hi = sub._block_rows[old_id]
+                n = hi - lo + 1
+                for bm in sub.by_block[old_id].values():
+                    bm.block_id = new_id
+                    bm.row_start = row_cursor
+                    bm.row_end = row_cursor + n - 1
+                    self.blocks.append(bm)
+                    self.by_column.setdefault(bm.column_name, []).append(bm)
+                    self.by_block.setdefault(new_id, {})[bm.column_name] = bm
+                self._block_rows[new_id] = (
+                    f, rg, row_cursor, row_cursor + n - 1
+                )
+                row_cursor += n
+        return len(sub.by_block)
+
+    # ------------------------------------------------------ persistence
+    _SIDECAR = "_zonemaps.json"
+
+    @staticmethod
+    def _enc_stat(v: Any):
+        """Type-tagged JSON encoding of a zone-map bound — the types
+        parquet/ORC stats produce (int/float/str/bool/datetime/date/
+        Decimal/bytes) must round-trip EXACTLY or a reloaded index
+        would prune differently than the one that was saved."""
+        import base64
+        import datetime as _dt
+        from decimal import Decimal
+
+        if v is None or isinstance(v, (int, float, str, bool)):
+            return v
+        if isinstance(v, _dt.datetime):
+            return {"$t": "dt", "v": v.isoformat()}
+        if isinstance(v, _dt.date):
+            return {"$t": "d", "v": v.isoformat()}
+        if isinstance(v, Decimal):
+            return {"$t": "dec", "v": str(v)}
+        if isinstance(v, (bytes, bytearray)):
+            return {"$t": "b", "v": base64.b64encode(bytes(v)).decode()}
+        return {"$t": "s", "v": str(v)}
+
+    @staticmethod
+    def _dec_stat(v):
+        import base64
+        import datetime as _dt
+        from decimal import Decimal
+
+        if not isinstance(v, dict) or "$t" not in v:
+            return v
+        t, raw = v["$t"], v["v"]
+        if t == "dt":
+            return _dt.datetime.fromisoformat(raw)
+        if t == "d":
+            return _dt.date.fromisoformat(raw)
+        if t == "dec":
+            return Decimal(raw)
+        if t == "b":
+            return base64.b64decode(raw)
+        return raw
+
+    def save(self, table_path: str) -> str:
+        """Persist the index as an underscore-prefixed sidecar in the
+        table directory (invisible to Spark's listing, same convention
+        as the Bloom ``_blooms.npz``). For footer-backed parquet this
+        is a convenience; for scan-built ORC it is the POINT — the
+        one-data-scan build cost is paid once per commit, not per
+        session."""
+        import json as _json
+
+        recs = []
+        for b in self.blocks:
+            recs.append(
+                {
+                    "column_name": b.column_name,
+                    "column_id": b.column_id,
+                    "file_path": os.path.relpath(b.file_path, table_path),
+                    "block_id": b.block_id,
+                    "row_group_id": b.row_group_id,
+                    "row_start": b.row_start,
+                    "row_end": b.row_end,
+                    "byte_offset": b.byte_offset,
+                    "byte_length": b.byte_length,
+                    "stat_min": self._enc_stat(b.stat_min),
+                    "stat_max": self._enc_stat(b.stat_max),
+                    "null_count": b.null_count,
+                    "num_values": b.num_values,
+                    "compression": b.compression,
+                }
+            )
+        out = os.path.join(table_path, self._SIDECAR)
+        tmp = out + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump({"table_id": self.table_id, "blocks": recs}, fh)
+        os.replace(tmp, out)
+        return out
+
+    @classmethod
+    def load(cls, table_path: str) -> "MicroBlockIndex":
+        """Reload a saved sidecar; file paths are re-anchored to the
+        (possibly relocated) table directory."""
+        import json as _json
+
+        with open(os.path.join(table_path, cls._SIDECAR)) as fh:
+            doc = _json.load(fh)
+        idx = cls(table_id=doc["table_id"])
+        for r in doc["blocks"]:
+            bm = BlockMetadata(
+                table_id=doc["table_id"],
+                column_name=r["column_name"],
+                column_id=r["column_id"],
+                file_path=os.path.join(table_path, r["file_path"]),
+                block_id=r["block_id"],
+                row_group_id=r["row_group_id"],
+                row_start=r["row_start"],
+                row_end=r["row_end"],
+                byte_offset=r["byte_offset"],
+                byte_length=r["byte_length"],
+                stat_min=cls._dec_stat(r["stat_min"]),
+                stat_max=cls._dec_stat(r["stat_max"]),
+                null_count=r["null_count"],
+                num_values=r["num_values"],
+                compression=r["compression"],
+            )
+            idx.blocks.append(bm)
+            idx.by_column.setdefault(bm.column_name, []).append(bm)
+            idx.by_block.setdefault(bm.block_id, {})[bm.column_name] = bm
+        for bid, cols in idx.by_block.items():
+            any_bm = next(iter(cols.values()))
+            idx._block_rows[bid] = (
+                any_bm.file_path,
+                any_bm.row_group_id,
+                any_bm.row_start,
+                any_bm.row_end,
+            )
+        return idx
+
     # ------------------------------------------------------------ access
     @property
     def num_blocks(self) -> int:
