@@ -884,15 +884,30 @@ def bench_orc_scan(spark, sf_dir: str) -> dict:
             MicroBlockIndex,
         )
 
+        # pruning needs zone locality, so the demo layout is sorted on
+        # the predicate key (the same precondition the parquet
+        # layout_pruning section establishes)
+        d_sorted = os.path.join(base, "lineitem_orc_sorted")
+        if not os.path.isdir(d_sorted) or os.path.getmtime(
+            src
+        ) > os.path.getmtime(d_sorted):
+            MicroBlockWriter(block_rows=65_536, format="orc").write(
+                li.orderBy("l_orderkey").coalesce(8), d_sorted
+            )
         t0 = time.time()
         oidx = MicroBlockIndex.build_from_scan(
-            spark, layouts["orc"], table_id="lineitem_orc", format="orc"
+            spark, d_sorted, table_id="lineitem_orc", format="orc"
         )
         build_sec = time.time() - t0
+        oidx.save(d_sorted)
+        t0 = time.time()
+        MicroBlockIndex.load(d_sorted)
+        load_sec = time.time() - t0
         hi_key = li.agg(F.max("l_orderkey")).first()[0]
         pred = parse_where(f"l_orderkey BETWEEN 1 AND {int(hi_key) // 20}")
         out["orc_index"] = {
             "build_sec": round(build_sec, 3),
+            "sidecar_load_sec": round(load_sec, 3),
             "blocks_total": oidx.num_blocks,
             "blocks_predicted_5pct_range": len(oidx.candidate_blocks(pred)),
         }
