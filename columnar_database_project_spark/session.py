@@ -134,10 +134,23 @@ def tune_for_scale(spark, sf_dir: str) -> dict[str, str]:
         }
     else:
         parts = max(DEFAULT_CPUS, min(2000, b // (64 * 1024 * 1024) or DEFAULT_CPUS))
+        # Split size must track CORES AVAILABLE, not just data volume
+        # (r8 fix, measured): a flat 128 MB split put the 395 MB sf2.5
+        # lineitem on 3-4 scan tasks of a 32-thread box — scan-bound
+        # q6 ran 7.5 s vs 1.2 s with adequate splits (q5 17.9 s vs
+        # ~2 s). Target ~3 tasks per core so every scan saturates the
+        # executor pool, capped at 128 MB — at genuine cluster scale
+        # (b ≫ cores × 384 MB) the cap engages and this IS the
+        # standard 128 MB config; the floor keeps tiny-split overhead
+        # bounded.
+        split = min(
+            128 * 1024 * 1024,
+            max(16 * 1024 * 1024, b // (3 * DEFAULT_CPUS)),
+        )
         conf = {
             "spark.sql.shuffle.partitions": str(parts),
             "spark.sql.adaptive.enabled": "true",
-            "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+            "spark.sql.files.maxPartitionBytes": str(split),
         }
     for k, v in conf.items():
         spark.conf.set(k, v)

@@ -308,7 +308,29 @@ class TestScaleAwareTuning:
         assert conf["spark.sql.adaptive.enabled"] == "true"
         # 640 GB / 64 MB = 10240 → clamped to the 2000 ceiling
         assert conf["spark.sql.shuffle.partitions"] == "2000"
+        # genuinely-large input: the 128 MB split cap engages
+        assert conf["spark.sql.files.maxPartitionBytes"] == str(128 * 1024**2)
         # restore the small-scale test regime on the shared session
+        monkeypatch.undo()
+        sess.tune_for_scale(spark, "/root/testdata/sf0.001")
+
+    def test_large_branch_split_tracks_cores(self, spark, tmp_path, monkeypatch):
+        """r8 fix: a flat 128 MB split starved the box at sf2.5 (the
+        395 MB lineitem landed on 3-4 scan tasks of 32 threads; q6 ran
+        7.5 s vs 0.5 s). Just over the large boundary the split floors
+        at 16 MB so scans still saturate every core; the 128 MB config
+        is reserved for inputs that actually fill the cluster."""
+        from columnar_database_project_spark import session as sess
+
+        monkeypatch.setattr(sess, "input_bytes", lambda d: 400 * 1024**2)
+        conf = sess.tune_for_scale(spark, str(tmp_path))
+        assert conf["spark.sql.files.maxPartitionBytes"] == str(16 * 1024**2)
+        # mid-large input: split = b / (3*cores), between the bounds
+        monkeypatch.setattr(sess, "input_bytes", lambda d: 6 * 1024**3)
+        conf = sess.tune_for_scale(spark, str(tmp_path))
+        split = int(conf["spark.sql.files.maxPartitionBytes"])
+        assert split == (6 * 1024**3) // (3 * sess.DEFAULT_CPUS)
+        assert 16 * 1024**2 < split < 128 * 1024**2
         monkeypatch.undo()
         sess.tune_for_scale(spark, "/root/testdata/sf0.001")
 
