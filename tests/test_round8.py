@@ -575,3 +575,67 @@ class TestOrcIndexLifecycle:
             for b in range(idx.num_blocks)
         )
         assert total == 1000
+
+
+class TestCrossBackendIndexParity:
+    def test_orc_scan_index_agrees_with_parquet_footer_index(
+        self, spark, sf_dir, tmp_path_factory
+    ):
+        """Differential: the SAME rows written to parquet (footer-built
+        index) and ORC (scan-built index) with the same block layout
+        must produce the SAME candidate sets for every predicate in
+        the grammar — the two stats sources are interchangeable."""
+        from columnar_database_project_spark.plans.sql_where import parse_where
+        from columnar_database_project_spark.sources.index import (
+            MicroBlockIndex,
+        )
+        from columnar_database_project_spark.sources.microblock import (
+            MicroBlockWriter,
+        )
+
+        li = (
+            load_table(spark, sf_dir, "lineitem")
+            .select(
+                "l_orderkey", "l_quantity", "l_extendedprice",
+                "l_shipdate", "l_returnflag",
+            )
+            .orderBy("l_orderkey", "l_linenumber"
+                     if "l_linenumber" in load_table(
+                         spark, sf_dir, "lineitem").columns else "l_quantity")
+            .coalesce(1)
+        )
+        base = tmp_path_factory.mktemp("xbackend")
+        n = li.count()
+        block_rows = max(1, n // 6)
+        pq_dir, orc_dir = str(base / "pq"), str(base / "orc")
+        MicroBlockWriter(block_rows=block_rows, format="parquet").write(
+            li, pq_dir
+        )
+        MicroBlockWriter(block_rows=block_rows, format="orc").write(
+            li, orc_dir
+        )
+        pq_idx = MicroBlockIndex.build(pq_dir, table_id="li")
+        orc_idx = MicroBlockIndex.build_from_scan(
+            spark, orc_dir, table_id="li", format="orc",
+            columns=["l_orderkey", "l_quantity", "l_extendedprice",
+                     "l_shipdate", "l_returnflag"],
+        )
+        assert pq_idx.num_blocks == orc_idx.num_blocks
+        wheres = [
+            "l_orderkey BETWEEN 100 AND 300",
+            "l_orderkey = 1500",
+            "l_orderkey > 999999999",
+            "l_quantity < 2.0",
+            "l_extendedprice >= 90000.0",
+            "l_returnflag = 'R'",
+            "l_shipdate < '1993-01-01'",
+            "l_shipdate >= '1998-06-01'",
+            "l_orderkey < 500 AND l_quantity > 10",
+            "l_orderkey < 500 OR l_orderkey > 5000",
+            "l_orderkey IN (1, 2, 3)",
+        ]
+        for w in wheres:
+            p = parse_where(w)
+            got_pq = pq_idx.candidate_blocks(p)
+            got_orc = orc_idx.candidate_blocks(p)
+            assert got_pq == got_orc, (w, got_pq, got_orc)
