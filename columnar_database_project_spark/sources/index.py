@@ -443,6 +443,48 @@ class MicroBlockIndex:
             )
         return idx
 
+    @classmethod
+    def for_table(
+        cls,
+        path: str,
+        table_id: str = "t1",
+        format: str = "parquet",
+        spark=None,
+    ) -> "MicroBlockIndex":
+        """Index acquisition with the sidecar as a freshness-checked
+        cache: load ``_zonemaps.json`` when no data file is newer than
+        it, else (re)build — parquet from footers, ORC from the stats
+        scan (``spark`` required only on that rebuild path) — and save
+        the sidecar for the next caller. This is the one entry point a
+        user needs: for ORC it makes the scan cost once-per-commit in
+        practice, and for parquet it skips even the footer pass on a
+        warm table."""
+        side = os.path.join(path, cls._SIDECAR)
+        data_files = [
+            p
+            for p in glob.glob(os.path.join(path, "*"))
+            if os.path.isfile(p)
+            and not os.path.basename(p).startswith(("_", "."))
+            and not p.endswith(".crc")
+        ]
+        if os.path.exists(side) and data_files:
+            side_m = os.path.getmtime(side)
+            if all(os.path.getmtime(f) <= side_m for f in data_files):
+                return cls.load(path)
+        if format == "parquet":
+            idx = cls.build(path, table_id=table_id)
+        else:
+            if spark is None:
+                raise ValueError(
+                    f"for_table: stale/missing sidecar for {format!r} "
+                    "table needs `spark` for the stats-scan rebuild"
+                )
+            idx = cls.build_from_scan(
+                spark, path, table_id=table_id, format=format
+            )
+        idx.save(path)
+        return idx
+
     # ------------------------------------------------------------ access
     @property
     def num_blocks(self) -> int:

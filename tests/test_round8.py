@@ -639,3 +639,58 @@ class TestCrossBackendIndexParity:
             got_pq = pq_idx.candidate_blocks(p)
             got_orc = orc_idx.candidate_blocks(p)
             assert got_pq == got_orc, (w, got_pq, got_orc)
+
+
+class TestForTableSidecarCache:
+    def test_fresh_sidecar_serves_without_spark_and_staleness_rebuilds(
+        self, spark, tmp_path_factory
+    ):
+        """for_table: a fresh sidecar is authoritative (an ORC reload
+        needs NO spark — proof it did not rescan); a data file newer
+        than the sidecar forces a rebuild that covers the new block."""
+        import time as _time
+
+        from columnar_database_project_spark.plans.sql_where import parse_where
+        from columnar_database_project_spark.sources.index import (
+            MicroBlockIndex,
+        )
+        from columnar_database_project_spark.sources.microblock import (
+            MicroBlockWriter,
+        )
+
+        path = str(tmp_path_factory.mktemp("fortable") / "t")
+        pdf = pd.DataFrame({"k": list(range(400)), "v": [1.0] * 400})
+        MicroBlockWriter(block_rows=100, format="orc").write(
+            spark.createDataFrame(pdf).orderBy("k").coalesce(1), path
+        )
+        idx = MicroBlockIndex.for_table(
+            path, table_id="t", format="orc", spark=spark
+        )
+        n0 = idx.num_blocks
+        assert n0 >= 3
+        # warm path: sidecar fresh → loads with spark=None (no scan)
+        idx2 = MicroBlockIndex.for_table(path, table_id="t", format="orc")
+        assert idx2.num_blocks == n0
+        p = parse_where("k BETWEEN 50 AND 60")
+        assert idx2.candidate_blocks(p) == idx.candidate_blocks(p)
+        # stale path: append a newer data file → spark=None must raise,
+        # and the spark rebuild covers the new block
+        _time.sleep(1.1)  # mtime granularity
+        spark.createDataFrame(
+            pd.DataFrame({"k": [10_000], "v": [2.0]})
+        ).coalesce(1).write.mode("append").orc(path)
+        with pytest.raises(ValueError, match="stale/missing sidecar"):
+            MicroBlockIndex.for_table(path, table_id="t", format="orc")
+        idx3 = MicroBlockIndex.for_table(
+            path, table_id="t", format="orc", spark=spark
+        )
+        assert idx3.num_blocks == n0 + 1
+        assert idx3.candidate_blocks(parse_where("k = 10000"))
+        # parquet path: build+save then warm-load parity
+        ppath = str(tmp_path_factory.mktemp("fortable") / "p")
+        MicroBlockWriter(block_rows=100).write(
+            spark.createDataFrame(pdf).orderBy("k").coalesce(1), ppath
+        )
+        pidx = MicroBlockIndex.for_table(ppath, table_id="p")
+        pidx2 = MicroBlockIndex.for_table(ppath, table_id="p")
+        assert pidx2.candidate_blocks(p) == pidx.candidate_blocks(p)
