@@ -41,7 +41,13 @@ class Prefetcher:
         sc = self.spark.sparkContext
         sc.setLocalProperty("spark.scheduler.pool", PREFETCH_POOL)
         try:
-            df = self.spark.read.parquet(path)
+            # block = file in either backend; the index tells us which
+            # (ORC blocks come from MicroBlockIndex.build_from_scan)
+            df = (
+                self.spark.read.orc(path)
+                if path.endswith(".orc")
+                else self.spark.read.parquet(path)
+            )
             self.cache.put(block_id, df)   # persists + materializes
         finally:
             sc.setLocalProperty("spark.scheduler.pool", None)

@@ -694,3 +694,36 @@ class TestForTableSidecarCache:
         pidx = MicroBlockIndex.for_table(ppath, table_id="p")
         pidx2 = MicroBlockIndex.for_table(ppath, table_id="p")
         assert pidx2.candidate_blocks(p) == pidx.candidate_blocks(p)
+
+
+class TestOrcPrefetch:
+    def test_prefetch_block_reads_orc_layouts(self, spark, tmp_path_factory):
+        """Prefetcher hardcoded parquet reads; an ORC-indexed table's
+        blocks must prefetch into the cache too (block = file in both
+        backends)."""
+        from columnar_database_project_spark.ml.prefetch import Prefetcher
+        from columnar_database_project_spark.sources.index import (
+            MicroBlockIndex,
+        )
+        from columnar_database_project_spark.sources.microblock import (
+            MicroBlockWriter,
+        )
+        from columnar_database_project_spark.storage.block_cache import (
+            BlockCache,
+        )
+
+        path = str(tmp_path_factory.mktemp("orc_pf") / "t")
+        pdf = pd.DataFrame({"k": list(range(300)), "v": [1.0] * 300})
+        MicroBlockWriter(block_rows=100, format="orc").write(
+            spark.createDataFrame(pdf).orderBy("k").coalesce(1), path
+        )
+        idx = MicroBlockIndex.build_from_scan(
+            spark, path, table_id="t", format="orc"
+        )
+        cache = BlockCache(capacity=4)
+        pf = Prefetcher(spark, idx, cache)
+        assert pf.prefetch_block(0) is True
+        assert cache.contains(0)
+        assert cache.get(0).count() == 100
+        assert pf.prefetch_block(0) is False  # already cached
+        cache.clear()
