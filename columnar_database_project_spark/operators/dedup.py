@@ -324,48 +324,102 @@ def q_dedup_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # At 100 TB one hot bucket (a boilerplate band shared by millions of
-# docs) explodes quadratically; production runs set a cap and treat
-# over-full buckets as "all near-dups of the bucket keeper" instead of
-# enumerating pairs. None = exact (oracle-checkable) semantics.
-LSH_MAX_BUCKET: int | None = None
+# docs) explodes quadratically; over-full buckets therefore switch to
+# KEEPER semantics — every member pairs with the bucket's min-id doc
+# (a star, O(n) pairs) instead of the full clique (O(n²)). The star
+# spans the same vertex set as the clique, so connected components —
+# and therefore near-dup clusters and survivors — are IDENTICAL; only
+# the pair enumeration is linearized (pinned by the capped-vs-uncapped
+# fuzz in tests/test_round9.py). 2000 caps the worst bucket at ~2k
+# emitted rows while leaving every honest near-dup bucket untouched.
+LSH_MAX_BUCKET: int | None = 2000
+
+
+def _clique_pairs(bk: DataFrame) -> DataFrame:
+    """Full within-bucket pair enumeration: ONE shuffle (the groupBy)
+    gathers each bucket, then sorted pairs are emitted JVM-side with
+    higher-order array functions — no join-side row explosion.
+    Replaces the round-1 self-join + distinct (15.6 s → sub-join
+    cost). Caller is responsible for bounding bucket sizes — the
+    ``collect_set`` buffer and the pair expansion are both quadratic
+    hazards on a degenerate bucket."""
+    return (
+        bk.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)), y ->"
+                    " struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+    )
 
 
 def lsh_candidate_pairs(bk: DataFrame, max_bucket: int | None = None) -> DataFrame:
     """Candidate pairs from (doc_id, band, band_key) rows.
 
-    Bucket-grouped pair generation: ONE shuffle (the groupBy) gathers
-    each bucket, then sorted pairs are emitted JVM-side with
-    higher-order array functions — no join-side row explosion, and the
-    bucket array is the natural skew guard (``max_bucket`` drops
-    degenerate buckets a self-join would quadratically explode).
-    Replaces the round-1 self-join + distinct (15.6 s → sub-join cost).
+    Buckets with ≤ ``max_bucket`` members enumerate the full clique
+    (bucket-grouped HOF expansion, see ``_clique_pairs``); larger ones
+    emit keeper-star pairs — min-id member × each other member. The
+    star spans the bucket's whole vertex set, so connected components
+    (near-dup clusters, survivors) are IDENTICAL to the clique form;
+    only pair enumeration is linearized.
+
+    Scale shape: the over-full path never materializes a bucket array
+    at all — big-bucket keys come from a count-only aggregate (map-side
+    combined, no ``collect_set``), members reach the clique aggregation
+    only via a LEFT ANTI join against those keys, so every collected
+    array is ≤ ``max_bucket`` by construction. Hot-key (boilerplate)
+    buckets are rare by nature, so the big-keys side is tiny and AQE
+    broadcasts the anti/semi joins; keeper-star output is plain
+    column selection (no arrays, no quadratic term anywhere).
     """
-    buckets = (
-        bk.groupBy("band", "band_key")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
+    if max_bucket is None:
+        return _clique_pairs(bk).distinct()
+    on = ["band", "band_key"]
+    big_keys = (
+        bk.groupBy(*on)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_bucket)
+        .select(*on)
     )
-    if max_bucket is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket)
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ids, (x, i) ->"
-                " transform(slice(ids, i + 2, size(ids)), y ->"
-                " struct(x AS doc_a, y AS doc_b))))"
-            )
-        ).alias("p")
-    ).select("p.doc_a", "p.doc_b")
-    return pairs.distinct()
+    pairs = _clique_pairs(bk.join(big_keys, on, "left_anti"))
+    big_members = bk.join(big_keys, on, "left_semi")
+    keepers = big_members.groupBy(*on).agg(F.min("doc_id").alias("keeper"))
+    star = (
+        big_members.join(keepers, on)
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select(F.col("keeper").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return pairs.unionByName(star).distinct()
 
 
 def q_dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: distinct (doc_a < doc_b) sharing any band
-    bucket. Banding keeps it subquadratic at scale; pair generation is
-    bucket-grouped (see ``lsh_candidate_pairs``) so the only shuffles
-    are the bucket groupBy and the final distinct over candidate
-    pairs."""
+    bucket, with keeper-star linearization for buckets past
+    ``LSH_MAX_BUCKET`` (the production default — no bucket at the test
+    SFs comes near it, so output equals the exact clique form there).
+    Pair generation is bucket-grouped (see ``lsh_candidate_pairs``) so
+    the only shuffles are the bucket groupBy and the final distinct."""
     return lsh_candidate_pairs(_band_keys(spark, sf_dir), LSH_MAX_BUCKET)
+
+
+# Exercises the keeper-star path at test scale: sf0.01 has buckets of
+# size 3 (> cap 2), so the capped output genuinely diverges from the
+# clique form and the oracle checks the star semantics themselves.
+LSH_DEMO_CAP = 2
+
+
+def q_dedup_lsh_candidates_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeper-star LSH candidates with a cap small enough (2) that the
+    star path fires on the test corpus — the hash-checkable twin of the
+    production cap in ``q_dedup_lsh_candidates``."""
+    return lsh_candidate_pairs(_band_keys(spark, sf_dir), LSH_DEMO_CAP)
 
 
 SIMHASH_BANDS = 4                       # 32 bits → 4 × 8-bit bands
@@ -1005,6 +1059,7 @@ QUERIES = {
     "dedup_minhash_signatures": q_dedup_minhash_signatures,
     "dedup_lsh_buckets": q_dedup_lsh_buckets,
     "dedup_lsh_candidates": q_dedup_lsh_candidates,
+    "dedup_lsh_candidates_capped": q_dedup_lsh_candidates_capped,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_candidates": q_dedup_simhash_candidates,
     "dedup_clusters": q_dedup_clusters,
@@ -1129,6 +1184,11 @@ ORACLES = {
           ON a.band = b.band AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id
     """,
+    # NOTE: the dedup_lsh_candidates oracle above is the exact clique
+    # form — valid because no test-SF bucket approaches LSH_MAX_BUCKET
+    # (=2000), where the Spark side provably equals the clique (pinned
+    # by the capped-subset fuzz). The capped entry below exercises the
+    # keeper-star divergence with its own star-semantics oracle.
     "dedup_simhash": None,   # filled below from _SIMHASH_CTES
     "dedup_embedding_cosine": f"""
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
@@ -1177,6 +1237,37 @@ def _dedup_semantic_oracle() -> str:
 
 
 ORACLES["dedup_semantic"] = _dedup_semantic_oracle()
+
+# Keeper-star capped LSH: buckets with > cap members contribute
+# (min-id keeper, member) star pairs instead of the full clique.
+ORACLES["dedup_lsh_candidates_capped"] = f"""
+    WITH {_MINHASH_WIDE_SQL},
+    bandkeys AS ({_BANDKEY_SQL}),
+    b AS (
+        SELECT band, band_key, count(*) AS n, min(doc_id) AS keeper
+        FROM bandkeys GROUP BY band, band_key HAVING count(*) >= 2
+    ),
+    small AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bandkeys x
+        JOIN bandkeys y
+          ON x.band = y.band AND x.band_key = y.band_key
+         AND x.doc_id < y.doc_id
+        JOIN b ON b.band = x.band AND b.band_key = x.band_key
+        WHERE b.n <= {LSH_DEMO_CAP}
+    ),
+    big AS (
+        SELECT b.keeper AS doc_a, k.doc_id AS doc_b
+        FROM bandkeys k
+        JOIN b ON b.band = k.band AND b.band_key = k.band_key
+        WHERE b.n > {LSH_DEMO_CAP} AND k.doc_id <> b.keeper
+    )
+    SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b FROM small
+        UNION ALL
+        SELECT doc_a, doc_b FROM big
+    )
+"""
 
 _MH_MATCHES = " + ".join(
     f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END"
