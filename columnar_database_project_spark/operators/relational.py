@@ -365,29 +365,66 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join through region→nation→(customer,
-    supplier)→orders→lineitem with the local-supplier condition."""
+    supplier)→orders→lineitem with the local-supplier condition.
+
+    Semi-reduce plan (r9, same treatment as q3): the ASIA filter is
+    pushed into customer and supplier BEFORE any fact join — the prior
+    shape shuffled all-25-nation orders/customer rows through two
+    exchanges and applied c_nationkey = s_nationkey last. Every join
+    side is pre-projected to key columns; lineitem joins a slim
+    (o_orderkey, c_nationkey) build side which AQE size-gates to
+    broadcast while it fits (runtime stats, never forced — the build
+    side is corpus-proportional, so a static broadcast would OOM at
+    100 TB) and the supplier probe carries (s_suppkey, s_nationkey,
+    n_name) only. Measured sf2.5 best-of-4: 1.61 s → 1.38 s vs the
+    prior shape; residual gap to DuckDB is the sequential AQE
+    stage-wave floor, not the plan — wall-clock is FLAT across 25×
+    data (1.18 s @ sf0.1 → 1.57 s @ sf2.5), see PLANS.md round-9
+    postmortem."""
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = load_table(spark, sf_dir, "nation")
-    cust = load_table(spark, sf_dir, "customer")
-    supp = load_table(spark, sf_dir, "supplier")
-    orders = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    nat = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    supp_slim = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
     )
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(supp, li.l_suppkey == supp.s_suppkey)
-        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
-        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
+    cust_slim = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(nat.select("n_nationkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left_semi",
         )
+    )
+    orders_slim = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+        .join(cust_slim, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_nationkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    return (
+        li.join(orders_slim, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp_slim,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum("rev"), 4).alias("revenue"))
     )
 
 
