@@ -684,21 +684,36 @@ def bench_cow_dml(spark, sf_dir: str) -> dict:
 def bench_ivf_recall(spark, sf_dir: str) -> dict:
     """IVF ANN quality at the LARGEST bench scale: the full
     recall@10-vs-probe-count curve (one scan via
-    q_sim_ivf_recall_curve) on the sf0.5 replica. recall_at_10 is the
-    default-N_PROBE point (continuity with the r5 record); the curve
-    is the tuning table — on this near-isotropic synthetic data
+    q_sim_ivf_recall_curve) on the sf0.5 replica, PLUS the
+    recall/latency frontier — wall-clock of q_sim_ivf_topk at each
+    probe level (best-of-2 warmed), so the default operating point
+    (smallest level with recall ≥ 0.75, r9) is auditable against what
+    each extra probe actually costs. recall_at_10 is the
+    default-N_PROBE point; on this near-isotropic synthetic data
     recall grows ~linearly with probed fraction (a data property;
     see PLANS.md round-6 notes)."""
     from columnar_database_project_spark.operators.similarity import (
         N_PROBE,
         q_sim_ivf_recall_curve,
+        q_sim_ivf_topk,
     )
 
     rows = q_sim_ivf_recall_curve(spark, sf_dir).collect()
     curve = {int(r["n_probe"]): float(r["recall"]) for r in rows}
+    frontier = {}
+    for p in sorted(curve):
+        q_sim_ivf_topk(spark, sf_dir, n_probe=p).collect()  # warm
+        ts = []
+        for _ in range(2):
+            t0 = time.time()
+            q_sim_ivf_topk(spark, sf_dir, n_probe=p).collect()
+            ts.append(time.time() - t0)
+        frontier[p] = {"recall": curve[p], "sec": round(min(ts), 3)}
     return {
         "recall_at_10": curve.get(N_PROBE),
+        "default_n_probe": N_PROBE,
         "curve": curve,
+        "frontier": frontier,
         "n_exact": int(rows[0]["n_exact"]) if rows else 0,
     }
 

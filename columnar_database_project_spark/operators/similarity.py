@@ -291,7 +291,13 @@ def q_sim_bucket_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_IVF_CELLS = 16
-N_PROBE = 3
+# Default operating point: smallest probe level with measured
+# recall@10 ≥ 0.75 on the sf0.5 recall curve (r8 BENCH: 0.44 @ 3,
+# 0.92 @ 12, 1.0 @ 16 — near-linear in probed fraction because the
+# synthetic embeddings are close to isotropic; see PLANS.md round-6).
+# A corpus with real cluster structure reaches the target at a much
+# smaller probed fraction; re-derive with ivf_nprobe_for_recall.
+N_PROBE = 12
 IVF_KMEANS_ITERS = 10
 IVF_SAMPLE_TARGET = 2000
 IVF_SIM_DECIMALS = 6     # rounded before argmax → cross-engine stable
@@ -419,9 +425,12 @@ def q_sim_ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_sim_ivf_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-checked probe plan: for each query vector, the N_PROBE
-    cells it searches, ranked by (rounded) cosine to the centroids."""
+def q_sim_ivf_probes(
+    spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE
+) -> DataFrame:
+    """Oracle-checked probe plan: for each query vector, the
+    ``n_probe`` cells it searches, ranked by (rounded) cosine to the
+    centroids."""
     cents = ivf_centroids(sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
 
@@ -435,7 +444,7 @@ def q_sim_ivf_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(v.shape[0]):
                 # sort by (-sim, cell): deterministic under rounded ties
                 order = np.lexsort((np.arange(N_IVF_CELLS), -sims[i]))
-                for rank, c in enumerate(order[:N_PROBE], start=1):
+                for rank, c in enumerate(order[:n_probe], start=1):
                     rows["q_id"].append(pdf["vec_id"].iloc[i])
                     rows["cell"].append(int(c))
                     rows["probe_rank"].append(rank)
@@ -448,12 +457,15 @@ def q_sim_ivf_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_sim_ivf_topk(
+    spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE
+) -> DataFrame:
     """IVF (inverted-file) ANN: k-means cells over a sample, each
-    vector assigned to its nearest cell, queries probe the N_PROBE
+    vector assigned to its nearest cell, queries probe the ``n_probe``
     nearest cells only — the corpus side touched per query shrinks by
-    ~cells/probes. Approximate by construction → rows-only driver
-    check; tests assert recall against brute force instead.
+    ~cells/probes. The default is the recall@10 ≥ 0.75 operating
+    point (see N_PROBE); pass a smaller ``n_probe`` to trade recall
+    for probe cost along the measured frontier (BENCH "ivf_recall").
 
     Scale path: assignment is a batched matmul scan (zero shuffle);
     the search is an equi-join on cell id — same subquadratic shape as
@@ -471,12 +483,12 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle-checked probe plan (q_sim_ivf_probes)
     q_sims = np.round(q_mat @ cents.T, IVF_SIM_DECIMALS)
     q_cells = np.stack(
-        [np.lexsort((np.arange(N_IVF_CELLS), -q_sims[i]))[:N_PROBE]
+        [np.lexsort((np.arange(N_IVF_CELLS), -q_sims[i]))[:n_probe]
          for i in range(len(q_ids))]
     )
     # (Q, cells) boolean probe mask — the vectorized form of the
     # per-(query, cell) membership test: row qi is True at exactly the
-    # N_PROBE cells query qi searches.
+    # n_probe cells query qi searches.
     probe_mask = np.zeros((len(q_ids), N_IVF_CELLS), dtype=bool)
     for qi in range(len(q_ids)):
         probe_mask[qi, q_cells[qi]] = True
