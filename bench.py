@@ -1238,6 +1238,74 @@ def bench_streaming_throughput(spark, sf_dir: str) -> dict:
     return out
 
 
+def bench_near_survivors_chain(spark, sf_dir: str) -> dict:
+    """The composed near-dedup pipeline (minhash → ngram-jaccard pairs
+    → connected components → survivors) timed END-TO-END at the
+    largest scale point — the headliners time its stages separately
+    (VERDICT r8 #7). One timed run per engine, cold-start included
+    for both symmetrically: at ~40-110 s per run the best-of-N warmed
+    protocol would dominate the whole bench budget, and the claim
+    this section carries is "the chain composes and beats the
+    baseline at scale", not a steady-state microbenchmark."""
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    tune_for_scale(spark, sf_dir)
+    t0 = time.time()
+    n_spark = qs["dedup_near_survivors"](spark, sf_dir).count()
+    spark_sec = time.time() - t0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf_dir, 'documents.parquet')}')"
+    )
+    t0 = time.time()
+    n_duck = len(con.execute(oracles["dedup_near_survivors"]).df())
+    duck_sec = time.time() - t0
+    return {
+        "runs": 1,
+        "spark_sec": round(spark_sec, 2),
+        "duckdb_sec": round(duck_sec, 2),
+        "spark_rows": int(n_spark),
+        "duckdb_rows": int(n_duck),
+        "rows_match": bool(n_spark == n_duck),
+        "ratio_vs_duckdb": round(spark_sec / max(duck_sec, 1e-9), 3),
+    }
+
+
+# Abort-and-retake threshold for contended sections (VERDICT r8 #4):
+# the r8 artifact of record ran while the single-thread probe degraded
+# 39.7 → 87.0 ms (ratio 2.2) and recorded numbers PLANS.md's clean
+# solo take could not reproduce. A section whose end-probe is > 2× its
+# start-probe reran under external load — retake it.
+HEALTH_PROBE_MAX_RATIO = 2.0
+HEALTH_MAX_TAKES = 3
+
+
+def health_gated(label: str, section):
+    """Run ``section()`` sampling machine_health before/after; retake
+    (up to HEALTH_MAX_TAKES) while the single-thread probe degrades
+    more than HEALTH_PROBE_MAX_RATIO across the section. Returns
+    (result, takes_metadata) — every take is recorded so a reader can
+    see whether the artifact is from a clean window."""
+    takes = []
+    out = None
+    for _ in range(HEALTH_MAX_TAKES):
+        h0 = machine_health()
+        out = section()
+        h1 = machine_health()
+        ratio = h1["single_thread_ms"] / max(h0["single_thread_ms"], 1e-9)
+        takes.append(
+            {"start": h0, "end": h1, "probe_ratio": round(ratio, 2)}
+        )
+        if ratio <= HEALTH_PROBE_MAX_RATIO:
+            break
+        print(
+            f"WARN: {label} ran contended (probe ratio {ratio:.2f}) — retaking",
+            file=sys.stderr,
+        )
+    return out, {"takes": takes, "accepted_take": len(takes)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -1252,8 +1320,15 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     health_start = machine_health()
-    spark_times = bench_spark(spark, sf_dir, HEADLINE)
-    duck_times = bench_duckdb(sf_dir, HEADLINE)
+    # The gate-carrying section is health-gated (VERDICT r8 #4): a
+    # contended take is retaken rather than recorded.
+    (spark_times, duck_times), headline_health = health_gated(
+        "headline",
+        lambda: (
+            bench_spark(spark, sf_dir, HEADLINE),
+            bench_duckdb(sf_dir, HEADLINE),
+        ),
+    )
     total = round(sum(spark_times.values()), 3)
     facade = bench_engine_facade(spark, sf_dir)
     hive_pruning = bench_hive_pruning(spark, sf_dir)
@@ -1365,18 +1440,39 @@ def main() -> None:
         # at-scale claim covers the full gate set rather than the
         # eight data-bound ones.
         AT_SCALE_SUBSET = list(HEADLINE)
+        # Cache-fair ordering (VERDICT r8 #4): time the scan-bound
+        # queries BEFORE the corpus pipelines stream documents/
+        # embeddings through the page cache — HEADLINE is already
+        # scan-first, so sort by its index with the corpus-heavy
+        # pipelines pinned last.
+        _CORPUS_HEAVY = {
+            "text_corpus_build",
+            "dedup_minhash_signatures",
+            "dedup_lsh_candidates",
+            "dedup_embedding_cosine",
+            "sim_topk_bruteforce",
+        }
+        AT_SCALE_SUBSET.sort(
+            key=lambda n: (n in _CORPUS_HEAVY, HEADLINE.index(n))
+        )
+        # best-of-3 with one untimed warm-up sweep (the sf0.1
+        # discipline, r7): best-of-2 still let one-off full-GC
+        # spikes through (26 s recorded vs a 9 s warm floor for
+        # minhash in r5 logs); symmetric per engine. Health-gated
+        # like the headline section — the r8 sf2.5 numbers ran in a
+        # contention window (loadavg 3 → 8).
+        (sf25_spark, sf25_duck), sf25_health = health_gated(
+            "sf2.5",
+            lambda: (
+                bench_spark(spark, sf4_dir, AT_SCALE_SUBSET, runs=3, warm_sweeps=1),
+                bench_duckdb(sf4_dir, AT_SCALE_SUBSET, runs=3, warm_sweeps=1),
+            ),
+        )
         scaling["sf2.5"] = {
-            # best-of-3 with one untimed warm-up sweep (the sf0.1
-            # discipline, r7): best-of-2 still let one-off full-GC
-            # spikes through (26 s recorded vs a 9 s warm floor for
-            # minhash in r5 logs); symmetric per engine
             "runs": 3,
-            "queries": bench_spark(
-                spark, sf4_dir, AT_SCALE_SUBSET, runs=3, warm_sweeps=1
-            ),
-            "baseline_duckdb": bench_duckdb(
-                sf4_dir, AT_SCALE_SUBSET, runs=3, warm_sweeps=1
-            ),
+            "queries": sf25_spark,
+            "baseline_duckdb": sf25_duck,
+            "health": sf25_health,
             "at_scale_regime": bool(
                 input_bytes(sf4_dir) >= SMALL_INPUT_BYTES
             ),
@@ -1385,6 +1481,12 @@ def main() -> None:
             scaling["sf2.5"]["bucketed_q3"] = bench_bucketed_q3(spark, sf4_dir)
         except Exception as exc:  # pragma: no cover - defensive
             print(f"WARN: bucketed_q3 failed ({exc!r})", file=sys.stderr)
+        try:
+            scaling["sf2.5"]["near_survivors_chain"] = (
+                bench_near_survivors_chain(spark, sf4_dir)
+            )
+        except Exception as exc:  # pragma: no cover - defensive
+            print(f"WARN: near_survivors_chain failed ({exc!r})", file=sys.stderr)
     result = {
         "metric": "headline_queries_total_wall_clock",
         "value": total,
@@ -1405,8 +1507,15 @@ def main() -> None:
         "scaling": scaling,
         # sampled before the headline section and again after the
         # at-scale section: a ballooned end-sample flags that the
-        # LATER (scaling) numbers ran in a contention window
-        "machine_health": {"start": health_start, "end": machine_health()},
+        # LATER (scaling) numbers ran in a contention window. The
+        # gate-carrying sections are additionally health-GATED
+        # (retaken while contended) — per-take probes under
+        # "headline" / scaling.sf2.5.health.
+        "machine_health": {
+            "start": health_start,
+            "end": machine_health(),
+            "headline": headline_health,
+        },
     }
     with open(os.path.join(REPO, "BENCH.json"), "w") as fh:
         json.dump(result, fh, indent=1)

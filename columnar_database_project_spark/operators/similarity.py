@@ -1139,6 +1139,65 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmeans_min_argmin_margin(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> float:
+    """Audit for the hash-gate stability of ``q_emb_kmeans``: the
+    smallest raw (unrounded) gap between any vector's best and
+    second-best centroid distance, minimized over every Lloyd round
+    the fit actually performs.
+
+    The emb_kmeans oracles hash-check quantities whose cross-engine
+    equality rests on ROUND(dist, 6) absorbing float drift: a distance
+    landing within drift of a 0.5e-6 rounding boundary could flip an
+    argmin between engines and turn benign drift into a hash FAIL. A
+    min-margin comfortably above 2e-6 (two rounding quanta) proves no
+    such boundary tie exists on this corpus for these rounds —
+    asserted in tests/test_round9.py so a future data change degrades
+    to a diagnosable margin failure instead of a mysterious hash
+    mismatch."""
+    cents = _seed_centroids(sf_dir)[:k]
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    overall = float("inf")
+    for _ in range(iters):
+        C = np.ascontiguousarray(cents, dtype=np.float64)
+
+        def margin_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            m = float("inf")
+            for pdf in batches:
+                V = stack_embeddings(pdf["embedding"])
+                d2 = np.empty((V.shape[0], C.shape[0]))
+                for kk in range(C.shape[0]):
+                    diff = V - C[kk]
+                    d2[:, kk] = np.einsum("ij,ij->i", diff, diff)
+                d = np.sort(np.sqrt(d2), axis=1)
+                m = min(m, float(np.min(d[:, 1] - d[:, 0])))
+            if np.isfinite(m):
+                yield pd.DataFrame({"m": [m]})
+
+        row = (
+            emb.mapInPandas(margin_fn, schema="m double")
+            .agg(F.min("m").alias("m"))
+            .first()
+        )
+        overall = min(overall, float(row["m"]))
+        # advance the centroids exactly as kmeans_fit does
+        rows = (
+            emb.mapInPandas(_kmeans_summary(cents), schema=_SUMMARY_SCHEMA)
+            .groupBy("cluster_id", "dim")
+            .agg(F.sum("psum").alias("ssum"), F.sum("pcnt").alias("scnt"))
+            .collect()
+        )
+        new = cents.copy()
+        for r in rows:
+            new[r["cluster_id"], r["dim"]] = r["ssum"] / r["scnt"]
+        cents = new
+    return overall
+
+
 CLUSTER_SAMPLE_M = 20
 
 

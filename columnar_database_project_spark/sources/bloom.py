@@ -52,6 +52,11 @@ DEFAULT_FPR = 0.01
 # are range-filtered (dates, amounts) where zone maps already win.
 
 _SIDECAR = "_blooms.npz"  # leading underscore: hidden to Spark's file listing
+# Current _canon encoding revision (see BlockBloomIndex.encoding_version).
+ENCODING_VERSION = 2
+# Encodings introduced in v2: values a v1 build never inserted, so a
+# v1 sidecar must answer MAYBE for them instead of "provably absent".
+_V2_ONLY_ENCODINGS = frozenset({b"f:nan"})
 
 
 def _canon(v) -> bytes | None:
@@ -171,10 +176,23 @@ class BlockBloomIndex:
     fpr: float
     columns: list[str]
     bitmaps: dict[tuple[str, str], np.ndarray]
+    # Encoding revision of _canon at build time. Version 2 (r8) added
+    # the NaN encoding b"f:nan"; sidecars written before the field
+    # existed load as version 1 and must answer MAYBE for encodings
+    # their build never inserted — otherwise the false negative the
+    # r8 fix removed silently persists for old sidecars.
+    encoding_version: int = 2
 
     # ------------------------------------------------------------ lookup
     def covers(self, column: str) -> bool:
         return column in self.columns
+
+    @property
+    def stale_encoding(self) -> bool:
+        """True when this sidecar predates the current _canon encoding
+        — lookups stay sound (see might_contain) but a rebuild
+        restores full pruning power for the newer encodings."""
+        return self.encoding_version < ENCODING_VERSION
 
     def might_contain(self, file_path: str, column: str, value) -> bool:
         """Three-valued membership: False = value provably absent from
@@ -189,6 +207,8 @@ class BlockBloomIndex:
         enc = _canon(value)
         if enc is None:
             return False  # _canon is None ONLY for SQL NULL: `= NULL` matches no row
+        if self.encoding_version < 2 and enc in _V2_ONLY_ENCODINGS:
+            return True  # pre-v2 builds never inserted these bits
         return _test_bits(bm, self.m, self.k, enc)
 
     # ----------------------------------------------------------- persist
@@ -205,6 +225,7 @@ class BlockBloomIndex:
             "fpr": self.fpr,
             "columns": self.columns,
             "keys": keys,
+            "encoding_version": self.encoding_version,
         }
         arrays = {f"b{i}": self.bitmaps[key] for i, key in enumerate(keys)}
         np.savez_compressed(
@@ -224,6 +245,8 @@ class BlockBloomIndex:
         return cls(
             m=meta["m"], k=meta["k"], fpr=meta["fpr"],
             columns=meta["columns"], bitmaps=bitmaps,
+            # sidecars written before the field existed are version 1
+            encoding_version=int(meta.get("encoding_version", 1)),
         )
 
 

@@ -229,13 +229,25 @@ class MicroBlockIndex:
             .agg(*aggs)
             .collect()
         )  # one row per block file — bounded control plane
+
+        def _local_path(name: str) -> str:
+            # input_file_name() returns a percent-encoded file: URI —
+            # a path with spaces/non-ASCII kept undecoded would make
+            # the ORC compression probe fall to "unknown" and
+            # block_file() hand prefetch/read an unopenable path.
+            from urllib.parse import unquote, urlparse
+
+            if name.startswith("file:"):
+                return unquote(urlparse(name).path)
+            return unquote(name)
+
         compression: dict[str, str] = {}
         try:
             import pyarrow.orc as _po
 
             if format == "orc":
                 for r in rows:
-                    f = r["_file"].removeprefix("file://")
+                    f = _local_path(r["_file"])
                     compression[f] = str(_po.ORCFile(f).compression)
         except Exception:
             pass
@@ -244,7 +256,7 @@ class MicroBlockIndex:
         for block_id, r in enumerate(
             sorted(rows, key=lambda r: r["_file"])
         ):
-            f = r["_file"].removeprefix("file://")
+            f = _local_path(r["_file"])
             n_rows = r["__n"]
             for ci, c in enumerate(cols):
                 bm = BlockMetadata(
@@ -469,8 +481,20 @@ class MicroBlockIndex:
         ]
         if os.path.exists(side) and data_files:
             side_m = os.path.getmtime(side)
-            if all(os.path.getmtime(f) <= side_m for f in data_files):
-                return cls.load(path)
+            # Strict <: an equal-mtime file (coarse-timestamp fs, or a
+            # rewrite landing in the save's timestamp granule) counts
+            # STALE — a rebuild is cheap, serving wrong zone maps isn't.
+            if all(os.path.getmtime(f) < side_m for f in data_files):
+                idx = cls.load(path)
+                # mtime can't see deletion-only changes (nothing new
+                # was written), so also require the sidecar's recorded
+                # file set to equal the directory's current listing —
+                # otherwise candidate blocks reference missing files
+                # and prefetch/point-lookups chase ghosts.
+                recorded = {os.path.basename(b.file_path) for b in idx.blocks}
+                current = {os.path.basename(f) for f in data_files}
+                if recorded == current:
+                    return idx
         if format == "parquet":
             idx = cls.build(path, table_id=table_id)
         else:

@@ -97,3 +97,129 @@ class TestLshCap:
         assert uncapped == {(1, 2), (1, 3), (2, 3)}
         assert capped <= uncapped
         assert _components(spark, capped) == _components(spark, uncapped)
+
+
+class TestAdviceR8:
+    def test_kmeans_argmin_margin_is_safe(self, spark, sf_dir):
+        # ADVICE r8: the emb_kmeans hash oracle is stable only while
+        # no vector's best-vs-second-best centroid distance sits
+        # within rounding drift of a 0.5e-6 boundary. Pin the actual
+        # margin on the test corpus: > 2e-6 (two rounding quanta)
+        # means no cross-engine argmin flip is possible.
+        from columnar_database_project_spark.operators.similarity import (
+            kmeans_min_argmin_margin,
+        )
+
+        margin = kmeans_min_argmin_margin(spark, sf_dir)
+        assert margin > 2e-6, (
+            f"k-means argmin margin {margin:.2e} is inside the rounding "
+            "boundary danger zone — the emb_kmeans hash oracle is no "
+            "longer trustworthy on this corpus; switch it to a "
+            "tolerance check or reseed the centroids"
+        )
+
+    def test_stale_bloom_sidecar_answers_maybe_for_nan(self, tmp_path):
+        # ADVICE r8: a sidecar built before the NaN encoding existed
+        # never inserted b"f:nan" bits; loading one must not report
+        # NaN "provably absent".
+        import numpy as np
+
+        from columnar_database_project_spark.sources.bloom import (
+            ENCODING_VERSION,
+            BlockBloomIndex,
+        )
+
+        bm = np.zeros(128, dtype=np.uint8)
+        idx = BlockBloomIndex(
+            m=1024, k=3, fpr=0.01, columns=["x"],
+            bitmaps={("f.parquet", "x"): bm}, encoding_version=1,
+        )
+        assert idx.stale_encoding
+        assert idx.might_contain("f.parquet", "x", float("nan")) is True
+        # ordinary values still prune on a v1 sidecar
+        assert idx.might_contain("f.parquet", "x", 42) is False
+        # and a current-version sidecar still prunes NaN when absent
+        idx2 = BlockBloomIndex(
+            m=1024, k=3, fpr=0.01, columns=["x"],
+            bitmaps={("f.parquet", "x"): bm},
+        )
+        assert idx2.encoding_version == ENCODING_VERSION
+        assert idx2.might_contain("f.parquet", "x", float("nan")) is False
+
+    def test_bloom_sidecar_version_roundtrip(self, tmp_path):
+        import json
+
+        import numpy as np
+
+        from columnar_database_project_spark.sources.bloom import (
+            _SIDECAR,
+            ENCODING_VERSION,
+            BlockBloomIndex,
+        )
+
+        idx = BlockBloomIndex(
+            m=64, k=2, fpr=0.01, columns=["x"],
+            bitmaps={("f.parquet", "x"): np.zeros(8, dtype=np.uint8)},
+        )
+        idx.save(str(tmp_path))
+        loaded = BlockBloomIndex.load(str(tmp_path))
+        assert loaded.encoding_version == ENCODING_VERSION
+        assert not loaded.stale_encoding
+        # strip the field to simulate a pre-r8 sidecar
+        src = tmp_path / _SIDECAR
+        with np.load(src) as z:
+            meta = json.loads(bytes(z["meta"]).decode())
+            arrays = {n: z[n] for n in z.files if n != "meta"}
+        meta.pop("encoding_version")
+        np.savez_compressed(
+            src, meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+            **arrays,
+        )
+        legacy = BlockBloomIndex.load(str(tmp_path))
+        assert legacy.encoding_version == 1 and legacy.stale_encoding
+
+    def test_for_table_rebuilds_on_deletion_only_change(
+        self, spark, tmp_path
+    ):
+        # ADVICE r8: removing a data file writes nothing new, so the
+        # mtime freshness check alone would serve a sidecar whose
+        # blocks reference the deleted file.
+        import os
+
+        from columnar_database_project_spark.sources.index import (
+            MicroBlockIndex,
+        )
+
+        d = str(tmp_path / "tbl")
+        spark.range(100).selectExpr("id", "id * 2 AS v").repartition(
+            2
+        ).write.parquet(d)
+        idx = MicroBlockIndex.for_table(d, "tbl")
+        files = sorted(
+            f for f in os.listdir(d) if f.endswith(".parquet")
+        )
+        assert len(files) >= 2
+        os.remove(os.path.join(d, files[0]))
+        fresh = MicroBlockIndex.for_table(d, "tbl")
+        listed = {
+            os.path.basename(b.file_path) for b in fresh.blocks
+        }
+        assert files[0] not in listed
+        assert idx.num_blocks > fresh.num_blocks
+
+    def test_scan_index_decodes_percent_encoded_paths(self, spark, tmp_path):
+        # ADVICE r8: input_file_name() percent-encodes paths; a dir
+        # with a space must still yield openable block files.
+        import os
+
+        from columnar_database_project_spark.sources.index import (
+            MicroBlockIndex,
+        )
+
+        d = str(tmp_path / "with space")
+        spark.range(50).selectExpr("id", "id * 3 AS v").write.parquet(d)
+        idx = MicroBlockIndex.build_from_scan(spark, d, "tbl", format="parquet")
+        assert idx.num_blocks >= 1
+        for b in idx.blocks:
+            assert "%20" not in b.file_path
+            assert os.path.exists(b.file_path), b.file_path
