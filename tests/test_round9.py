@@ -223,3 +223,48 @@ class TestAdviceR8:
         for b in idx.blocks:
             assert "%20" not in b.file_path
             assert os.path.exists(b.file_path), b.file_path
+
+
+class TestMultimodalDecode:
+    def test_stub_fires_only_without_pillow(self, monkeypatch):
+        # The NotImplementedError path is an environment statement, not
+        # a permanent stub: it must fire exactly when Pillow is absent.
+        import columnar_database_project_spark.operators.multimodal as mm
+
+        if mm._PIL_Image is None:
+            import pytest as _pytest
+
+            with _pytest.raises(NotImplementedError):
+                mm.decode_image(b"\x89PNG")
+        else:  # pragma: no cover - Pillow-present environments
+            assert callable(mm._PIL_Image.open)
+        # simulate absence regardless of environment
+        monkeypatch.setattr(mm, "_PIL_Image", None)
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError):
+            mm.decode_image(b"\x89PNG")
+
+    def test_real_decode_path_with_pillow(self, spark, sf_dir):
+        # Runs only where Pillow exists: decode a real PNG through the
+        # SAME mapInPandas plumbing the fake extractor uses.
+        import pytest as _pytest
+
+        _pytest.importorskip("PIL")
+        import io
+
+        from PIL import Image
+
+        import columnar_database_project_spark.operators.multimodal as mm
+
+        buf = io.BytesIO()
+        Image.new("RGB", (4, 3), color=(10, 20, 30)).save(buf, format="PNG")
+        png = buf.getvalue()
+        df = spark.createDataFrame(
+            [(1, bytearray(png))], "doc_id long, payload binary"
+        )
+        rows = df.mapInPandas(
+            mm.image_feature_batches, schema=mm.IMAGE_FEATURE_SCHEMA
+        ).collect()
+        assert rows[0]["height"] == 3 and rows[0]["width"] == 4
+        assert abs(rows[0]["channel_mean"] - 20.0) < 1e-6
