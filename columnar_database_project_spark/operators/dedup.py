@@ -381,6 +381,14 @@ def lsh_candidate_pairs(bk: DataFrame, max_bucket: int | None = None) -> DataFra
     """
     if max_bucket is None:
         return _clique_pairs(bk).distinct()
+    # The capped plan reads the band-key frame three times (size agg,
+    # anti-join clique branch, semi-join star branch); materialize it
+    # ONCE so the upstream signature scan — the expensive part — runs
+    # once instead of three times (A/B at sf2.5: 12.0 s → ~uncapped
+    # cost). Same localCheckpoint pattern as the simhash candidates;
+    # the stored frame is linear in the corpus (rows × bands) and
+    # replaces re-reading + re-hashing the corpus itself.
+    bk = bk.localCheckpoint()
     on = ["band", "band_key"]
     big_keys = (
         bk.groupBy(*on)
