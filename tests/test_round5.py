@@ -125,7 +125,10 @@ class TestHotBucketCaps:
             for r in lsh_candidate_pairs(bk, max_bucket=10).collect()
         }
         assert len(uncapped) == 40 * 39 // 2 + 1
-        assert capped == {(100, 101)}  # hot bucket dropped, cold kept
+        # r9 keeper-star semantics: the hot bucket is linearized to
+        # (min-id keeper × member) pairs instead of being dropped —
+        # same connectivity, O(n) output; the cold bucket is untouched.
+        assert capped == {(100, 101)} | {(0, i) for i in range(1, 40)}
         assert capped <= uncapped
 
     def test_ngram_max_doc_freq(self, spark):
