@@ -21,6 +21,19 @@ def stack_embeddings(series: pd.Series, dim: int | None = None) -> np.ndarray:
 
 def normalize_rows(m: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(m, axis=1, keepdims=True)
+    # |v| below ~1.5e-154 squares into subnormal range and the norm
+    # loses significand bits (unit-norm off by ~1e-6); |v| above
+    # ~1e154 overflows the square to inf. Rescale ONLY those rows by
+    # max-abs and recompute in normal range (hypot-style) — normal
+    # rows keep the single-division result bit-for-bit, so rounded
+    # oracle hashes are unaffected.
+    bad = ~np.isfinite(norms) | ((norms > 0) & (norms < 1e-140))
+    if np.any(bad):
+        idx = np.nonzero(bad[:, 0])[0]
+        sub = m[idx]
+        scale = np.max(np.abs(sub), axis=1, keepdims=True)
+        scale[scale == 0] = 1.0
+        norms[idx] = np.linalg.norm(sub / scale, axis=1, keepdims=True) * scale
     norms[norms == 0] = 1.0
     return m / norms
 

@@ -9,7 +9,7 @@ these pin their algebra.
 from __future__ import annotations
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from columnar_database_project_spark.functions.hashing import (
@@ -149,6 +149,10 @@ finite_rows = st.lists(
 
 
 @given(finite_rows)
+# Regression (hypothesis, 2026-08-15): a row whose only nonzero
+# component squares into subnormal range made the plain norm lose
+# significand bits — "unit" norm came back 0.9999980.
+@example([[0.0, 0.0, 0.0, 6.268482409221865e-160]])
 def test_normalize_rows_unit_or_zero(rows):
     m = np.array(rows, dtype=np.float64)
     norms = np.linalg.norm(normalize_rows(m), axis=1)
