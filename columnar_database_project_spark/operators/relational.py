@@ -367,31 +367,29 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join through region→nation→(customer,
     supplier)→orders→lineitem with the local-supplier condition.
 
-    Semi-reduce plan (r9, same treatment as q3): the ASIA filter is
-    pushed into customer and supplier BEFORE any fact join — the prior
-    shape shuffled all-25-nation orders/customer rows through two
-    exchanges and applied c_nationkey = s_nationkey last. Every join
-    side is pre-projected to key columns; lineitem joins a slim
-    (o_orderkey, c_nationkey) build side which AQE size-gates to
-    broadcast while it fits (runtime stats, never forced — the build
-    side is corpus-proportional, so a static broadcast would OOM at
-    100 TB) and the supplier probe carries (s_suppkey, s_nationkey,
-    n_name) only. Measured sf2.5 best-of-4: 1.61 s → 1.38 s vs the
-    prior shape; residual gap to DuckDB is the sequential AQE
-    stage-wave floor, not the plan — wall-clock is FLAT across 25×
-    data (1.18 s @ sf0.1 → 1.57 s @ sf2.5), see PLANS.md round-9
-    postmortem."""
+    Hybrid plan (r9 final, one plan for all regimes — the q3 r7
+    resolution repeated): classic fact-chain join order
+    (li→orders→customer→supplier, fewest dependent stage barriers)
+    with every join side pre-projected to key columns and the ASIA
+    filter pushed into customer/supplier via broadcast (semi) joins
+    against the 25-row-bounded nation frame — map-side, no extra
+    stage. The r9-interim semi-reduce shape (orders pre-joined to a
+    slim custkey→nationkey build) won at sf2.5 over the pre-r9
+    full-width shape (1.38 vs 1.61 s) but its ~8 dependent AQE stages
+    pay job-launch latency that dominates at latency scale (0.93 vs
+    0.46 s @ sf0.1, dragging the headline gate to 2.0×). A/B of all
+    three (tools/ab_q5_small.py, best-of-5 warmed, parity-checked):
+    hybrid 0.505 s @ sf0.1 / 0.927 s @ sf2.5 — at or under both
+    predecessors at BOTH scales, and without the pre-r9 shape's
+    cold-cache instability (full-width rows through two exchanges:
+    8.3 s first takes at sf2.5). Only the fixed-cardinality nation
+    frame is hint-broadcast; customer/supplier/orders stay size-gated
+    (AQE broadcasts them at bench scale, keyed shuffle at 100 TB)."""
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = load_table(spark, sf_dir, "nation")
     nat = nation.join(
         F.broadcast(region), nation.n_regionkey == region.r_regionkey
     ).select("n_nationkey", "n_name")
-    supp_slim = (
-        load_table(spark, sf_dir, "supplier")
-        .select("s_suppkey", "s_nationkey")
-        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", "s_nationkey", "n_name")
-    )
     cust_slim = (
         load_table(spark, sf_dir, "customer")
         .select("c_custkey", "c_nationkey")
@@ -401,6 +399,12 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_semi",
         )
     )
+    supp_slim = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
     orders_slim = (
         load_table(spark, sf_dir, "orders")
         .filter(
@@ -408,8 +412,6 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
         )
         .select("o_orderkey", "o_custkey")
-        .join(cust_slim, F.col("o_custkey") == F.col("c_custkey"))
-        .select("o_orderkey", "c_nationkey")
     )
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
@@ -418,6 +420,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders_slim, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_slim, F.col("o_custkey") == F.col("c_custkey"))
         .join(
             supp_slim,
             (F.col("l_suppkey") == F.col("s_suppkey"))
