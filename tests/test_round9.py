@@ -268,3 +268,81 @@ class TestMultimodalDecode:
         ).collect()
         assert rows[0]["height"] == 3 and rows[0]["width"] == 4
         assert abs(rows[0]["channel_mean"] - 20.0) < 1e-6
+
+
+class TestHealthGate:
+    """bench.py's probe-based quiesce (r9): a take that STARTS degraded
+    must be retaken even when the end/start ratio looks 'improving' —
+    the fresh-boot r9 run recorded the sf2.5 corpus pipelines 2-26x
+    slow with probe_ratio 0.68 because the start sample was already
+    1.6x nominal."""
+
+    def _patch(self, monkeypatch, degraded_ms, post_samples, seed=37.0):
+        import bench
+
+        state = {"seeded": False}
+        post = list(post_samples)
+        clock = [0.0]
+
+        def fake_health():
+            # first call = main()'s nominal seed; while the fake clock
+            # is inside the degraded window every sample reads slow;
+            # after it, scripted recovery values (last one repeats)
+            if not state["seeded"]:
+                state["seeded"] = True
+                ms = seed
+            elif clock[0] <= bench.QUIESCE_MAX_WAIT_SEC:
+                ms = degraded_ms
+            else:
+                ms = post.pop(0) if len(post) > 1 else post[0]
+            return {
+                "single_thread_ms": ms,
+                "parallel16_wall_over_single": 1.5,
+                "loadavg_1m": 0.1,
+                "loadavg_5m": 0.1,
+            }
+
+        monkeypatch.setattr(bench, "machine_health", fake_health)
+        monkeypatch.setattr(bench, "_NOMINAL_SINGLE_MS", float("inf"))
+        monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.1, 0.1, 0.1))
+        # fake clock so the quiesce wait-cap can expire without real
+        # sleeping (bench.time is the stdlib module; patch is
+        # test-scoped via monkeypatch)
+        monkeypatch.setattr(bench.time, "time", lambda: clock[0])
+        monkeypatch.setattr(
+            bench.time,
+            "sleep",
+            lambda s: clock.__setitem__(0, clock[0] + s),
+        )
+        return bench
+
+    def test_degraded_start_triggers_retake(self, monkeypatch):
+        # nominal seed 37 -> quiesce waits out its cap on a 58.9 ms
+        # probe and take 1 starts (and ends) degraded: the end/start
+        # ratio alone would accept it (the r9 fresh-boot trap, ratio
+        # 0.68) — start_degraded must force the retake; take 2 then
+        # starts clean.
+        bench = self._patch(
+            monkeypatch,
+            degraded_ms=58.9,  # every sample until the wait cap expires
+            post_samples=[40.0, 38.0, 39.0],  # quiesce t2, end t2, spare
+        )
+        bench._observe_health()  # seed nominal=37 as main() does
+        calls = []
+        out, meta = bench.health_gated("t", lambda: calls.append(1) or "ok")
+        assert out == "ok"
+        assert len(calls) == 2, "degraded-start take must be retaken"
+        assert meta["takes"][0]["start_degraded"] is True
+        # the pre-r9 gate (end/start ratio alone) would have accepted it
+        assert meta["takes"][0]["probe_ratio"] <= bench.HEALTH_PROBE_MAX_RATIO
+        assert meta["takes"][1]["start_degraded"] is False
+        assert meta["accepted_take"] == 2
+
+    def test_clean_start_single_take(self, monkeypatch):
+        bench = self._patch(
+            monkeypatch, degraded_ms=38.0, post_samples=[39.0]
+        )
+        bench._observe_health()
+        out, meta = bench.health_gated("t", lambda: "ok")
+        assert out == "ok" and meta["accepted_take"] == 1
+        assert meta["takes"][0]["start_degraded"] is False
