@@ -168,7 +168,31 @@ def bench_pairwise(
     engine runs first — the r9 fresh-boot sf2.5 take recorded Spark's
     early queries 4-10× slow while DuckDB, sweeping minutes later, got
     a clean box (q5 6.8 s vs a 0.9 s warm floor). Per-query adjacency
-    bounds the box-state skew within each ratio to seconds."""
+    bounds the box-state skew within each ratio to seconds.
+
+    A GLOBAL untimed sweep over every query runs first, symmetric per
+    engine: without it the early queries are timed on a cold JVM —
+    C2/codegen infrastructure heat accumulates ACROSS queries, and the
+    first pairwise take recorded the early codegen-bound headliners
+    2-4× slow (topk 0.454 s vs its 0.118 s hot floor) while the
+    late-ordered Pandas-UDF pipelines, running on a by-then-hot JVM,
+    sat exactly on theirs."""
+    qs = entry_mod.queries()
+    tune_for_scale(spark, sf_dir)
+    for name in names:  # global JVM/JIT + page-cache warm
+        qs[name](spark, sf_dir).toPandas()
+    oracles = entry_mod.oracle_sql()
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    for name in names:  # symmetric global warm
+        if name in oracles:
+            con.execute(oracles[name]).df()
+    con.close()
     st: dict[str, float] = {}
     dt: dict[str, float] = {}
     for name in names:
