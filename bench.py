@@ -13,9 +13,11 @@ recorded unparseable):
   1. the FULL result JSON is written to ``BENCH.json`` in the repo root
      (the durable artifact),
   2. a full single-line copy is printed first (scrolls away harmlessly),
-  3. the LAST printed line is a compact headline (< ~1.9 KB guaranteed:
-     scaling collapsed to per-SF totals) so a tail-capture of any sane
-     size always contains one complete parseable JSON line.
+  3. the LAST printed line is a compact headline, ENFORCED ≤1900 chars
+     (r9: the r8 compact line had regrown past 2 KB and the driver
+     recorded parsed:null again — the budget is now applied by dropping
+     optional keys, never per-query spark times) so a tail-capture of
+     any sane size always contains one complete parseable JSON line.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
@@ -1508,6 +1510,110 @@ def health_gated(label: str, section, settle=None):
     return out, {"takes": takes, "accepted_take": len(takes)}
 
 
+def build_compact(result: dict) -> str:
+    """The driver keeps only the final ~2000 CHARS of stdout and parses
+    the last line it can — r8's compact line had regrown past 2 KB, got
+    beheaded, and the driver recorded parsed:null (the judge fell back
+    to the committed BENCH.json). Build the line small, then ENFORCE a
+    1900-char budget by dropping optional keys least-essential-first;
+    the metric/value/unit/sf/queries core is never dropped."""
+    scaling = result.get("scaling", {})
+    overhead_floor = result.get("overhead_floor", {})
+    headline_health = result["machine_health"]["headline"]
+    extras_r6 = result.get("extras_r6", {})
+    streaming = result.get("streaming", {})
+    prefetch_ab = result.get("prefetch_ab", {})
+    cow_dml = result.get("cow_dml", {})
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "sf": result["sf"],
+        "queries": result["queries"],
+        "baseline_duckdb": result["baseline_duckdb"],
+        "baseline_duckdb_total": result["baseline_duckdb_total"],
+        "scaling": {
+            tag: {
+                "spark_total": round(sum(sec["queries"].values()), 3),
+                "duckdb_total": round(
+                    sum(sec["baseline_duckdb"].values()), 3
+                ),
+                **(
+                    {"capped_lsh": sec["capped_lsh_candidates"]}
+                    if "capped_lsh_candidates" in sec
+                    else {}
+                ),
+                **(
+                    {"ivf_recall_at_10": sec["ivf_recall"]["recall_at_10"]}
+                    if "ivf_recall" in sec
+                    else {}
+                ),
+                **(
+                    {
+                        "dedup_chain_ratio": sec["near_survivors_chain"][
+                            "ratio_vs_duckdb"
+                        ]
+                    }
+                    if isinstance(sec.get("near_survivors_chain"), dict)
+                    else {}
+                ),
+            }
+            for tag, sec in scaling.items()
+        },
+        "floor": {
+            k: overhead_floor[k]
+            for k in ("spark_empty_scan", "duckdb_empty_scan")
+            if k in overhead_floor
+        },
+        "health": {
+            "headline_probe_ratio": headline_health["takes"][-1][
+                "probe_ratio"
+            ],
+            "headline_start_degraded": headline_health["takes"][-1].get(
+                "start_degraded"
+            ),
+            "takes": headline_health["accepted_take"],
+        },
+        "extras_r6": {
+            "spark_total": round(sum(extras_r6["spark"].values()), 3),
+            "duckdb_total": round(sum(extras_r6["duckdb"].values()), 3),
+        }
+        if isinstance(extras_r6.get("spark"), dict)
+        else {},
+        "streaming": {
+            k: v["rows_per_sec"]
+            for k, v in streaming.items()
+            if isinstance(v, dict)
+        },
+        "prefetch_hit_rates": {
+            tag: prefetch_ab[tag]["hit_rate"]
+            for tag in ("no_cache", "lru_only", "lru_lstm")
+            if isinstance(prefetch_ab.get(tag), dict)
+        },
+        "cow_bytes_ratio": cow_dml.get("bytes_ratio")
+        if isinstance(cow_dml, dict)
+        else None,
+        "detail": "BENCH.json",
+    }
+    DROP_ORDER = [
+        "prefetch_hit_rates",
+        "streaming",
+        "extras_r6",
+        "cow_bytes_ratio",
+        "health",
+        "floor",
+        "baseline_duckdb",
+        "scaling",
+    ]
+    line = json.dumps(compact)
+    for key in DROP_ORDER:
+        if len(line) <= 1900:
+            break
+        compact.pop(key, None)
+        line = json.dumps(compact)
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -1753,49 +1859,8 @@ def main() -> None:
     with open(os.path.join(REPO, "BENCH.json"), "w") as fh:
         json.dump(result, fh, indent=1)
     print(json.dumps(result))  # full copy; may scroll out of tail capture
-    # LAST line = compact headline, guaranteed to fit a ~2 KB tail
-    # buffer whole: scaling collapsed to per-SF spark/duckdb totals.
-    compact = dict(result)
-    compact["extras_r6"] = {
-        "spark_total": round(sum(extras_r6["spark"].values()), 3),
-        "duckdb_total": round(sum(extras_r6["duckdb"].values()), 3),
-    }
-    compact["streaming"] = {
-        k: v["rows_per_sec"]
-        for k, v in streaming.items()
-        if isinstance(v, dict)
-    }
-    compact["prefetch_ab"] = {
-        tag: prefetch_ab[tag]["hit_rate"]
-        for tag in ("no_cache", "lru_only", "lru_lstm")
-        if isinstance(prefetch_ab.get(tag), dict)
-    }
-    if isinstance(prefetch_ab.get("chosen_min_prob"), dict):
-        ch = prefetch_ab["chosen_min_prob"]
-        compact["prefetch_ab"]["chosen_min_prob"] = ch["min_prob"]
-        compact["prefetch_ab"]["precision_at_chosen"] = ch.get("precision")
-        compact["prefetch_ab"]["wasted_reads_at_chosen"] = ch.get(
-            "wasted_reads"
-        )
-    compact["scaling"] = {
-        tag: {
-            "spark_total": round(sum(sec["queries"].values()), 3),
-            "duckdb_total": round(sum(sec["baseline_duckdb"].values()), 3),
-            **(
-                {"capped_lsh_candidates": sec["capped_lsh_candidates"]}
-                if "capped_lsh_candidates" in sec
-                else {}
-            ),
-            **(
-                {"ivf_recall_at_10": sec["ivf_recall"]["recall_at_10"]}
-                if "ivf_recall" in sec
-                else {}
-            ),
-        }
-        for tag, sec in scaling.items()
-    }
-    compact["detail"] = "BENCH.json"
-    print(json.dumps(compact))
+    # LAST line = compact headline — see build_compact.
+    print(build_compact(result))
 
 
 if __name__ == "__main__":

@@ -346,3 +346,82 @@ class TestHealthGate:
         out, meta = bench.health_gated("t", lambda: "ok")
         assert out == "ok" and meta["accepted_take"] == 1
         assert meta["takes"][0]["start_degraded"] is False
+
+
+class TestCompactLine:
+    """bench.build_compact: the driver parses only the LAST line of a
+    ~2000-char stdout tail; r8's compact line regrew past 2 KB and the
+    round recorded parsed:null. The budget is enforced, optional keys
+    drop first, and the core (metric/value/queries) always survives."""
+
+    def _result(self, n_queries=14):
+        qs = {f"q{i:02d}": 0.123 for i in range(n_queries)}
+        return {
+            "metric": "headline_queries_total_wall_clock",
+            "value": 4.5,
+            "unit": "sec",
+            "sf": 0.1,
+            "queries": qs,
+            "baseline_duckdb": dict(qs),
+            "baseline_duckdb_total": 2.4,
+            "scaling": {
+                "sf2.5": {
+                    "queries": {"a": 1.0},
+                    "baseline_duckdb": {"a": 2.0},
+                    "near_survivors_chain": {"ratio_vs_duckdb": 0.19},
+                }
+            },
+            "overhead_floor": {
+                "spark_empty_scan": 0.019,
+                "duckdb_empty_scan": 0.002,
+            },
+            "machine_health": {
+                "headline": {
+                    "takes": [
+                        {"probe_ratio": 0.97, "start_degraded": False}
+                    ],
+                    "accepted_take": 1,
+                }
+            },
+            "extras_r6": {"spark": {"x": 1.0}, "duckdb": {"x": 2.0}},
+            "streaming": {"tumbling": {"rows_per_sec": 45000}},
+            "prefetch_ab": {"lru_lstm": {"hit_rate": 0.58}},
+            "cow_dml": {"bytes_ratio": 0.02},
+        }
+
+    def test_fits_budget_and_parses(self):
+        import json
+
+        import bench
+
+        line = bench.build_compact(self._result())
+        assert len(line) <= 1900
+        d = json.loads(line)
+        assert d["value"] == 4.5 and len(d["queries"]) == 14
+        assert d["scaling"]["sf2.5"]["dedup_chain_ratio"] == 0.19
+        assert d["health"]["headline_start_degraded"] is False
+
+    def test_oversize_drops_optional_keys_keeps_core(self):
+        import json
+
+        import bench
+
+        r = self._result(n_queries=60)  # queries alone near the budget
+        line = bench.build_compact(r)
+        d = json.loads(line)
+        # core survives every drop
+        assert d["metric"] and d["queries"] and "value" in d
+        # the first-dropped keys are gone before per-query spark times
+        assert "prefetch_hit_rates" not in d
+
+    def test_error_shaped_sections_do_not_crash(self):
+        import json
+
+        import bench
+
+        r = self._result()
+        r["overhead_floor"] = {"error": "boom"}
+        r["cow_dml"] = {"error": "boom"}
+        r["extras_r6"] = {"error": "boom"}
+        d = json.loads(bench.build_compact(r))
+        assert d["floor"] == {} and d["extras_r6"] == {}
