@@ -1254,6 +1254,7 @@ QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_knn_classify": q_sim_knn_classify,
     "sim_hyperplane_signatures": q_sim_hyperplane_signatures,
+    "sim_bucket_sizes": q_sim_bucket_sizes,
     "sim_bucket_rerank": q_sim_bucket_rerank,
     "sim_ivf_assignments": q_sim_ivf_assignments,
     "sim_ivf_probes": q_sim_ivf_probes,
@@ -1344,6 +1345,16 @@ ORACLES = {
     "sim_hyperplane_signatures": f"""
         SELECT vec_id, CAST({_SIG_TERMS} AS BIGINT) AS signature
         FROM embeddings
+    """,
+    "sim_bucket_sizes": f"""
+        WITH sigs AS (
+            SELECT CAST({_SIG_TERMS} AS BIGINT) AS signature
+            FROM embeddings
+        )
+        SELECT signature, COUNT(*) AS n_vectors
+        FROM sigs
+        GROUP BY signature
+        HAVING COUNT(*) > 1
     """,
     "sim_bucket_rerank": f"""
         WITH sigs AS (
