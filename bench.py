@@ -212,6 +212,15 @@ def bench_pairwise(
         st.update(
             bench_spark(spark, sf_dir, [name], runs=runs, warm_sweeps=warm_sweeps)
         )
+        if settle is not None:
+            # Symmetric settle BETWEEN the halves too: Spark's timed
+            # runs leave JVM GC/C2 background threads draining into
+            # DuckDB's immediately-following window otherwise — a
+            # systematic ordering bias that flatters the Spark ratio.
+            try:
+                settle()
+            except Exception:  # pragma: no cover - defensive
+                pass
         dt.update(
             bench_duckdb(sf_dir, [name], runs=runs, warm_sweeps=warm_sweeps)
         )
@@ -1485,12 +1494,17 @@ def health_gated(label: str, section, settle=None):
     out = None
     for _ in range(HEALTH_MAX_TAKES):
         h0 = _quiesce(label, settle=settle)
+        # Snapshot the nominal AT TAKE START: the end-of-section probe
+        # may lower the process nominal, which would retroactively flag
+        # a take that _quiesce released as clean — at sf2.5 a spurious
+        # retake is a full multi-minute pairwise sweep.
+        nominal_at_start = _NOMINAL_SINGLE_MS
         out = section()
         h1 = _observe_health()
         ratio = h1["single_thread_ms"] / max(h0["single_thread_ms"], 1e-9)
         start_degraded = (
             h0["single_thread_ms"]
-            > QUIESCE_PROBE_MAX_OVER_NOMINAL * _NOMINAL_SINGLE_MS
+            > QUIESCE_PROBE_MAX_OVER_NOMINAL * nominal_at_start
         )
         takes.append(
             {
@@ -1611,6 +1625,19 @@ def build_compact(result: dict) -> str:
             break
         compact.pop(key, None)
         line = json.dumps(compact)
+    if len(line) > 1900:
+        # DROP_ORDER exhausted and the never-dropped core still blows
+        # the budget (a large query set can do it): a beheaded line
+        # parses as null, which is strictly worse than a minimal one.
+        minimal = {
+            "metric": compact["metric"],
+            "value": compact["value"],
+            "unit": compact["unit"],
+            "sf": compact["sf"],
+            "baseline_duckdb_total": compact.get("baseline_duckdb_total"),
+            "detail": "BENCH.json (queries dropped: compact budget)",
+        }
+        line = json.dumps(minimal)
     return line
 
 
@@ -1652,8 +1679,16 @@ def main() -> None:
         settle=_jvm_settle,
     )
     total = round(sum(spark_times.values()), 3)
+    # Health-gated like the ratios it explains: the floor is quoted as
+    # the denominator narrative for at-scale ratios, so it must carry
+    # the same clean-window provenance (ADVICE r9).
     try:
-        overhead_floor = bench_overhead_floor(spark, sf_dir)
+        overhead_floor, floor_health = health_gated(
+            "floor",
+            lambda: bench_overhead_floor(spark, sf_dir),
+            settle=_jvm_settle,
+        )
+        overhead_floor["health"] = floor_health
     except Exception as exc:  # pragma: no cover - defensive
         print(f"WARN: overhead_floor failed ({exc!r})", file=sys.stderr)
         overhead_floor = {"error": repr(exc)}
@@ -1810,9 +1845,13 @@ def main() -> None:
             ),
         }
         try:
-            scaling["sf2.5"]["overhead_floor"] = bench_overhead_floor(
-                spark, sf4_dir
+            _floor25, _floor25_health = health_gated(
+                "floor-sf2.5",
+                lambda: bench_overhead_floor(spark, sf4_dir),
+                settle=_jvm_settle,
             )
+            _floor25["health"] = _floor25_health
+            scaling["sf2.5"]["overhead_floor"] = _floor25
         except Exception as exc:  # pragma: no cover - defensive
             print(f"WARN: overhead_floor failed ({exc!r})", file=sys.stderr)
         try:
