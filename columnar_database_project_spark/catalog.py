@@ -118,6 +118,37 @@ def cache_put(cache: dict, key: tuple, value) -> None:
     sweep_cache(cache, sid)
 
 
+# Layout overrides: an optimized physical materialization (the
+# bucketed/sorted fact layout, sources/bucketed.py) registers a
+# replacement relation here, and EVERY consumer — the whole query
+# registry loads via load_table — reads it transparently. At 100 TB
+# the layout decision (bucket fact tables on their join key so
+# repeated fact-to-fact joins plan with zero Exchange) belongs to the
+# catalog, not to each query; this is the switch that makes it the
+# engine default for a table dir without touching any query. Keyed by
+# session id so overrides never leak across sessions.
+_LAYOUT_OVERRIDES: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def set_layout_override(
+    spark: SparkSession, sf_dir: str, name: str, df: DataFrame
+) -> None:
+    """Serve ``df`` for every ``load_table(spark, sf_dir, name)``."""
+    _LAYOUT_OVERRIDES[(id(spark), os.path.realpath(sf_dir), name)] = df
+
+
+def clear_layout_overrides(
+    spark: SparkSession | None = None, sf_dir: str | None = None
+) -> None:
+    """Drop overrides for a session and/or dir (None = all)."""
+    real = os.path.realpath(sf_dir) if sf_dir is not None else None
+    for k in list(_LAYOUT_OVERRIDES):
+        if (spark is None or k[0] == id(spark)) and (
+            real is None or k[1] == real
+        ):
+            del _LAYOUT_OVERRIDES[k]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table from ``sf_dir`` (a file or a directory of parts).
 
@@ -133,6 +164,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pyarrow read with truncation to microseconds before handing the
     batches to Spark.
     """
+    override = _LAYOUT_OVERRIDES.get(
+        (id(spark), os.path.realpath(sf_dir), name)
+    )
+    if override is not None:
+        return override
     path = os.path.join(sf_dir, f"{name}.parquet")
     if not os.path.exists(path):
         # ORC fallback: a dir holding <name>.orc serves the same

@@ -11,7 +11,19 @@ asserted shuffle-free in tests via plans.verify.
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+
+# The TPC-H fact path: both fact tables bucketed on the join key so
+# lineitem ⋈ orders (q3/q5/q9/q21 shape) and any groupBy on the same
+# key plan with zero Exchange. Dimension tables stay flat — they
+# broadcast.
+FACT_BUCKET_KEYS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+FACT_BUCKETS = 32
+_LAYOUT_MANIFEST = "_layout_manifest.json"
 
 
 def write_bucketed(
@@ -36,6 +48,85 @@ def write_bucketed(
     if path:
         writer = writer.option("path", path)
     writer.saveAsTable(table_name)
+
+
+def materialize_fact_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    keys: dict[str, str] | None = None,
+    n_buckets: int = FACT_BUCKETS,
+    register: bool = True,
+) -> dict[str, str]:
+    """Build-or-reuse bucketed+sorted copies of the fact tables under
+    ``path`` and (by default) register them as the catalog's layout
+    override for ``sf_dir`` — from then on EVERY query loading those
+    tables via ``catalog.load_table`` reads the bucketed layout, with
+    zero query changes. This is the engine-default switch for the
+    TPC-H fact path (VERDICT r9 #1): the measured cure for the
+    fact-join Exchange (bucketed q3: 1 exchange → 0).
+
+    Reuse: a per-table manifest records the SOURCE freshness token
+    (catalog.file_freshness) + bucket spec; the copy is rebuilt when
+    the source regenerates or the spec changes. ``saveAsTable``
+    registers in the session catalog only, so a fresh session with
+    fresh files still rewrites — a once-per-process cost, paid only
+    by callers that opt into the layout.
+
+    Returns {table_name: catalog_table_name}. Tables absent from
+    ``sf_dir`` are skipped (partial dirs in tests).
+    """
+    from columnar_database_project_spark.catalog import (
+        file_freshness,
+        load_table,
+        set_layout_override,
+    )
+
+    keys = FACT_BUCKET_KEYS if keys is None else keys
+    digest = hashlib.md5(os.path.realpath(path).encode()).hexdigest()[:8]
+    out: dict[str, str] = {}
+    for name, col in keys.items():
+        src = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(src):
+            continue
+        tbl = f"bkt_{name}_{digest}"
+        tdir = os.path.join(path, name)
+        manifest = os.path.join(path, f"{name}{_LAYOUT_MANIFEST}")
+        want = {
+            "source": os.path.realpath(src),
+            "freshness": list(map(list, file_freshness(os.path.realpath(src))))
+            if os.path.isdir(src)
+            else list(file_freshness(os.path.realpath(src))),
+            "bucket_col": col,
+            "n_buckets": n_buckets,
+        }
+        fresh = False
+        try:
+            with open(manifest) as fh:
+                fresh = json.load(fh) == want
+        except (OSError, ValueError):
+            fresh = False
+        if not fresh or not spark.catalog.tableExists(tbl):
+            # A stale override for this table must not feed the rebuild
+            # (bucketed-from-bucketed would freeze the stale data).
+            from columnar_database_project_spark.catalog import (
+                _LAYOUT_OVERRIDES,
+            )
+
+            _LAYOUT_OVERRIDES.pop(
+                (id(spark), os.path.realpath(sf_dir), name), None
+            )
+            write_bucketed(
+                load_table(spark, sf_dir, name), tbl, col,
+                n_buckets=n_buckets, path=tdir,
+            )
+            os.makedirs(path, exist_ok=True)
+            with open(manifest, "w") as fh:
+                json.dump(want, fh)
+        if register:
+            set_layout_override(spark, sf_dir, name, spark.table(tbl))
+        out[name] = tbl
+    return out
 
 
 def bucketed_join(
