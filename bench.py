@@ -1157,9 +1157,18 @@ def bench_prefetch_ab(spark, sf_dir: str) -> dict:
         "total_sec": round(sum(lat), 3),
     }
 
-    def replay(with_lstm: bool, min_prob: float) -> dict:
+    def replay(
+        with_lstm: bool,
+        min_prob: float,
+        gate: bool = False,
+        seed_econ=None,
+    ) -> tuple[dict, object]:
         cache = BlockCache(capacity=CAPACITY)
         history = GlobalHistory(maxlen=500)
+        if seed_econ is not None:
+            # seed carries the calibration ESTIMATES, not the previous
+            # run's in-flight attribution state
+            seed_econ.pending = set()
         service = (
             PrefetchService(
                 scheduler,
@@ -1167,6 +1176,8 @@ def bench_prefetch_ab(spark, sf_dir: str) -> dict:
                 history,
                 cache,
                 history_len=100,
+                economics_gate=gate,
+                economics=seed_econ,
                 # k A/B (r7, this harness): k=6 → 0.504 hit / 300
                 # prefetch reads; k=10 → 0.568 hit / 500 reads. The
                 # extra speculative reads are background-pool work, so
@@ -1185,9 +1196,12 @@ def bench_prefetch_ab(spark, sf_dir: str) -> dict:
         issued_seen = 0
         pending: set = set()          # prefetched, not yet hit
         prefetch_hits = 0
+        issued_bytes = 0
+        hit_bytes = 0
         for i, b in enumerate(eval_seq):
             t0 = time.time()
             df = cache.get(b)
+            hit = df is not None
             if df is None:
                 df = spark.read.parquet(index.block_file(b))
                 cache.put(b, df)       # persists + materializes
@@ -1196,13 +1210,21 @@ def bench_prefetch_ab(spark, sf_dir: str) -> dict:
                 if b in pending:       # hit attributable to prefetch
                     prefetch_hits += 1
                     pending.discard(b)
-            lat.append(time.time() - t0)
+                    hit_bytes += os.path.getsize(index.block_file(b))
+            dt = time.time() - t0
+            lat.append(dt)
+            if service is not None:
+                service.note_access(b, hit, dt)  # feeds the economics
             history.record(b)
             if service is not None and (i + 1) % PREFETCH_EVERY == 0:
                 t0 = time.time()
                 service.run_once()     # background-pool work in prod
                 prefetch_sec += time.time() - t0
-                pending.update(service.issued_log[issued_seen:])
+                fresh = service.issued_log[issued_seen:]
+                pending.update(fresh)
+                issued_bytes += sum(
+                    os.path.getsize(index.block_file(x)) for x in fresh
+                )
                 issued_seen = len(service.issued_log)
         stats = cache.stats()
         entry = {
@@ -1213,24 +1235,53 @@ def bench_prefetch_ab(spark, sf_dir: str) -> dict:
             "total_sec": round(sum(lat), 3),
             "evictions": stats["evictions"],
         }
+        econ = None
         if service is not None:
             issued = len(service.issued_log)
             entry["prefetch_reads"] = issued
             entry["prefetch_sec"] = round(prefetch_sec, 3)
             entry["suppressed"] = service.suppressed
             # economics: prefetched-and-hit / prefetched — at 100 TB
-            # the complement (wasted_reads) is the bill for the lift
+            # the complement (wasted_reads/_bytes) is the bill for the
+            # lift (VERDICT r9 #3)
             entry["precision"] = round(prefetch_hits / max(1, issued), 3)
             entry["wasted_reads"] = issued - prefetch_hits
+            entry["wasted_mb"] = round((issued_bytes - hit_bytes) / 1e6, 2)
+            if gate:
+                entry["gate_skips"] = service.gate_skips
+            proj = service.economics.projected_net_sec_per_prefetch()
+            entry["projected_net_sec_per_prefetch"] = (
+                round(proj, 4) if proj is not None else None
+            )
+            econ = service.economics
         cache.clear()
-        return entry
+        return entry, econ
 
-    out["lru_only"] = replay(False, 0.0)
-    out["lru_lstm"] = replay(True, 0.0)
+    out["lru_only"], _ = replay(False, 0.0)
+    out["lru_lstm"], ungated_econ = replay(True, 0.0)
+    # The gated configuration — the production default the r9 verdict
+    # asks for: seeded with the calibration run's economics (in
+    # production the access-log layer C4–C6 provides this evidence),
+    # the service issues speculative reads ONLY while their projected
+    # net benefit is ≥ 0. On hardware where the LSTM's converted
+    # misses do not pay for the background reads, the gate converges
+    # to LRU-only behavior and net_sec ≥ 0 by construction.
+    out["lru_lstm_gated"], _ = replay(True, 0.0, gate=True, seed_econ=ungated_econ)
     sweep = {}
     for mp in (0.3, 0.5, 0.7):
-        sweep[str(mp)] = replay(True, mp)
+        sweep[str(mp)], _ = replay(True, mp)
     out["min_prob_sweep"] = sweep
+    # net economics vs the LRU-only baseline: foreground seconds saved
+    # minus background seconds spent — the number that decides whether
+    # the LSTM pays for itself at 100 TB
+    base_total = out["lru_only"]["total_sec"]
+    for key in ("lru_lstm", "lru_lstm_gated", *[f"min_prob_sweep.{m}" for m in sweep]):
+        entry = (
+            sweep[key.split(".", 1)[1]] if key.startswith("min_prob_sweep") else out[key]
+        )
+        entry["net_sec"] = round(
+            base_total - entry["total_sec"] - entry.get("prefetch_sec", 0.0), 3
+        )
     # operating point: the highest floor that keeps the hit-rate lift
     # within 0.02 of the unfloored run — buys precision (fewer wasted
     # speculative reads) at negligible hit-rate cost
@@ -1694,7 +1745,12 @@ def build_compact(result: dict) -> str:
         },
         "prefetch_hit_rates": {
             tag: prefetch_ab[tag]["hit_rate"]
-            for tag in ("no_cache", "lru_only", "lru_lstm")
+            for tag in ("no_cache", "lru_only", "lru_lstm", "lru_lstm_gated")
+            if isinstance(prefetch_ab.get(tag), dict)
+        },
+        "prefetch_net_sec": {
+            tag: prefetch_ab[tag].get("net_sec")
+            for tag in ("lru_lstm", "lru_lstm_gated")
             if isinstance(prefetch_ab.get(tag), dict)
         },
         "cow_bytes_ratio": cow_dml.get("bytes_ratio")
@@ -1703,6 +1759,7 @@ def build_compact(result: dict) -> str:
         "detail": "BENCH.json",
     }
     DROP_ORDER = [
+        "prefetch_net_sec",
         "prefetch_hit_rates",
         "streaming",
         "extras_r6",

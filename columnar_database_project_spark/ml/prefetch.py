@@ -22,6 +22,73 @@ from columnar_database_project_spark.storage.block_cache import BlockCache
 PREFETCH_POOL = "prefetch"
 
 
+class _Ewma:
+    """EWMA with the same α=0.2 the block-usage stats use (C6)."""
+
+    def __init__(self, alpha: float = 0.2) -> None:
+        self.alpha = alpha
+        self.value: float | None = None
+
+    def update(self, x: float) -> None:
+        self.value = (
+            x if self.value is None else self.alpha * x + (1 - self.alpha) * self.value
+        )
+
+
+class PrefetchEconomics:
+    """Running profitability model for speculative block loads
+    (VERDICT r9 #3 — the last unquantified 100 TB claim in §2.4).
+
+    At scale the bill for a prefetch is its read; the payoff is a
+    foreground miss converted to a hit. From its own observations —
+    per-prefetch read seconds, per-access hit/miss seconds, and the
+    fraction of issued prefetches later hit (precision) — the model
+    projects the net benefit of the NEXT prefetch:
+
+        projected = precision × (miss_sec − hit_sec) − read_sec
+
+    ``None`` until ``warmup_issues`` prefetches have been observed
+    (no evidence, no verdict). The service consults this before every
+    cycle when its economics gate is on; estimates can also be seeded
+    from a prior calibration run (the access-log observability layer
+    C4–C6 exists to provide exactly that evidence in production).
+    """
+
+    def __init__(self, warmup_issues: int = 20) -> None:
+        self.warmup_issues = warmup_issues
+        self.issued = 0
+        self.prefetch_hits = 0
+        self.pending: set[int] = set()
+        self.miss_sec = _Ewma()
+        self.hit_sec = _Ewma()
+        self.read_sec = _Ewma()
+
+    def note_prefetch(self, block_id: int, sec: float) -> None:
+        self.issued += 1
+        self.pending.add(block_id)
+        self.read_sec.update(sec)
+
+    def note_access(self, block_id: int, hit: bool, sec: float) -> None:
+        (self.hit_sec if hit else self.miss_sec).update(sec)
+        if hit and block_id in self.pending:
+            self.prefetch_hits += 1
+            self.pending.discard(block_id)
+
+    @property
+    def precision(self) -> float:
+        return self.prefetch_hits / max(1, self.issued)
+
+    def projected_net_sec_per_prefetch(self) -> float | None:
+        if self.issued < self.warmup_issues:
+            return None
+        if None in (self.miss_sec.value, self.hit_sec.value, self.read_sec.value):
+            return None
+        return (
+            self.precision * (self.miss_sec.value - self.hit_sec.value)
+            - self.read_sec.value
+        )
+
+
 class Prefetcher:
     """Load predicted blocks into the cache (reference prefetch.py:19-43)."""
 
@@ -72,6 +139,8 @@ class PrefetchService:
         history_len: int = 100,
         k: int = 10,
         min_prob: float = 0.0,
+        economics_gate: bool = False,
+        economics: PrefetchEconomics | None = None,
     ) -> None:
         self.scheduler = scheduler
         self.prefetcher = prefetcher
@@ -86,6 +155,15 @@ class PrefetchService:
         # 0.0 keeps the reference's pure-top-k behavior; the benched
         # operating point lives in BENCH prefetch_ab.min_prob_sweep.
         self.min_prob = min_prob
+        # Net-benefit gate (r9 #3): with the gate on, a cycle issues
+        # NOTHING while the projected net benefit per prefetch is
+        # negative — speculative IO must pay for itself in saved
+        # foreground time, measured, not assumed. Feed the model via
+        # ``note_access``; seed it from a calibration run to gate
+        # from the first cycle.
+        self.economics = economics if economics is not None else PrefetchEconomics()
+        self.economics_gate = economics_gate
+        self.gate_skips = 0
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self.cycles = 0
@@ -108,13 +186,27 @@ class PrefetchService:
             kept = [(b, p) for b, p in suggestions if p >= self.min_prob]
             self.suppressed += len(suggestions) - len(kept)
             suggestions = kept
-        loaded = [
-            b for b, _p in suggestions if self.prefetcher.prefetch_block(b)
-        ]
+        if self.economics_gate:
+            net = self.economics.projected_net_sec_per_prefetch()
+            if net is not None and net < 0:
+                self.gate_skips += 1
+                self.cycles += 1
+                return 0
+        loaded = []
+        for b, _p in suggestions:
+            t0 = time.time()
+            if self.prefetcher.prefetch_block(b):
+                self.economics.note_prefetch(b, time.time() - t0)
+                loaded.append(b)
         self.issued_log.extend(loaded)
         self.prefetched += len(loaded)
         self.cycles += 1
         return len(loaded)
+
+    def note_access(self, block_id: int, hit: bool, sec: float) -> None:
+        """Feed the economics model one foreground access observation
+        (the cache owner calls this where the read happens)."""
+        self.economics.note_access(block_id, hit, sec)
 
     def _loop(self) -> None:
         while not self._stop.wait(self.interval):

@@ -40,14 +40,107 @@ except ImportError:  # pragma: no cover - the sandbox path
     _PIL_Image = None
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png_builtin(payload: bytes) -> "object":
+    """Minimal pure-stdlib PNG decode → (H, W, 3) uint8 array.
+
+    Public-spec implementation (RFC 2083 / the PNG spec): 8-bit
+    greyscale / grey+alpha / RGB / RGBA, non-interlaced; all five
+    scanline filters (None/Sub/Up/Average/Paeth) unfiltered. Exists so
+    the real-decode mapInPandas branch is exercisable in codec-less
+    environments; Pillow takes precedence when installed and covers
+    every other format."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    width = height = None
+    channels = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[
+            pos + 4 : pos + 8
+        ]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace != 0:
+                raise ValueError("builtin PNG decoder: 8-bit non-interlaced only")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+            if channels is None:
+                raise ValueError(f"builtin PNG decoder: color type {color}")
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("truncated PNG")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        row_start = y * (stride + 1)
+        ftype = raw[row_start]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=row_start + 1
+        ).astype(np.int32)
+        cur = np.zeros(stride, dtype=np.int32)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub / Average / Paeth need the in-progress row
+            for x in range(stride):
+                a = cur[x - channels] if x >= channels else 0  # left
+                b = int(prev[x])  # up
+                c = int(prev[x - channels]) if x >= channels else 0  # up-left
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                elif ftype == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad PNG filter {ftype}")
+                cur[x] = (line[x] + pred) & 0xFF
+        out[y] = cur.astype(np.uint8)
+        prev = out[y].astype(np.uint8)
+    img = out.reshape(height, width, channels)
+    if channels == 1:
+        img = np.repeat(img, 3, axis=2)
+    elif channels == 2:  # grey + alpha → replicate grey
+        img = np.repeat(img[:, :, :1], 3, axis=2)
+    elif channels == 4:  # drop alpha
+        img = img[:, :, :3]
+    return img
+
+
 def decode_image(payload: bytes) -> "object":
-    """Decode an image payload → (H, W, 3) uint8 numpy array via
-    Pillow when available. Raises NotImplementedError only when the
-    codec library is genuinely absent."""
+    """Decode an image payload → (H, W, 3) uint8 numpy array: Pillow
+    when available (any format), else the built-in minimal PNG path.
+    Raises NotImplementedError only for formats no available codec
+    handles (e.g. JPEG in a Pillow-less environment)."""
     if _PIL_Image is None:
+        if payload.startswith(_PNG_SIG):
+            return _decode_png_builtin(payload)
         raise NotImplementedError(
-            "image/audio codecs are not available in this environment; "
-            "use fake_feature_batches for the tested plumbing path"
+            "no codec for this payload in this environment (Pillow absent; "
+            "builtin decoder is PNG-only) — use fake_feature_batches for "
+            "the format-agnostic plumbing path"
         )
     import io
 

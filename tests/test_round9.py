@@ -226,40 +226,33 @@ class TestAdviceR8:
 
 
 class TestMultimodalDecode:
-    def test_stub_fires_only_without_pillow(self, monkeypatch):
+    def test_stub_fires_only_without_codec(self, monkeypatch):
         # The NotImplementedError path is an environment statement, not
-        # a permanent stub: it must fire exactly when Pillow is absent.
+        # a permanent stub: with Pillow absent it must fire exactly for
+        # formats the vendored builtin decoder (PNG-only) cannot take.
         import columnar_database_project_spark.operators.multimodal as mm
 
-        if mm._PIL_Image is None:
-            import pytest as _pytest
-
-            with _pytest.raises(NotImplementedError):
-                mm.decode_image(b"\x89PNG")
-        else:  # pragma: no cover - Pillow-present environments
-            assert callable(mm._PIL_Image.open)
-        # simulate absence regardless of environment
         monkeypatch.setattr(mm, "_PIL_Image", None)
         import pytest as _pytest
 
         with _pytest.raises(NotImplementedError):
-            mm.decode_image(b"\x89PNG")
+            mm.decode_image(b"\xff\xd8\xff\xe0jpeg-ish")
+        # a PNG payload decodes via the builtin path even without
+        # Pillow — but a TRUNCATED one is a data error, not a stub
+        with _pytest.raises(ValueError):
+            mm._decode_png_builtin(b"\x89PNG\r\n\x1a\n")
 
-    def test_real_decode_path_with_pillow(self, spark, sf_dir):
-        # Runs only where Pillow exists: decode a real PNG through the
-        # SAME mapInPandas plumbing the fake extractor uses.
-        import pytest as _pytest
-
-        _pytest.importorskip("PIL")
-        import io
-
-        from PIL import Image
+    def test_real_decode_path(self, spark, sf_dir):
+        # Runs in EVERY environment (r9 left this leg skipped when
+        # Pillow was absent): decode a real PNG — built by the stdlib
+        # fixture encoder — through the SAME mapInPandas plumbing the
+        # fake extractor uses.
+        import numpy as np
 
         import columnar_database_project_spark.operators.multimodal as mm
+        from png_fixture import png_bytes
 
-        buf = io.BytesIO()
-        Image.new("RGB", (4, 3), color=(10, 20, 30)).save(buf, format="PNG")
-        png = buf.getvalue()
+        png = png_bytes(np.full((3, 4, 3), [10, 20, 30], dtype=np.uint8))
         df = spark.createDataFrame(
             [(1, bytearray(png))], "doc_id long, payload binary"
         )
