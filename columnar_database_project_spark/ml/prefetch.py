@@ -164,6 +164,7 @@ class PrefetchService:
         self.economics = economics if economics is not None else PrefetchEconomics()
         self.economics_gate = economics_gate
         self.gate_skips = 0
+        self.prefetch_read_sec = 0.0   # actual block-read time issued
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self.cycles = 0
@@ -196,7 +197,9 @@ class PrefetchService:
         for b, _p in suggestions:
             t0 = time.time()
             if self.prefetcher.prefetch_block(b):
-                self.economics.note_prefetch(b, time.time() - t0)
+                dt = time.time() - t0
+                self.economics.note_prefetch(b, dt)
+                self.prefetch_read_sec += dt
                 loaded.append(b)
         self.issued_log.extend(loaded)
         self.prefetched += len(loaded)

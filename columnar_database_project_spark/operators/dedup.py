@@ -666,6 +666,14 @@ def connected_components_star(
     nodes×rounds or when the label table itself would be the skew
     point; the fixed point is detected by an edge-set checksum, and
     ``localCheckpoint`` truncates lineage each round."""
+    # Materialize the input once: the contraction loop re-plans
+    # against it every round, and complex upstream plans — e.g. the
+    # capped LSH unionByName of the clique and keeper-star branches —
+    # trip a Catalyst attribute-rewrite failure when re-planned inside
+    # the loop (observed on Spark 4.1 under AQE: "key not found:
+    # u#…"; r10 skew stress). A LogicalRDD seed sidesteps it and is
+    # standard lineage hygiene for iterative graph algorithms anyway.
+    pairs = pairs.localCheckpoint()
     nodes = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b").alias("doc_id")))

@@ -49,6 +49,82 @@ def _service(econ, gate=True):
     )
 
 
+class TestKeeperStarSkew:
+    """The production cap on a corpus with a GENUINE over-cap hot
+    bucket (VERDICT r9 #4): a boilerplate group larger than the cap
+    floods every band bucket; pair enumeration must linearize while
+    connected components stay identical to the clique form."""
+
+    @pytest.fixture(scope="class")
+    def skew_bk(self, spark, sf_dir, tmp_path_factory):
+        import bench
+
+        from columnar_database_project_spark.operators.dedup import (
+            _band_keys,
+        )
+
+        d = str(tmp_path_factory.mktemp("skew"))
+        bench._make_skew_docs(sf_dir, d, hot=60)
+        return _band_keys(spark, d).localCheckpoint()
+
+    def test_star_linearizes_hot_bucket(self, skew_bk):
+        from columnar_database_project_spark.operators.dedup import (
+            lsh_candidate_pairs,
+        )
+
+        capped = lsh_candidate_pairs(skew_bk, 30).collect()
+        uncapped_n = lsh_candidate_pairs(skew_bk, None).count()
+        # clique on the hot group alone is 60·59/2 = 1770 pairs; the
+        # star emits 59 — the capped total must sit far below uncapped
+        assert len(capped) < uncapped_n
+        assert uncapped_n >= 1770
+        # capped ⊆ uncapped on the pair level is NOT required (star
+        # replaces clique pairs), but every pair must touch the corpus
+        assert all(r["doc_a"] < r["doc_b"] for r in capped)
+
+    def test_components_identical_capped_vs_clique(self, skew_bk):
+        from columnar_database_project_spark.operators.dedup import (
+            connected_components_star,
+            lsh_candidate_pairs,
+        )
+
+        cc_cap = {
+            (r["doc_id"], r["cluster_id"])
+            for r in connected_components_star(
+                lsh_candidate_pairs(skew_bk, 30)
+            ).collect()
+        }
+        cc_unc = {
+            (r["doc_id"], r["cluster_id"])
+            for r in connected_components_star(
+                lsh_candidate_pairs(skew_bk, None)
+            ).collect()
+        }
+        assert cc_cap == cc_unc
+
+    def test_cc_star_takes_capped_plan(self, skew_bk):
+        # regression: the capped unionByName(clique, star) plan tripped
+        # a Catalyst attribute-rewrite failure inside the contraction
+        # loop (Spark 4.1 + AQE, "key not found: u#…") before the
+        # edge-seed materialization in connected_components_star
+        from columnar_database_project_spark.operators.dedup import (
+            connected_components,
+            connected_components_star,
+            lsh_candidate_pairs,
+        )
+
+        pairs = lsh_candidate_pairs(skew_bk, 30)
+        star = {
+            (r["doc_id"], r["cluster_id"])
+            for r in connected_components_star(pairs).collect()
+        }
+        label = {
+            (r["doc_id"], r["cluster_id"])
+            for r in connected_components(pairs).collect()
+        }
+        assert star == label and len(star) > 0
+
+
 class TestBuiltinPngDecode:
     """The vendored-codec leg (VERDICT r9 #8): the real-decode branch
     runs in this Pillow-less container via the stdlib PNG path."""
