@@ -1497,42 +1497,54 @@ def bench_lsh_skew(spark, sf_dir: str) -> dict:
     )
 
     out: dict = {"cap": LSH_MAX_BUCKET, "hot_groups": {}}
+    # The production-cap curve: capped wall must stay ~flat/linear as
+    # the hot group grows 16×. The clique comparison is deliberately
+    # NOT re-timed here every round — measured once (r10, this box,
+    # sf0.1 base): H=4000 uncapped 287.9 s / 7,998,267 pairs vs capped
+    # 0.658 s / 4,266 pairs, component parity TRUE; H=16000 clique
+    # would be ~512M pre-distinct rows (exactly why the cap exists).
+    # See PLANS.md §Round-10.
     for hot in (1000, 4000, 16000):
         d = os.path.join(REPO, ".bench_data", f"skew_docs_h{hot}")
         _make_skew_docs(sf_dir, d, hot)
         bk = _band_keys(spark, d).localCheckpoint()
-        capped = lambda: lsh_candidate_pairs(bk, LSH_MAX_BUCKET)  # noqa: E731
-        n_capped = capped().count()  # warm + count
+        n_capped = lsh_candidate_pairs(bk, LSH_MAX_BUCKET).count()  # warm
         best_c = float("inf")
         for _ in range(2):
             t0 = time.time()
-            capped().count()
+            lsh_candidate_pairs(bk, LSH_MAX_BUCKET).count()
             best_c = min(best_c, time.time() - t0)
-        entry = {
+        out["hot_groups"][str(hot)] = {
             "capped_sec": round(best_c, 3),
             "capped_pairs": int(n_capped),
             "star_fired": bool(hot > LSH_MAX_BUCKET),
         }
-        if hot <= 4000:
-            # the clique form is O(H²) — 4000² /2 × 4 bands ≈ 32M
-            # pre-distinct rows is the largest tractable point here;
-            # at 16000 it would be ~512M (exactly why the cap exists)
-            uncapped = lambda: lsh_candidate_pairs(bk, None)  # noqa: E731
-            n_unc = uncapped().count()
-            t0 = time.time()
-            uncapped().count()
-            entry["uncapped_sec"] = round(time.time() - t0, 3)
-            entry["uncapped_pairs"] = int(n_unc)
-            cc_cap = {
-                (r["doc_id"], r["cluster_id"])
-                for r in connected_components_star(capped()).collect()
-            }
-            cc_unc = {
-                (r["doc_id"], r["cluster_id"])
-                for r in connected_components_star(uncapped()).collect()
-            }
-            entry["component_parity"] = bool(cc_cap == cc_unc)
-        out["hot_groups"][str(hot)] = entry
+        bk.unpersist()
+    # Correctness leg, kept cheap: a small corpus whose hot group
+    # exceeds a PARAMETERIZED cap exercises the identical code path
+    # (the cap is an argument); clique-vs-star pair counts and exact
+    # component parity are asserted here every round.
+    d = os.path.join(REPO, ".bench_data", "skew_docs_h300")
+    _make_skew_docs("/root/testdata/sf0.001", d, 300)
+    bk = _band_keys(spark, d).localCheckpoint()
+    cap = 100
+    capped_pairs = lsh_candidate_pairs(bk, cap)
+    uncapped_pairs = lsh_candidate_pairs(bk, None)
+    cc_cap = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components_star(capped_pairs).collect()
+    }
+    cc_unc = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components_star(uncapped_pairs).collect()
+    }
+    out["parity_leg"] = {
+        "hot": 300,
+        "cap": cap,
+        "capped_pairs": int(capped_pairs.count()),
+        "uncapped_pairs": int(uncapped_pairs.count()),
+        "component_parity": bool(cc_cap == cc_unc),
+    }
     return out
 
 
