@@ -1651,6 +1651,47 @@ def bench_ann_operating_point(
     return out
 
 
+def bench_streaming_throughput(spark, sf_dir: str) -> dict:
+    """Structured-Streaming throughput on the events table: the full
+    corpus replayed as an 8-file parquet drop through (a) the
+    stateless tumbling-window aggregation and (b) the
+    applyInPandasWithState sessionizer, availableNow-triggered to
+    drain everything. Reported as rows/sec so the streaming surface
+    carries a measured capacity number, not just twin-equality tests.
+    (Micro-batch scheduling overhead dominates at this input size —
+    the number is a floor, not a ceiling.)"""
+    from columnar_database_project_spark.catalog import load_table
+    from columnar_database_project_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory,
+        sessionize_stateful,
+        tumbling_counts,
+    )
+
+    stream_src = os.path.join(REPO, ".bench_data", "stream_events")
+    ev = load_table(spark, sf_dir, "events")
+    n_rows = ev.count()
+    if not os.path.isdir(stream_src):
+        ev.repartition(8).write.mode("overwrite").parquet(stream_src)
+    out: dict[str, dict] = {"n_rows": n_rows}
+    jobs = (
+        ("tumbling_counts", lambda s: tumbling_counts(s), "complete"),
+        ("sessionize_stateful", lambda s: sessionize_stateful(s), "update"),
+    )
+    for label, builder, mode in jobs:
+        stream = read_event_stream(spark, stream_src, max_files_per_trigger=4)
+        t0 = time.time()
+        q = run_to_memory(builder(stream), f"bench_{label}", mode)
+        dt = time.time() - t0
+        q.stop()
+        out[label] = {
+            "sec": round(dt, 3),
+            "rows_per_sec": int(n_rows / dt) if dt else None,
+        }
+    return out
+
+
+
 def bench_near_survivors_chain(spark, sf_dir: str) -> dict:
     """The composed near-dedup pipeline (minhash → ngram-jaccard pairs
     → connected components → survivors) timed END-TO-END at the
