@@ -1399,11 +1399,15 @@ def bench_bucketed_headliners(
                 g = got.sort_values(list(got.columns)).reset_index(drop=True)
                 r = ref.sort_values(list(ref.columns)).reset_index(drop=True)
                 for c in g.columns:
-                    col_ok = (
-                        bool(((g[c] - r[c]).abs() < 1e-6).all())
-                        if str(g[c].dtype).startswith(("float", "int"))
-                        else bool((g[c] == r[c]).all())
-                    )
+                    if str(g[c].dtype).startswith("float"):
+                        # relative tolerance: a different partitioning
+                        # reorders float summation — ulp-level drift on
+                        # 1e10-magnitude sums is ~1e-4 absolute and NOT
+                        # a correctness difference
+                        tol = 1e-6 + 1e-9 * r[c].abs()
+                        col_ok = bool(((g[c] - r[c]).abs() <= tol).all())
+                    else:
+                        col_ok = bool((g[c] == r[c]).all())
                     if not col_ok:
                         same = False
                         break
@@ -1428,6 +1432,37 @@ def bench_bucketed_headliners(
                 )
             queries[n] = entry
         out["queries"] = queries
+        # The regime the 100 TB claim is about: when the reduced build
+        # sides exceed the broadcast threshold (always true at real
+        # fact scale), the flat plan pays a full shuffle join while
+        # the bucketed layout still plans Exchange-free. Force that
+        # regime (broadcast off) and time q3 both ways — this is the
+        # number that decides the layout default at cluster scale,
+        # while the broadcast-regime rows above decide it at THIS one.
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            fs: dict = {}
+            for tag, active in (("flat", False), ("bucketed", True)):
+                if not active:
+                    clear_layout_overrides(spark, sf4_dir)
+                else:
+                    materialize_fact_layout(spark, sf4_dir, base)
+                df = qs["q3_shipping_priority"](spark, sf4_dir)
+                fs[f"exchanges_{tag}"] = count_shuffles(df)
+                df.toPandas()  # warm
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.time()
+                    qs["q3_shipping_priority"](spark, sf4_dir).toPandas()
+                    best = min(best, time.time() - t0)
+                fs[tag] = round(best, 3)
+            fs["layout_speedup"] = (
+                round(fs["flat"] / fs["bucketed"], 2) if fs["bucketed"] else None
+            )
+            out["forced_shuffle_regime_q3"] = fs
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         clear_layout_overrides(spark, sf4_dir)
     return out

@@ -40,8 +40,17 @@ def write_bucketed(
     tmp dirs). Sorting within buckets lets SortMergeJoin skip the
     per-task sort as well.
     """
-    writer = df.write.mode("overwrite").format("parquet").bucketBy(
-        n_buckets, bucket_col
+    # Repartition to one task per bucket first: bucketBy writes one
+    # file per (task × bucket), so an N-partition input yields N×B
+    # small files (r10 measured: 15×32 = 480 lineitem files whose
+    # per-file open cost made every bucketed scan LOSE to flat).
+    # repartition(B, col) uses the same Murmur3 hash bucketBy does, so
+    # each task holds exactly one bucket → exactly B files.
+    writer = (
+        df.repartition(n_buckets, bucket_col)
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, bucket_col)
     )
     if sort:
         writer = writer.sortBy(bucket_col)
