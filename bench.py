@@ -1380,6 +1380,21 @@ def bench_bucketed_headliners(
         n: count_shuffles(qs[n](spark, sf4_dir))
         for n in ("q3_shipping_priority", "q5_local_supplier_volume")
     }
+    # In-section flat re-time under the SAME warm discipline as the
+    # bucketed half: the pairwise-sweep flat numbers (also recorded,
+    # as "flat") come from a different window, and cross-window deltas
+    # at sub-second scale are box noise, not layout signal.
+    for _ in range(1):
+        for n in names:
+            qs[n](spark, sf4_dir).toPandas()
+    flat_insection: dict = {}
+    for n in names:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            qs[n](spark, sf4_dir).toPandas()
+            best = min(best, time.time() - t0)
+        flat_insection[n] = round(best, 3)
     base = os.path.join(
         REPO,
         ".bench_data",
@@ -1387,10 +1402,22 @@ def bench_bucketed_headliners(
     )
     try:
         materialize_fact_layout(spark, sf4_dir, base)
+        # The materialization is a full fact rewrite: settle the JVM
+        # and run TWO untimed sweeps over the whole set before any
+        # timed run, symmetric with the pairwise protocol — the first
+        # post-write takes otherwise read GC debt + cold bucketed
+        # files (r10: q5 recorded 8.97 s ungated vs 3.26 s clean).
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # pragma: no cover - defensive
+            pass
+        for _ in range(2):
+            for n in names:
+                qs[n](spark, sf4_dir).toPandas()
         queries: dict = {}
         for n in names:
             df = qs[n](spark, sf4_dir)
-            got = df.toPandas()  # warm + parity capture
+            got = df.toPandas()  # parity capture
             ref = flat_results[n]
             same = list(got.columns) == list(ref.columns) and len(got) == len(
                 ref
@@ -1419,10 +1446,11 @@ def bench_bucketed_headliners(
             entry = {
                 "bucketed": round(best, 3),
                 "parity": bool(same),
+                "flat_insection": flat_insection[n],
+                "layout_speedup": round(flat_insection[n] / best, 2),
             }
             if flat_times and n in flat_times:
-                entry["flat"] = flat_times[n]
-                entry["layout_speedup"] = round(flat_times[n] / best, 2)
+                entry["flat_pairwise"] = flat_times[n]
             if duck_times and n in duck_times:
                 entry["vs_duckdb"] = round(best / max(duck_times[n], 1e-9), 2)
             if n in flat_exchanges:
@@ -1451,6 +1479,7 @@ def bench_bucketed_headliners(
                 df = qs["q3_shipping_priority"](spark, sf4_dir)
                 fs[f"exchanges_{tag}"] = count_shuffles(df)
                 df.toPandas()  # warm
+                df.toPandas()  # second warm (codegen for this regime)
                 best = float("inf")
                 for _ in range(3):
                     t0 = time.time()
@@ -1670,11 +1699,51 @@ def bench_ann_operating_point(
         t0 = time.time()
         q_sim_ivf_topk(spark, sf_dir).collect()
         best = min(best, time.time() - t0)
+    # Single-query latency frontier on the PERSISTED store (the
+    # serving shape): scan-time-assignment IVF cannot beat the exact
+    # scan — every vector must still be read+normalized to learn its
+    # cell — and with the full Q=5 batch the probed-cell union covers
+    # ~all 16 cells anyway. The store search reads persisted 8 B codes
+    # from only the probed cell DIRECTORIES (partition pruning), so
+    # per-query cost tracks the probed fraction. n_probe=16 reads
+    # everything — the store-side exact-coverage twin.
+    from columnar_database_project_spark.streaming.vectors import (
+        ensure_index_store,
+        search_index_store,
+    )
+
+    store = ensure_index_store(spark, sf_dir)
+    single = {}
+    for p in (2, 4, N_PROBE, 16):
+        search_index_store(spark, store, sf_dir, n_probe=p, n_queries=1).collect()
+        b = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            search_index_store(
+                spark, store, sf_dir, n_probe=p, n_queries=1
+            ).collect()
+            b = min(b, time.time() - t0)
+        single[p] = {
+            "sec": round(b, 3),
+            "recall_at_10_q5curve": curve.get(p),
+            "probed_fraction": round(p / 16, 3),
+        }
+    # the batched store search at the default operating point — the
+    # ANN headline row: persisted-code ADC vs the exact scan
+    search_index_store(spark, store, sf_dir).collect()
+    b = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        search_index_store(spark, store, sf_dir).collect()
+        b = min(b, time.time() - t0)
+    store_sec = round(b, 3)
     out = {
         "n_probe": N_PROBE,
         "recall_at_10": curve.get(N_PROBE),
         "ivf_sec": round(best, 3),
+        "ivfpq_store_sec": store_sec,
         "curve": curve,
+        "single_query_store": single,
     }
     if bruteforce_sec is not None:
         out["bruteforce_sec"] = bruteforce_sec
@@ -1682,6 +1751,9 @@ def bench_ann_operating_point(
         out["duckdb_exact_sec"] = duckdb_exact_sec
         out["ivf_vs_duckdb_exact"] = round(
             best / max(duckdb_exact_sec, 1e-9), 2
+        )
+        out["ivfpq_store_vs_duckdb_exact"] = round(
+            store_sec / max(duckdb_exact_sec, 1e-9), 2
         )
     return out
 
@@ -2258,9 +2330,18 @@ def main() -> None:
         except Exception as exc:  # pragma: no cover - defensive
             print(f"WARN: overhead_floor failed ({exc!r})", file=sys.stderr)
         try:
-            scaling["sf2.5"]["bucketed_headliners"] = bench_bucketed_headliners(
-                spark, sf4_dir, sf25_spark, sf25_duck
+            # health-gated: sub-second layout deltas are pure box noise
+            # on a contended take (r10 ungated runs recorded q5 at
+            # 1.1–10.5 s across windows)
+            _bkt, _bkt_health = health_gated(
+                "bucketed-sf2.5",
+                lambda: bench_bucketed_headliners(
+                    spark, sf4_dir, sf25_spark, sf25_duck
+                ),
+                settle=_jvm_settle,
             )
+            _bkt["health"] = _bkt_health
+            scaling["sf2.5"]["bucketed_headliners"] = _bkt
         except Exception as exc:  # pragma: no cover - defensive
             print(f"WARN: bucketed_headliners failed ({exc!r})", file=sys.stderr)
         try:

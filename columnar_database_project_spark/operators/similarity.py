@@ -458,7 +458,10 @@ def q_sim_ivf_probes(
 
 
 def q_sim_ivf_topk(
-    spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE
+    spark: SparkSession,
+    sf_dir: str,
+    n_probe: int = N_PROBE,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means cells over a sample, each
     vector assigned to its nearest cell, queries probe the ``n_probe``
@@ -478,6 +481,8 @@ def q_sim_ivf_topk(
     cents = ivf_centroids(sf_dir)
 
     q_ids, q_raw = _query_vectors(sf_dir)
+    if n_queries is not None:
+        q_ids, q_raw = q_ids[:n_queries], q_raw[:n_queries]
     q_mat = normalize_rows(q_raw)
     # cells each query probes — same rounded deterministic ordering as
     # the oracle-checked probe plan (q_sim_ivf_probes)
@@ -492,19 +497,30 @@ def q_sim_ivf_topk(
     probe_mask = np.zeros((len(q_ids), N_IVF_CELLS), dtype=bool)
     for qi in range(len(q_ids)):
         probe_mask[qi, q_cells[qi]] = True
+    # cells NO query probes are dead: their vectors get assignment
+    # (one cheap batch × cells matmul) but never a query dot product —
+    # the compute-side analogue of partition pruning, and the reason a
+    # low-probe single-query search costs ~probed-fraction of the
+    # exact scan rather than all of it (r10; results are identical,
+    # skipped products were masked out anyway).
+    active_cells = probe_mask.any(axis=0)
 
     def assign_and_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             v = normalize_rows(stack_embeddings(pdf["embedding"]))
             # rounded-argmax assignment, identical to q_sim_ivf_assignments
             cell = np.argmax(np.round(v @ cents.T, IVF_SIM_DECIMALS), axis=1)
-            sims = q_mat @ v.T                        # (Q, batch)
-            keep = probe_mask[:, cell]                # (Q, batch)
+            ids = pdf["vec_id"].values
+            act = active_cells[cell]
+            if not act.all():
+                v, cell, ids = v[act], cell[act], ids[act]
+            sims = q_mat @ v.T                        # (Q, active batch)
+            keep = probe_mask[:, cell]                # (Q, active batch)
             qi_idx, bi_idx = np.nonzero(keep)
             yield pd.DataFrame(
                 {
                     "q_id": q_ids[qi_idx],
-                    "vec_id": pdf["vec_id"].values[bi_idx],
+                    "vec_id": ids[bi_idx],
                     "cell": cell[bi_idx].astype(np.int32),
                     "cosine_raw": sims[qi_idx, bi_idx],
                 }

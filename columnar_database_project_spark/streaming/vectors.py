@@ -121,6 +121,8 @@ def search_index_store(
     spark: SparkSession,
     index_path: str,
     codebook_sf_dir: str,
+    n_probe: int = N_PROBE,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """ADC top-k over the PERSISTED codes — the query path an index
     consumer runs between drops. The probed-cell union becomes a
@@ -131,12 +133,14 @@ def search_index_store(
     cents = ivf_centroids(codebook_sf_dir)
     books = pq_codebooks(codebook_sf_dir)
     q_ids, q_raw = _query_vectors(codebook_sf_dir)
+    if n_queries is not None:
+        q_ids, q_raw = q_ids[:n_queries], q_raw[:n_queries]
     q_norm = normalize_rows(q_raw)
     q_sims = np.round(q_norm @ cents.T, IVF_SIM_DECIMALS)
     probe_mask = np.zeros((len(q_ids), N_IVF_CELLS), dtype=bool)
     for qi in range(len(q_ids)):
         order = np.lexsort((np.arange(N_IVF_CELLS), -q_sims[qi]))
-        probe_mask[qi, order[:N_PROBE]] = True
+        probe_mask[qi, order[:n_probe]] = True
     probed_union = sorted(int(c) for c in np.nonzero(probe_mask.any(0))[0])
     sub = q_raw.reshape(len(q_ids), PQ_M, -1)
     lut = np.empty((len(q_ids), PQ_M, PQ_K))
