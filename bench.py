@@ -1165,27 +1165,51 @@ def bench_prefetch_ab(spark, sf_dir: str) -> dict:
         "total_sec": round(sum(lat), 3),
     }
 
+    class _SlowStorePrefetcher(Prefetcher):
+        """Prefetcher against simulated remote object storage: every
+        block GET pays ``delay`` seconds of latency on top of the real
+        read. Concurrent issue (service concurrent_issue > 1) overlaps
+        the sleeps exactly as concurrent GETs overlap in production."""
+
+        def __init__(self, spark_, index_, cache_, delay: float) -> None:
+            super().__init__(spark_, index_, cache_)
+            self.delay = delay
+
+        def prefetch_block(self, block_id: int) -> bool:
+            ok = Prefetcher.prefetch_block(self, block_id)
+            if ok:
+                time.sleep(self.delay)
+            return ok
+
     def replay(
         with_lstm: bool,
         min_prob: float,
         gate: bool = False,
         seed_econ=None,
+        delay: float = 0.0,
+        concurrent_issue: int = 1,
     ) -> tuple[dict, object]:
         cache = BlockCache(capacity=CAPACITY)
         history = GlobalHistory(maxlen=500)
         if seed_econ is not None:
             # seed carries the calibration ESTIMATES, not the previous
             # run's in-flight attribution state
-            seed_econ.pending = set()
+            seed_econ.pending.clear()
+        prefetcher = (
+            _SlowStorePrefetcher(spark, index, cache, delay)
+            if delay
+            else Prefetcher(spark, index, cache)
+        )
         service = (
             PrefetchService(
                 scheduler,
-                Prefetcher(spark, index, cache),
+                prefetcher,
                 history,
                 cache,
                 history_len=100,
                 economics_gate=gate,
                 economics=seed_econ,
+                concurrent_issue=concurrent_issue,
                 # k A/B (r7, this harness): k=6 → 0.504 hit / 300
                 # prefetch reads; k=10 → 0.568 hit / 500 reads. The
                 # extra speculative reads are background-pool work, so
@@ -1215,6 +1239,8 @@ def bench_prefetch_ab(spark, sf_dir: str) -> dict:
             if df is None:
                 df = spark.read.parquet(index.block_file(b))
                 cache.put(b, df)       # persists + materializes
+                if delay:
+                    time.sleep(delay)  # demand read pays the GET too
             else:
                 df.count()             # serve from BlockManager
                 if b in pending:       # hit attributable to prefetch
@@ -1304,11 +1330,7 @@ def bench_prefetch_ab(spark, sf_dir: str) -> dict:
     # recorded but carry run-to-run box drift (a config that issued
     # nothing measured −2 s by difference in r10's first take), so
     # the gate criterion reads the attribution form.
-    base_total = out["lru_only"]["total_sec"]
-    for key in ("lru_lstm", "lru_lstm_gated", *[f"min_prob_sweep.{m}" for m in sweep]):
-        entry = (
-            sweep[key.split(".", 1)[1]] if key.startswith("min_prob_sweep") else out[key]
-        )
+    def annotate_net(entry: dict, base_total: float) -> None:
         saved = (
             entry.get("prefetch_hits", 0)
             * ((entry.get("mean_miss_ms") or 0.0) - (entry.get("mean_hit_ms") or 0.0))
@@ -1324,6 +1346,13 @@ def bench_prefetch_ab(spark, sf_dir: str) -> dict:
             - entry.get("prefetch_read_sec", 0.0),
             3,
         )
+
+    base_total = out["lru_only"]["total_sec"]
+    for key in ("lru_lstm", "lru_lstm_gated", *[f"min_prob_sweep.{m}" for m in sweep]):
+        entry = (
+            sweep[key.split(".", 1)[1]] if key.startswith("min_prob_sweep") else out[key]
+        )
+        annotate_net(entry, base_total)
     # operating point: the highest floor that keeps the hit-rate lift
     # within 0.02 of the unfloored run — buys precision (fewer wasted
     # speculative reads) at negligible hit-rate cost
@@ -1337,6 +1366,42 @@ def bench_prefetch_ab(spark, sf_dir: str) -> dict:
         "rule": "max floor with hit_rate >= unfloored - 0.02",
         **(sweep.get(chosen, out["lru_lstm"])),
     }
+    # Slow-store leg (VERDICT r10 #3): the positive-net regime the
+    # fast-disk result cannot reach. Every block GET pays 200 ms of
+    # simulated object-store latency; the service issues each cycle's
+    # batch CONCURRENTLY (width = k), as a remote deployment would —
+    # in-flight GETs overlap, so the per-prefetch cost the economics
+    # model observes is the amortized batch wall while the foreground
+    # demand miss still pays the full round trip. The SAME gate, fed
+    # the same way, must flip to issuing here with net_sec > 0 — the
+    # flip threshold itself is pinned unit-side in
+    # tests/test_round11.py::TestGateFlipThreshold.
+    SLOW_DELAY = 0.2
+    slow: dict = {
+        "read_delay_ms": int(SLOW_DELAY * 1000),
+        "concurrent_issue": 10,
+    }
+    slow["lru_only"], _ = replay(False, 0.0, delay=SLOW_DELAY)
+    slow["lru_lstm"], slow_econ = replay(
+        True, 0.0, delay=SLOW_DELAY, concurrent_issue=10
+    )
+    slow["lru_lstm_gated"], _ = replay(
+        True,
+        0.0,
+        gate=True,
+        seed_econ=slow_econ,
+        delay=SLOW_DELAY,
+        concurrent_issue=10,
+    )
+    slow_base = slow["lru_only"]["total_sec"]
+    for key in ("lru_lstm", "lru_lstm_gated"):
+        annotate_net(slow[key], slow_base)
+    slow["gate_issuing"] = slow["lru_lstm_gated"].get("prefetch_reads", 0) > 0
+    slow["gate_net_positive"] = slow["lru_lstm_gated"].get("net_sec", 0.0) > 0
+    slow["lift_over_lru_only"] = round(
+        slow["lru_lstm_gated"]["hit_rate"] - slow["lru_only"]["hit_rate"], 3
+    )
+    out["slow_store"] = slow
     return out
 
 
@@ -1857,6 +1922,15 @@ QUIESCE_MAX_WAIT_SEC = 300.0
 # loadavg: loadavg had already fallen to 1.5 while the JVM was still
 # digesting the prior section.
 QUIESCE_PROBE_MAX_OVER_NOMINAL = 1.35
+# Symmetric END gate (VERDICT r10 #2): the r10 headline take was
+# accepted with its end probe 16% degraded (load arriving mid-section
+# but below the 2.0 abort ratio) and the sf2.5 bucketed-headliner
+# window ENDED at loadavg 15.8 — numbers from the degraded tail were
+# recorded as clean. A take must now also END healthy: end/start probe
+# ratio within HEALTH_END_PROBE_RATIO AND end 1-minute loadavg below
+# cores/4 (beyond our own worker threads, that much load is external).
+HEALTH_END_PROBE_RATIO = 1.10
+HEALTH_END_LOADAVG = (os.cpu_count() or 32) / 4
 _NOMINAL_SINGLE_MS = float("inf")  # best single_thread_ms seen this process
 
 
@@ -1927,19 +2001,29 @@ def health_gated(label: str, section, settle=None):
             h0["single_thread_ms"]
             > QUIESCE_PROBE_MAX_OVER_NOMINAL * nominal_at_start
         )
+        end_degraded = (
+            ratio > HEALTH_END_PROBE_RATIO
+            or h1["loadavg_1m"] > HEALTH_END_LOADAVG
+        )
         takes.append(
             {
                 "start": h0,
                 "end": h1,
                 "probe_ratio": round(ratio, 2),
                 "start_degraded": start_degraded,
+                "end_degraded": end_degraded,
             }
         )
-        if ratio <= HEALTH_PROBE_MAX_RATIO and not start_degraded:
+        if (
+            ratio <= HEALTH_PROBE_MAX_RATIO
+            and not start_degraded
+            and not end_degraded
+        ):
             break
         print(
             f"WARN: {label} ran contended (probe ratio {ratio:.2f}, "
-            f"start_degraded={start_degraded}) — retaking",
+            f"start_degraded={start_degraded}, "
+            f"end_degraded={end_degraded}) — retaking",
             file=sys.stderr,
         )
     return out, {"takes": takes, "accepted_take": len(takes)}

@@ -126,15 +126,35 @@ def cache_put(cache: dict, key: tuple, value) -> None:
 # repeated fact-to-fact joins plan with zero Exchange) belongs to the
 # catalog, not to each query; this is the switch that makes it the
 # engine default for a table dir without touching any query. Keyed by
-# session id so overrides never leak across sessions.
-_LAYOUT_OVERRIDES: dict[tuple[int, str, str], DataFrame] = {}
+# session id so overrides never leak across sessions. Values carry the
+# SOURCE table's freshness token from registration time: an override
+# is a derived copy of sf_dir/<name>.parquet, so if that source is
+# regenerated mid-session (bench replicas, rebuilt fixtures — the
+# _RELATION_CACHE case above) the copy is stale and lookup must fall
+# through to the fresh source rather than keep serving it.
+_LAYOUT_OVERRIDES: dict[tuple[int, str, str], tuple[DataFrame, tuple | None]] = {}
+
+
+def _layout_source_token(sf_dir: str, name: str) -> tuple | None:
+    """Freshness token of the table the override was derived from
+    (None when no source file exists — a purely in-memory override
+    has nothing to go stale against)."""
+    for ext in ("parquet", "orc"):
+        p = os.path.join(sf_dir, f"{name}.{ext}")
+        if os.path.exists(p):
+            return file_freshness(os.path.realpath(p))
+    return None
 
 
 def set_layout_override(
     spark: SparkSession, sf_dir: str, name: str, df: DataFrame
 ) -> None:
-    """Serve ``df`` for every ``load_table(spark, sf_dir, name)``."""
-    _LAYOUT_OVERRIDES[(id(spark), os.path.realpath(sf_dir), name)] = df
+    """Serve ``df`` for every ``load_table(spark, sf_dir, name)`` —
+    until the source table regenerates, which invalidates it."""
+    _LAYOUT_OVERRIDES[(id(spark), os.path.realpath(sf_dir), name)] = (
+        df,
+        _layout_source_token(sf_dir, name),
+    )
 
 
 def clear_layout_overrides(
@@ -164,11 +184,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pyarrow read with truncation to microseconds before handing the
     batches to Spark.
     """
-    override = _LAYOUT_OVERRIDES.get(
-        (id(spark), os.path.realpath(sf_dir), name)
-    )
+    okey = (id(spark), os.path.realpath(sf_dir), name)
+    override = _LAYOUT_OVERRIDES.get(okey)
     if override is not None:
-        return override
+        df, token = override
+        if token == _layout_source_token(sf_dir, name):
+            return df
+        # Source regenerated since the override was built: the derived
+        # copy is stale. Drop it and serve the fresh source; the next
+        # materialize_fact_layout call rebuilds from the new data.
+        del _LAYOUT_OVERRIDES[okey]
     path = os.path.join(sf_dir, f"{name}.parquet")
     if not os.path.exists(path):
         # ORC fallback: a dir holding <name>.orc serves the same

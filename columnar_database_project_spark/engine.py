@@ -124,9 +124,25 @@ class MicroBlockEngine:
         if self._table_dir is None:
             raise ValueError("engine has no table_dir to materialize")
         if path is None:
-            wh = self.spark.conf.get(
+            from urllib.parse import urlparse
+
+            raw = self.spark.conf.get(
                 "spark.sql.warehouse.dir", "spark-warehouse"
-            ).removeprefix("file:")
+            )
+            parsed = urlparse(raw)
+            # file:///x and bare /x (or relative) both yield a local
+            # path; removeprefix("file:") would turn file:///x into
+            # ///x and os.path.join would mangle hdfs:/s3a: URIs —
+            # the layout dir is written with local-filesystem APIs,
+            # so a remote warehouse scheme needs an explicit ``path``.
+            if parsed.scheme in ("", "file"):
+                wh = parsed.path or raw
+            else:
+                raise ValueError(
+                    f"use_bucketed_facts needs an explicit path= when "
+                    f"the warehouse is non-local ({raw!r}): the layout "
+                    f"manifest is written with local file APIs"
+                )
             digest = os.path.basename(
                 os.path.realpath(self._table_dir)
             ).replace(".", "_")

@@ -52,41 +52,66 @@ class PrefetchEconomics:
     cycle when its economics gate is on; estimates can also be seeded
     from a prior calibration run (the access-log observability layer
     C4–C6 exists to provide exactly that evidence in production).
+
+    Attribution rules (ADVICE r10): a pending speculative read is
+    credited ONLY if the block's next foreground access is a hit — a
+    MISS on a pending block proves the prefetched copy was evicted
+    before it paid, so the claim is discarded (otherwise the later
+    foreground-cached re-read would be mis-credited as a prefetch hit,
+    inflating precision and biasing the gate toward issuing).
+    ``pending`` is additionally bounded (FIFO eviction of the oldest
+    claim) so a long-running service cannot grow it without limit.
+    All mutators share one lock: ``note_prefetch`` runs on the
+    service's daemon thread while ``note_access`` is called from the
+    foreground, and the EWMA read-modify-writes would race unlocked.
     """
 
-    def __init__(self, warmup_issues: int = 20) -> None:
+    def __init__(self, warmup_issues: int = 20, max_pending: int = 1024) -> None:
         self.warmup_issues = warmup_issues
+        self.max_pending = max_pending
         self.issued = 0
         self.prefetch_hits = 0
-        self.pending: set[int] = set()
+        self.pending: dict[int, None] = {}   # insertion-ordered set
         self.miss_sec = _Ewma()
         self.hit_sec = _Ewma()
         self.read_sec = _Ewma()
+        self._lock = threading.Lock()
 
     def note_prefetch(self, block_id: int, sec: float) -> None:
-        self.issued += 1
-        self.pending.add(block_id)
-        self.read_sec.update(sec)
+        with self._lock:
+            self.issued += 1
+            self.pending.pop(block_id, None)   # re-issue refreshes age
+            self.pending[block_id] = None
+            while len(self.pending) > self.max_pending:
+                self.pending.pop(next(iter(self.pending)))
+            self.read_sec.update(sec)
 
     def note_access(self, block_id: int, hit: bool, sec: float) -> None:
-        (self.hit_sec if hit else self.miss_sec).update(sec)
-        if hit and block_id in self.pending:
-            self.prefetch_hits += 1
-            self.pending.discard(block_id)
+        with self._lock:
+            (self.hit_sec if hit else self.miss_sec).update(sec)
+            if block_id in self.pending:
+                # hit → the speculative read paid; miss → it was
+                # evicted unused. Either way the claim is settled.
+                if hit:
+                    self.prefetch_hits += 1
+                del self.pending[block_id]
 
     @property
     def precision(self) -> float:
         return self.prefetch_hits / max(1, self.issued)
 
     def projected_net_sec_per_prefetch(self) -> float | None:
-        if self.issued < self.warmup_issues:
-            return None
-        if None in (self.miss_sec.value, self.hit_sec.value, self.read_sec.value):
-            return None
-        return (
-            self.precision * (self.miss_sec.value - self.hit_sec.value)
-            - self.read_sec.value
-        )
+        with self._lock:
+            if self.issued < self.warmup_issues:
+                return None
+            if None in (
+                self.miss_sec.value, self.hit_sec.value, self.read_sec.value
+            ):
+                return None
+            return (
+                self.precision * (self.miss_sec.value - self.hit_sec.value)
+                - self.read_sec.value
+            )
 
 
 class Prefetcher:
@@ -141,6 +166,7 @@ class PrefetchService:
         min_prob: float = 0.0,
         economics_gate: bool = False,
         economics: PrefetchEconomics | None = None,
+        concurrent_issue: int = 1,
     ) -> None:
         self.scheduler = scheduler
         self.prefetcher = prefetcher
@@ -163,6 +189,17 @@ class PrefetchService:
         # from the first cycle.
         self.economics = economics if economics is not None else PrefetchEconomics()
         self.economics_gate = economics_gate
+        # Issue width for one cycle's speculative loads. 1 (default)
+        # issues serially — on local disk the read is scheduling-
+        # dominated and serial timing measures the true per-read cost.
+        # >1 issues the cycle's batch from a thread pool: against a
+        # remote object store the GET latency dominates and concurrent
+        # background GETs overlap, so the cost the economics model
+        # should see is the amortized batch wall per block, not the
+        # sum of serial latencies (the gate criterion is foreground
+        # seconds saved vs background seconds SPENT, and a pool of N
+        # in-flight GETs spends wall/N per block).
+        self.concurrent_issue = max(1, int(concurrent_issue))
         self.gate_skips = 0
         self.prefetch_read_sec = 0.0   # actual block-read time issued
         self._stop = threading.Event()
@@ -194,13 +231,33 @@ class PrefetchService:
                 self.cycles += 1
                 return 0
         loaded = []
-        for b, _p in suggestions:
+        if self.concurrent_issue > 1 and len(suggestions) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
             t0 = time.time()
-            if self.prefetcher.prefetch_block(b):
-                dt = time.time() - t0
-                self.economics.note_prefetch(b, dt)
-                self.prefetch_read_sec += dt
-                loaded.append(b)
+            with ThreadPoolExecutor(
+                max_workers=min(self.concurrent_issue, len(suggestions))
+            ) as pool:
+                oks = list(
+                    pool.map(
+                        lambda bp: self.prefetcher.prefetch_block(bp[0]),
+                        suggestions,
+                    )
+                )
+            wall = time.time() - t0
+            loaded = [b for (b, _p), ok in zip(suggestions, oks) if ok]
+            self.prefetch_read_sec += wall
+            per = wall / max(1, len(loaded))
+            for b in loaded:
+                self.economics.note_prefetch(b, per)
+        else:
+            for b, _p in suggestions:
+                t0 = time.time()
+                if self.prefetcher.prefetch_block(b):
+                    dt = time.time() - t0
+                    self.economics.note_prefetch(b, dt)
+                    self.prefetch_read_sec += dt
+                    loaded.append(b)
         self.issued_log.extend(loaded)
         self.prefetched += len(loaded)
         self.cycles += 1

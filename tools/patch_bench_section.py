@@ -79,6 +79,18 @@ def main() -> None:
             (sec25.get("queries") or {}).get("sim_topk_bruteforce"),
             (sec25.get("baseline_duckdb") or {}).get("sim_topk_bruteforce"),
         )
+    elif section == "ann_operating_point":
+        # Same passthrough as the ivf_recall branch, from the headline
+        # tables: bench.main() hands these comparators to the full-run
+        # call, and dropping them here would silently lose
+        # bruteforce_sec / ivf_vs_duckdb_exact from the patched cell
+        # (ADVICE r10).
+        result = fn(
+            spark,
+            sf_dir,
+            (artifact.get("queries") or {}).get("sim_topk_bruteforce"),
+            (artifact.get("baseline_duckdb") or {}).get("sim_topk_bruteforce"),
+        )
     else:
         result = fn(spark, sf_dir)
     if section in SF25:
