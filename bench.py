@@ -1535,26 +1535,37 @@ def bench_bucketed_headliners(
         prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         try:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-            fs: dict = {}
-            for tag, active in (("flat", False), ("bucketed", True)):
-                if not active:
-                    clear_layout_overrides(spark, sf4_dir)
-                else:
-                    materialize_fact_layout(spark, sf4_dir, base)
-                df = qs["q3_shipping_priority"](spark, sf4_dir)
-                fs[f"exchanges_{tag}"] = count_shuffles(df)
-                df.toPandas()  # warm
-                df.toPandas()  # second warm (codegen for this regime)
-                best = float("inf")
-                for _ in range(3):
-                    t0 = time.time()
-                    qs["q3_shipping_priority"](spark, sf4_dir).toPandas()
-                    best = min(best, time.time() - t0)
-                fs[tag] = round(best, 3)
-            fs["layout_speedup"] = (
-                round(fs["flat"] / fs["bucketed"], 2) if fs["bucketed"] else None
-            )
-            out["forced_shuffle_regime_q3"] = fs
+            for qname, key in (
+                ("q3_shipping_priority", "forced_shuffle_regime_q3"),
+                # q5 (r11, VERDICT r10 #1): orderkey bucketing alone
+                # leaves q5's custkey leg shuffling; the denormalized
+                # orders⋈customer layout leg (DENORM_NAME) is the cure
+                # this A/B measures — the bucketed half picks it up
+                # through the same catalog rewrite.
+                ("q5_local_supplier_volume", "forced_shuffle_regime_q5"),
+            ):
+                fs: dict = {}
+                for tag, active in (("flat", False), ("bucketed", True)):
+                    if not active:
+                        clear_layout_overrides(spark, sf4_dir)
+                    else:
+                        materialize_fact_layout(spark, sf4_dir, base)
+                    df = qs[qname](spark, sf4_dir)
+                    fs[f"exchanges_{tag}"] = count_shuffles(df)
+                    df.toPandas()  # warm
+                    df.toPandas()  # second warm (codegen for this regime)
+                    best = float("inf")
+                    for _ in range(3):
+                        t0 = time.time()
+                        qs[qname](spark, sf4_dir).toPandas()
+                        best = min(best, time.time() - t0)
+                    fs[tag] = round(best, 3)
+                fs["layout_speedup"] = (
+                    round(fs["flat"] / fs["bucketed"], 2)
+                    if fs["bucketed"]
+                    else None
+                )
+                out[key] = fs
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
@@ -2237,12 +2248,20 @@ def main() -> None:
         print(f"WARN: overhead_floor failed ({exc!r})", file=sys.stderr)
         overhead_floor = {"error": repr(exc)}
     try:
-        ann_point = bench_ann_operating_point(
-            spark,
-            sf_dir,
-            spark_times.get("sim_topk_bruteforce"),
-            duck_times.get("sim_topk_bruteforce"),
+        # Health-gated (r11): the r10 single-query probe curve was
+        # recorded in a contaminated window and read as a per-probe
+        # scaling problem; on a clean box the curve is flat.
+        ann_point, ann_health = health_gated(
+            "ann_operating_point",
+            lambda: bench_ann_operating_point(
+                spark,
+                sf_dir,
+                spark_times.get("sim_topk_bruteforce"),
+                duck_times.get("sim_topk_bruteforce"),
+            ),
+            settle=_jvm_settle,
         )
+        ann_point["health"] = ann_health
     except Exception as exc:  # pragma: no cover - defensive
         print(f"WARN: ann_operating_point failed ({exc!r})", file=sys.stderr)
         ann_point = {"error": repr(exc)}
@@ -2435,12 +2454,18 @@ def main() -> None:
         except Exception as exc:  # pragma: no cover - defensive
             print(f"WARN: scan_throughput failed ({exc!r})", file=sys.stderr)
         try:
-            scaling["sf2.5"]["ivf_recall"] = bench_ann_operating_point(
-                spark,
-                sf4_dir,
-                sf25_spark.get("sim_topk_bruteforce"),
-                sf25_duck.get("sim_topk_bruteforce"),
+            _ivf25, _ivf25_health = health_gated(
+                "sf2.5 ann_operating_point",
+                lambda: bench_ann_operating_point(
+                    spark,
+                    sf4_dir,
+                    sf25_spark.get("sim_topk_bruteforce"),
+                    sf25_duck.get("sim_topk_bruteforce"),
+                ),
+                settle=_jvm_settle,
             )
+            _ivf25["health"] = _ivf25_health
+            scaling["sf2.5"]["ivf_recall"] = _ivf25
         except Exception as exc:  # pragma: no cover - defensive
             print(f"WARN: sf2.5 ann failed ({exc!r})", file=sys.stderr)
         try:

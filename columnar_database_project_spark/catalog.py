@@ -132,7 +132,9 @@ def cache_put(cache: dict, key: tuple, value) -> None:
 # regenerated mid-session (bench replicas, rebuilt fixtures — the
 # _RELATION_CACHE case above) the copy is stale and lookup must fall
 # through to the fresh source rather than keep serving it.
-_LAYOUT_OVERRIDES: dict[tuple[int, str, str], tuple[DataFrame, tuple | None]] = {}
+_LAYOUT_OVERRIDES: dict[
+    tuple[int, str, str], tuple[DataFrame, dict[str, tuple | None]]
+] = {}
 
 
 def _layout_source_token(sf_dir: str, name: str) -> tuple | None:
@@ -147,13 +149,41 @@ def _layout_source_token(sf_dir: str, name: str) -> tuple | None:
 
 
 def set_layout_override(
-    spark: SparkSession, sf_dir: str, name: str, df: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    df: DataFrame,
+    sources: list[str] | None = None,
 ) -> None:
     """Serve ``df`` for every ``load_table(spark, sf_dir, name)`` —
-    until the source table regenerates, which invalidates it."""
+    until a source table regenerates, which invalidates it.
+
+    ``sources`` names the base tables the override was derived from;
+    defaults to ``[name]`` (a re-layout of the table itself). A
+    DERIVED relation — e.g. the denormalized orders⋈customer layout
+    leg — passes both parents so regeneration of either invalidates
+    the copy."""
+    src = sources if sources is not None else [name]
     _LAYOUT_OVERRIDES[(id(spark), os.path.realpath(sf_dir), name)] = (
         df,
-        _layout_source_token(sf_dir, name),
+        {s: _layout_source_token(sf_dir, s) for s in src},
+    )
+
+
+def has_layout_override(
+    spark: SparkSession, sf_dir: str, name: str
+) -> bool:
+    """True when a FRESH override is registered for the relation —
+    query builders use this to opt into a derived layout leg (the
+    materialized-view rewrite decision, made at plan-build time)."""
+    entry = _LAYOUT_OVERRIDES.get(
+        (id(spark), os.path.realpath(sf_dir), name)
+    )
+    if entry is None:
+        return False
+    return all(
+        tok == _layout_source_token(sf_dir, s)
+        for s, tok in entry[1].items()
     )
 
 
@@ -187,12 +217,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     okey = (id(spark), os.path.realpath(sf_dir), name)
     override = _LAYOUT_OVERRIDES.get(okey)
     if override is not None:
-        df, token = override
-        if token == _layout_source_token(sf_dir, name):
+        df, tokens = override
+        if all(
+            tok == _layout_source_token(sf_dir, s)
+            for s, tok in tokens.items()
+        ):
             return df
-        # Source regenerated since the override was built: the derived
-        # copy is stale. Drop it and serve the fresh source; the next
-        # materialize_fact_layout call rebuilds from the new data.
+        # A source regenerated since the override was built: the
+        # derived copy is stale. Drop it and serve the fresh source;
+        # the next materialize_fact_layout call rebuilds from the new
+        # data.
         del _LAYOUT_OVERRIDES[okey]
     path = os.path.join(sf_dir, f"{name}.parquet")
     if not os.path.exists(path):

@@ -57,14 +57,26 @@ _PLANES = np.array(HYPERPLANES, dtype=np.float64)   # (P, D)
 # local file, one task per ~128 MB split at cluster scale.
 
 
+_QUERY_VECTOR_CACHE: dict = {}
+
+
 def _query_vectors(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     """The N_QUERIES query vectors as (ids, raw matrix), read driver-
     side with pyarrow. The query set is a PARAMETER of the search (a
     client would hand it in), so fetching it is a pushdown-filtered
-    row-group read — not a Spark job scheduled ahead of every search."""
+    row-group read — not a Spark job scheduled ahead of every search.
+    Freshness-keyed cache (same pattern as the centroids): the read
+    is a fixed per-call cost on the single-query serving path, and a
+    serving process answers many searches against one table version."""
     import pyarrow.dataset as ds
 
+    from columnar_database_project_spark.catalog import file_freshness
+
     path = os.path.join(sf_dir, "embeddings.parquet")
+    key = (os.path.realpath(path), file_freshness(os.path.realpath(path)))
+    hit = _QUERY_VECTOR_CACHE.get(key)
+    if hit is not None:
+        return hit
     t = (
         ds.dataset(path)
         .to_table(
@@ -77,6 +89,9 @@ def _query_vectors(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     q_mat = np.array(
         [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]
     )
+    if len(_QUERY_VECTOR_CACHE) > 16:   # bound: stale tokens never pile up
+        _QUERY_VECTOR_CACHE.clear()
+    _QUERY_VECTOR_CACHE[key] = (q_ids, q_mat)
     return q_ids, q_mat
 
 

@@ -26,6 +26,7 @@ FAISS + streaming-lakehouse practice.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -117,6 +118,38 @@ def index_vectors_stream(
     )
 
 
+_STORE_RELATION_CACHE: dict = {}
+
+
+def _store_relation(spark: SparkSession, index_path: str) -> DataFrame:
+    """The store as a DataFrame, cached per (session, path, contents).
+
+    ``spark.read.parquet`` lists the whole partition tree and infers
+    schema eagerly — a fixed ~100 ms per call on the single-query
+    serving path. The listing only changes when a drop appends files,
+    so it is cached keyed on each cell directory's (mtime_ns, size):
+    an append touches its cell dir and invalidates. Partition pruning
+    is unaffected — the probed-cell ``isin`` filter prunes from the
+    cached file index at planning time."""
+    real = os.path.realpath(index_path)
+    token = []
+    try:
+        for name in sorted(os.listdir(real)):
+            if name.startswith("cell="):
+                st = os.stat(os.path.join(real, name))
+                token.append((name, st.st_mtime_ns, st.st_size))
+    except OSError:
+        token.append(("missing", 0, 0))
+    key = (id(spark), real, tuple(token))
+    df = _STORE_RELATION_CACHE.get(key)
+    if df is None:
+        if len(_STORE_RELATION_CACHE) > 16:
+            _STORE_RELATION_CACHE.clear()
+        df = spark.read.parquet(index_path)
+        _STORE_RELATION_CACHE[key] = df
+    return df
+
+
 def search_index_store(
     spark: SparkSession,
     index_path: str,
@@ -177,7 +210,7 @@ def search_index_store(
             rows["adist"].extend(ds.tolist())
         yield pd.DataFrame(rows)
 
-    store = spark.read.parquet(index_path).filter(
+    store = _store_relation(spark, index_path).filter(
         F.col("cell").isin(probed_union)  # partition-pruned listing
     )
     scored = store.select("vec_id", "cell", "codes").mapInPandas(

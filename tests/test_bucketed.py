@@ -75,7 +75,7 @@ class TestFactLayoutDefault:
             named = materialize_fact_layout(
                 spark, sf_dir, base, n_buckets=8
             )
-            assert set(named) == {"lineitem", "orders"}
+            assert {"lineitem", "orders"} <= set(named)
             df = q3_shipping_priority(spark, sf_dir)
             # both fact scans read the bucketed layout: the fact semi
             # join and the orderkey groupBy reuse its partitioning —
@@ -187,6 +187,60 @@ class TestFactLayoutDefault:
                 f"{flat_sec:.3f}s in the forced-shuffle regime "
                 f"({bkt_shuffles} vs {flat_shuffles} Exchanges)"
             )
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+            clear_layout_overrides(spark)
+            for tbl in named.values():
+                spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+    def test_denorm_leg_q5_fewer_exchanges_and_parity(
+        self, spark, sf_dir, tmp_path_factory
+    ):
+        """The q5 cure (VERDICT r10 #1): orderkey bucketing alone
+        leaves q5's custkey leg shuffling (r10 measured 3→3). The
+        denormalized orders⋈customer layout leg removes it — in the
+        forced-shuffle regime q5 must plan with strictly fewer
+        Exchanges and return identical rows, through the registry
+        query with zero query-text changes."""
+        from columnar_database_project_spark.catalog import (
+            clear_layout_overrides,
+            has_layout_override,
+        )
+        from columnar_database_project_spark.operators.relational import (
+            q5_local_supplier_volume,
+        )
+        from columnar_database_project_spark.sources.bucketed import (
+            DENORM_NAME,
+            materialize_fact_layout,
+        )
+
+        saved = {
+            k: spark.conf.get(k, None)
+            for k in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            )
+        }
+        base = str(tmp_path_factory.mktemp("denorm_layout"))
+        named: dict = {}
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+            )
+            flat_df = q5_local_supplier_volume(spark, sf_dir)
+            flat_shuffles = count_shuffles(flat_df)
+            flat_rows = sorted(tuple(r) for r in flat_df.collect())
+            named = materialize_fact_layout(spark, sf_dir, base, n_buckets=8)
+            assert DENORM_NAME in named
+            assert has_layout_override(spark, sf_dir, DENORM_NAME)
+            bkt_df = q5_local_supplier_volume(spark, sf_dir)
+            assert count_shuffles(bkt_df) < flat_shuffles
+            assert sorted(tuple(r) for r in bkt_df.collect()) == flat_rows
         finally:
             for k, v in saved.items():
                 if v is None:
