@@ -337,19 +337,40 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         prior best     0.557 s  0.650 s  1.147 s  1.288 s
         semi-reduce    0.485 s  0.541 s  0.935 s  1.161 s
 
-    One plan for all regimes — no size branch to maintain."""
-    cust = load_table(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING"
-    )
-    orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
-    )
+    One plan for all regimes — no size branch to maintain.
+
+    Layout rewrite (r11): with the denormalized orders⋈customer leg
+    registered (sources/bucketed.py DENORM_NAME — it carries
+    c_mktsegment for exactly this query), the customer join vanishes:
+    the qualifying orderkeys come straight off the leg's pushed-down
+    segment+date filters, and the lineitem semi-join is co-bucketed —
+    zero Exchange before the aggregate in EVERY regime, including
+    forced-shuffle where the flat plan pays the custkey shuffle."""
+    from columnar_database_project_spark.catalog import has_layout_override
+    from columnar_database_project_spark.sources.bucketed import DENORM_NAME
+
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
     )
-    keys = orders.join(
-        cust, orders.o_custkey == cust.c_custkey, "left_semi"
-    ).select("o_orderkey")
+    if has_layout_override(spark, sf_dir, DENORM_NAME):
+        keys = (
+            load_table(spark, sf_dir, DENORM_NAME)
+            .filter(
+                (F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+                & (F.col("c_mktsegment") == "BUILDING")
+            )
+            .select("o_orderkey")
+        )
+    else:
+        cust = load_table(spark, sf_dir, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+        )
+        keys = orders.join(
+            cust, orders.o_custkey == cust.c_custkey, "left_semi"
+        ).select("o_orderkey")
     return (
         li.join(keys, li.l_orderkey == keys.o_orderkey, "left_semi")
         .groupBy("l_orderkey")
@@ -361,6 +382,63 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
+
+
+_REGION_NATION_CACHE: dict = {}
+
+
+def _region_nation_keys(
+    sf_dir: str, region_name: str
+) -> tuple[list[int], dict[int, str]]:
+    """Nation keys + names for one region, read driver-side with
+    pyarrow (freshness-cached). nation/region are FIXED-cardinality
+    (25/5 rows at every SF): inlining them as literals removes two
+    broadcast-build stage barriers from every consumer — the q5 floor
+    decomposition (r11) measured each such barrier at ~0.2 s on a
+    15M-row query whose entire data term is 0.3 s. Same pattern as
+    similarity._query_vectors: a fixed-size plan PARAMETER, not a
+    scanned table."""
+    import pyarrow.parquet as pq
+
+    from columnar_database_project_spark.catalog import file_freshness
+
+    npath = os.path.realpath(os.path.join(sf_dir, "nation.parquet"))
+    rpath = os.path.realpath(os.path.join(sf_dir, "region.parquet"))
+    key = (
+        npath,
+        rpath,
+        region_name,
+        file_freshness(npath),
+        file_freshness(rpath),
+    )
+    hit = _REGION_NATION_CACHE.get(key)
+    if hit is not None:
+        return hit
+    region = pq.read_table(rpath, columns=["r_regionkey", "r_name"]).to_pydict()
+    rkeys = {
+        k
+        for k, n in zip(region["r_regionkey"], region["r_name"])
+        if n == region_name
+    }
+    nation = pq.read_table(
+        npath, columns=["n_nationkey", "n_name", "n_regionkey"]
+    ).to_pydict()
+    keys = [
+        int(k)
+        for k, r in zip(nation["n_nationkey"], nation["n_regionkey"])
+        if r in rkeys
+    ]
+    names = {
+        int(k): n
+        for k, n, r in zip(
+            nation["n_nationkey"], nation["n_name"], nation["n_regionkey"]
+        )
+        if r in rkeys
+    }
+    if len(_REGION_NATION_CACHE) > 16:
+        _REGION_NATION_CACHE.clear()
+    _REGION_NATION_CACHE[key] = (keys, names)
+    return keys, names
 
 
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -396,30 +474,31 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     from columnar_database_project_spark.catalog import has_layout_override
     from columnar_database_project_spark.sources.bucketed import DENORM_NAME
 
-    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    nation = load_table(spark, sf_dir, "nation")
-    nat = nation.join(
-        F.broadcast(region), nation.n_regionkey == region.r_regionkey
-    ).select("n_nationkey", "n_name")
+    # Literalized fixed dims (r11): region⋈nation collapses to 5
+    # nation keys + a 5-entry key→name map, read driver-side (pyarrow,
+    # freshness-cached). The ASIA predicate becomes an `isin` PUSHED
+    # INTO the customer/supplier/leg scans and the n_name lookup a
+    # map literal — two broadcast-build stage barriers (~0.2 s each at
+    # sf2.5, vs a 0.3 s total data term) disappear from every regime.
+    keys, names = _region_nation_keys(sf_dir, "ASIA")
+    name_map = F.create_map(
+        *[F.lit(x) for k in sorted(keys) for x in (k, names[k])]
+    )
+    supp_slim = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .filter(F.col("s_nationkey").isin(keys))
+        .withColumn("n_name", name_map[F.col("s_nationkey")])
+    )
     if has_layout_override(spark, sf_dir, DENORM_NAME):
         leg = (
             load_table(spark, sf_dir, DENORM_NAME)
             .filter(
                 (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
                 & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
-            )
-            .join(
-                F.broadcast(nat.select("n_nationkey")),
-                F.col("c_nationkey") == F.col("n_nationkey"),
-                "left_semi",
+                & F.col("c_nationkey").isin(keys)
             )
             .select("o_orderkey", "c_nationkey")
-        )
-        supp_slim = (
-            load_table(spark, sf_dir, "supplier")
-            .select("s_suppkey", "s_nationkey")
-            .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
-            .select("s_suppkey", "s_nationkey", "n_name")
         )
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey",
@@ -439,17 +518,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust_slim = (
         load_table(spark, sf_dir, "customer")
         .select("c_custkey", "c_nationkey")
-        .join(
-            F.broadcast(nat.select("n_nationkey")),
-            F.col("c_nationkey") == F.col("n_nationkey"),
-            "left_semi",
-        )
-    )
-    supp_slim = (
-        load_table(spark, sf_dir, "supplier")
-        .select("s_suppkey", "s_nationkey")
-        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", "s_nationkey", "n_name")
+        .filter(F.col("c_nationkey").isin(keys))
     )
     orders_slim = (
         load_table(spark, sf_dir, "orders")
