@@ -2114,6 +2114,24 @@ def build_compact(result: dict) -> str:
                     and "spark_mb_s" in sec["scan_throughput"]
                     else {}
                 ),
+                **(
+                    {
+                        "forced_layout_speedup": {
+                            q: sec["bucketed_headliners"][
+                                f"forced_shuffle_regime_{q}"
+                            ].get("layout_speedup")
+                            for q in ("q3", "q5")
+                            if isinstance(
+                                sec["bucketed_headliners"].get(
+                                    f"forced_shuffle_regime_{q}"
+                                ),
+                                dict,
+                            )
+                        }
+                    }
+                    if isinstance(sec.get("bucketed_headliners"), dict)
+                    else {}
+                ),
             }
             for tag, sec in scaling.items()
         },
@@ -2157,12 +2175,19 @@ def build_compact(result: dict) -> str:
             for tag in ("lru_lstm", "lru_lstm_gated")
             if isinstance(prefetch_ab.get(tag), dict)
         },
+        "prefetch_slow_store": {
+            k: prefetch_ab["slow_store"].get(k)
+            for k in ("gate_issuing", "gate_net_positive", "lift_over_lru_only")
+        }
+        if isinstance(prefetch_ab.get("slow_store"), dict)
+        else {},
         "cow_bytes_ratio": cow_dml.get("bytes_ratio")
         if isinstance(cow_dml, dict)
         else None,
         "detail": "BENCH.json",
     }
     DROP_ORDER = [
+        "prefetch_slow_store",
         "prefetch_net_sec",
         "prefetch_hit_rates",
         "streaming",
