@@ -89,11 +89,11 @@ def materialize_fact_layout(
     fact-join Exchange (bucketed q3: 1 exchange → 0).
 
     Reuse: a per-table manifest records the SOURCE freshness token
-    (catalog.file_freshness) + bucket spec; the copy is rebuilt when
-    the source regenerates or the spec changes. ``saveAsTable``
-    registers in the session catalog only, so a fresh session with
-    fresh files still rewrites — a once-per-process cost, paid only
-    by callers that opt into the layout.
+    (catalog.file_freshness) + bucket spec; the copy is rebuilt only
+    when the source regenerates or the spec changes. ``saveAsTable``
+    registers in the session catalog only, so a fresh session with a
+    fresh on-disk copy re-attaches it by DDL (register_bucketed_table
+    — CLUSTERED BY over the existing LOCATION, no rewrite).
 
     Returns {table_name: catalog_table_name}. Tables absent from
     ``sf_dir`` are skipped (partial dirs in tests).
@@ -128,7 +128,11 @@ def materialize_fact_layout(
                 fresh = json.load(fh) == want
         except (OSError, ValueError):
             fresh = False
-        if not fresh or not spark.catalog.tableExists(tbl):
+        if fresh and not spark.catalog.tableExists(tbl):
+            # On-disk copy is current; only the session-catalog entry
+            # is missing (fresh process). DDL re-attach, no rewrite.
+            register_bucketed_table(spark, tbl, tdir, col, n_buckets)
+        elif not fresh:
             # A stale override for this table must not feed the rebuild
             # (bucketed-from-bucketed would freeze the stale data).
             from columnar_database_project_spark.catalog import (
@@ -138,6 +142,7 @@ def materialize_fact_layout(
             _LAYOUT_OVERRIDES.pop(
                 (id(spark), os.path.realpath(sf_dir), name), None
             )
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
             write_bucketed(
                 load_table(spark, sf_dir, name), tbl, col,
                 n_buckets=n_buckets, path=tdir,
@@ -179,10 +184,15 @@ def materialize_fact_layout(
                 fresh = json.load(fh) == want
         except (OSError, ValueError):
             fresh = False
-        if not fresh or not spark.catalog.tableExists(tbl):
+        if fresh and not spark.catalog.tableExists(tbl):
+            register_bucketed_table(
+                spark, tbl, tdir, "o_orderkey", n_buckets
+            )
+        elif not fresh:
             _LAYOUT_OVERRIDES.pop(
                 (id(spark), os.path.realpath(sf_dir), DENORM_NAME), None
             )
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
             orders = load_table(spark, sf_dir, "orders").select(
                 "o_orderkey", "o_custkey", "o_orderdate"
             )
@@ -210,6 +220,35 @@ def materialize_fact_layout(
             )
         out[DENORM_NAME] = tbl
     return out
+
+
+def register_bucketed_table(
+    spark: SparkSession,
+    tbl: str,
+    tdir: str,
+    bucket_col: str,
+    n_buckets: int,
+) -> None:
+    """Re-attach an EXISTING bucketed directory to the session catalog
+    via DDL — no data rewrite.
+
+    ``saveAsTable`` registers the bucket spec only in the session
+    catalog, so a fresh process used to pay a full fact rewrite even
+    when the on-disk copy was manifest-fresh (r11: the rewrite's page
+    -cache/GC churn right before a timed A/B poisoned the window the
+    numbers were recorded in). The files were written by ``bucketBy``
+    with this exact spec (the manifest pins it), so declaring the
+    same spec over the same LOCATION is sound — Spark reads bucket
+    ids from the part-file names."""
+    schema = spark.read.parquet(tdir).schema
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+    )
+    spark.sql(
+        f"CREATE TABLE {tbl} ({cols}) USING parquet "
+        f"CLUSTERED BY ({bucket_col}) SORTED BY ({bucket_col}) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{tdir}'"
+    )
 
 
 def bucketed_join(

@@ -113,6 +113,28 @@ class TestFactLayoutDefault:
                 )
                 == t0
             )
+            # fresh manifest + MISSING catalog table (a new process):
+            # DDL re-attach, no rewrite — manifest untouched, the
+            # bucketed join still plans Exchange-free (r11: the
+            # rewrite-per-process cost poisoned timed windows)
+            from columnar_database_project_spark.operators.relational import (
+                q3_shipping_priority,
+            )
+
+            for tbl in named.values():
+                spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            clear_layout_overrides(spark)
+            reattached = materialize_fact_layout(
+                spark, sf_dir, base, n_buckets=8
+            )
+            assert reattached == named
+            assert (
+                os.path.getmtime(
+                    os.path.join(base, "lineitem_layout_manifest.json")
+                )
+                == t0
+            )
+            assert count_shuffles(q3_shipping_priority(spark, sf_dir)) == 0
             # changed bucket spec → rebuild
             named2 = materialize_fact_layout(spark, sf_dir, base, n_buckets=4)
             assert (

@@ -67,10 +67,19 @@ def main() -> None:
         artifact = json.load(fh)
     fn = getattr(bench, FN.get(section, f"bench_{section}"))
     if section == "bucketed_headliners":
+        # Same health-gated wrapper as bench.main() — a patched cell
+        # must carry the same clean-window provenance as the full run.
         sec25 = artifact.get("scaling", {}).get("sf2.5", {})
-        result = fn(
-            spark, sf_dir, sec25.get("queries"), sec25.get("baseline_duckdb")
+        result, takes = bench.health_gated(
+            "bucketed-sf2.5",
+            lambda: fn(
+                spark,
+                sf_dir,
+                sec25.get("queries"),
+                sec25.get("baseline_duckdb"),
+            ),
         )
+        result["health"] = takes
     elif section == "ivf_recall":
         sec25 = artifact.get("scaling", {}).get("sf2.5", {})
         result = fn(
