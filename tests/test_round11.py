@@ -186,6 +186,38 @@ class TestLayoutOverrideFreshness:
         finally:
             clear_layout_overrides(spark)
 
+    def test_derived_leg_invalidates_on_either_parent(
+        self, spark, sf_dir, tmp_path
+    ):
+        """The denorm orders⋈customer leg must go stale when EITHER
+        parent regenerates — its freshness token carries both."""
+        import shutil
+
+        from columnar_database_project_spark.catalog import (
+            clear_layout_overrides,
+            has_layout_override,
+        )
+        from columnar_database_project_spark.sources.bucketed import (
+            DENORM_NAME,
+            materialize_fact_layout,
+        )
+
+        d = str(tmp_path / "tables")
+        shutil.copytree(sf_dir, d)
+        base = str(tmp_path / "layout")
+        named: dict = {}
+        try:
+            named = materialize_fact_layout(spark, d, base, n_buckets=4)
+            assert has_layout_override(spark, d, DENORM_NAME)
+            # regenerate customer (the SECOND parent) in place
+            cust = os.path.join(d, "customer.parquet")
+            os.utime(cust, (os.path.getmtime(cust) + 5,) * 2)
+            assert not has_layout_override(spark, d, DENORM_NAME)
+        finally:
+            clear_layout_overrides(spark)
+            for tbl in named.values():
+                spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
     def test_fresh_override_served(self, spark, tmp_path):
         from columnar_database_project_spark.catalog import (
             clear_layout_overrides,
