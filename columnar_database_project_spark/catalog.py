@@ -170,21 +170,39 @@ def set_layout_override(
     )
 
 
+def get_layout_override(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame | None:
+    """The FRESH override DataFrame for the relation, or None.
+
+    Check-and-fetch in ONE call: query builders that decided the
+    rewrite via ``has_layout_override`` and then loaded the leg with a
+    second ``load_table`` call raced source regeneration between the
+    two — the second call would drop the now-stale override and fall
+    through to a nonexistent ``<derived>.parquet``, raising instead of
+    degrading to the flat plan (ADVICE r11). A stale entry is dropped
+    here and None returned; callers take the flat branch on None."""
+    okey = (id(spark), os.path.realpath(sf_dir), name)
+    entry = _LAYOUT_OVERRIDES.get(okey)
+    if entry is None:
+        return None
+    df, tokens = entry
+    if all(
+        tok == _layout_source_token(sf_dir, s) for s, tok in tokens.items()
+    ):
+        return df
+    # A source regenerated since the override was built: the derived
+    # copy is stale. Drop it; the next materialize_fact_layout call
+    # rebuilds from the new data.
+    del _LAYOUT_OVERRIDES[okey]
+    return None
+
+
 def has_layout_override(
     spark: SparkSession, sf_dir: str, name: str
 ) -> bool:
-    """True when a FRESH override is registered for the relation —
-    query builders use this to opt into a derived layout leg (the
-    materialized-view rewrite decision, made at plan-build time)."""
-    entry = _LAYOUT_OVERRIDES.get(
-        (id(spark), os.path.realpath(sf_dir), name)
-    )
-    if entry is None:
-        return False
-    return all(
-        tok == _layout_source_token(sf_dir, s)
-        for s, tok in entry[1].items()
-    )
+    """True when a FRESH override is registered for the relation."""
+    return get_layout_override(spark, sf_dir, name) is not None
 
 
 def clear_layout_overrides(
@@ -214,20 +232,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pyarrow read with truncation to microseconds before handing the
     batches to Spark.
     """
-    okey = (id(spark), os.path.realpath(sf_dir), name)
-    override = _LAYOUT_OVERRIDES.get(okey)
+    override = get_layout_override(spark, sf_dir, name)
     if override is not None:
-        df, tokens = override
-        if all(
-            tok == _layout_source_token(sf_dir, s)
-            for s, tok in tokens.items()
-        ):
-            return df
-        # A source regenerated since the override was built: the
-        # derived copy is stale. Drop it and serve the fresh source;
-        # the next materialize_fact_layout call rebuilds from the new
-        # data.
-        del _LAYOUT_OVERRIDES[okey]
+        return override
     path = os.path.join(sf_dir, f"{name}.parquet")
     if not os.path.exists(path):
         # ORC fallback: a dir holding <name>.orc serves the same

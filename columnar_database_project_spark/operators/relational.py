@@ -346,15 +346,18 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment+date filters, and the lineitem semi-join is co-bucketed —
     zero Exchange before the aggregate in EVERY regime, including
     forced-shuffle where the flat plan pays the custkey shuffle."""
-    from columnar_database_project_spark.catalog import has_layout_override
+    from columnar_database_project_spark.catalog import get_layout_override
     from columnar_database_project_spark.sources.bucketed import DENORM_NAME
 
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
     )
-    if has_layout_override(spark, sf_dir, DENORM_NAME):
+    # Single check-and-fetch (ADVICE r11): a stale leg degrades to the
+    # flat plan instead of racing load_table into a FileNotFoundError.
+    leg = get_layout_override(spark, sf_dir, DENORM_NAME)
+    if leg is not None:
         keys = (
-            load_table(spark, sf_dir, DENORM_NAME)
+            leg
             .filter(
                 (F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
                 & (F.col("c_mktsegment") == "BUILDING")
@@ -398,12 +401,34 @@ def _region_nation_keys(
     15M-row query whose entire data term is 0.3 s. Same pattern as
     similarity._query_vectors: a fixed-size plan PARAMETER, not a
     scanned table."""
-    import pyarrow.parquet as pq
-
     from columnar_database_project_spark.catalog import file_freshness
 
-    npath = os.path.realpath(os.path.join(sf_dir, "nation.parquet"))
-    rpath = os.path.realpath(os.path.join(sf_dir, "region.parquet"))
+    def dim_path(name: str) -> str:
+        # Mirror catalog._layout_source_token's parquet/orc probe: an
+        # ORC-only table dir is a supported layout (load_table's .orc
+        # branch, round-7 ORC twins) and must not raise here (ADVICE
+        # r11).
+        for ext in ("parquet", "orc"):
+            p = os.path.join(sf_dir, f"{name}.{ext}")
+            if os.path.exists(p):
+                return os.path.realpath(p)
+        return os.path.realpath(os.path.join(sf_dir, f"{name}.parquet"))
+
+    def read_cols(path: str, columns: list[str]) -> dict:
+        if path.endswith(".orc"):
+            import pyarrow.dataset as ds
+
+            return (
+                ds.dataset(path, format="orc")
+                .to_table(columns=columns)
+                .to_pydict()
+            )
+        import pyarrow.parquet as pq
+
+        return pq.read_table(path, columns=columns).to_pydict()
+
+    npath = dim_path("nation")
+    rpath = dim_path("region")
     key = (
         npath,
         rpath,
@@ -414,15 +439,13 @@ def _region_nation_keys(
     hit = _REGION_NATION_CACHE.get(key)
     if hit is not None:
         return hit
-    region = pq.read_table(rpath, columns=["r_regionkey", "r_name"]).to_pydict()
+    region = read_cols(rpath, ["r_regionkey", "r_name"])
     rkeys = {
         k
         for k, n in zip(region["r_regionkey"], region["r_name"])
         if n == region_name
     }
-    nation = pq.read_table(
-        npath, columns=["n_nationkey", "n_name", "n_regionkey"]
-    ).to_pydict()
+    nation = read_cols(npath, ["n_nationkey", "n_name", "n_regionkey"])
     keys = [
         int(k)
         for k, r in zip(nation["n_nationkey"], nation["n_regionkey"])
@@ -471,7 +494,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exchange), leaving the slim suppkey join as the only fact shuffle
     at true scale. Exact parity: the leg IS orders⋈customer, the
     inner join this plan performs anyway."""
-    from columnar_database_project_spark.catalog import has_layout_override
+    from columnar_database_project_spark.catalog import get_layout_override
     from columnar_database_project_spark.sources.bucketed import DENORM_NAME
 
     # Literalized fixed dims (r11): region⋈nation collapses to 5
@@ -490,9 +513,12 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s_nationkey").isin(keys))
         .withColumn("n_name", name_map[F.col("s_nationkey")])
     )
-    if has_layout_override(spark, sf_dir, DENORM_NAME):
+    # Single check-and-fetch (ADVICE r11): stale leg → flat plan, never
+    # a FileNotFoundError from a second load_table racing regeneration.
+    leg_src = get_layout_override(spark, sf_dir, DENORM_NAME)
+    if leg_src is not None:
         leg = (
-            load_table(spark, sf_dir, DENORM_NAME)
+            leg_src
             .filter(
                 (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
                 & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))

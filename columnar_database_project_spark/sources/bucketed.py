@@ -38,6 +38,21 @@ _LAYOUT_MANIFEST = "_layout_manifest.json"
 DENORM_NAME = "orders_customer_slim"
 
 
+def _freshness_json(src: str) -> list:
+    """``catalog.file_freshness`` normalized for JSON round-trip
+    equality: ``json.load`` yields lists, so tuples-of-tuples (the
+    directory-source token) must be list-of-lists on BOTH sides or the
+    manifest never matches and the copy is silently rebuilt on every
+    call (ADVICE r11 — the denorm leg hit exactly this)."""
+    from columnar_database_project_spark.catalog import file_freshness
+
+    real = os.path.realpath(src)
+    tok = file_freshness(real)
+    if os.path.isdir(real):
+        return [list(t) for t in tok]
+    return list(tok)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,
@@ -99,7 +114,6 @@ def materialize_fact_layout(
     ``sf_dir`` are skipped (partial dirs in tests).
     """
     from columnar_database_project_spark.catalog import (
-        file_freshness,
         load_table,
         set_layout_override,
     )
@@ -116,9 +130,7 @@ def materialize_fact_layout(
         manifest = os.path.join(path, f"{name}{_LAYOUT_MANIFEST}")
         want = {
             "source": os.path.realpath(src),
-            "freshness": list(map(list, file_freshness(os.path.realpath(src))))
-            if os.path.isdir(src)
-            else list(file_freshness(os.path.realpath(src))),
+            "freshness": _freshness_json(src),
             "bucket_col": col,
             "n_buckets": n_buckets,
         }
@@ -168,11 +180,7 @@ def materialize_fact_layout(
         manifest = os.path.join(path, f"{DENORM_NAME}{_LAYOUT_MANIFEST}")
         want = {
             "sources": {
-                t: list(
-                    file_freshness(
-                        os.path.realpath(os.path.join(sf_dir, f"{t}.parquet"))
-                    )
-                )
+                t: _freshness_json(os.path.join(sf_dir, f"{t}.parquet"))
                 for t in ("orders", "customer")
             },
             "bucket_col": "o_orderkey",

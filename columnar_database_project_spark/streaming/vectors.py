@@ -131,13 +131,20 @@ def _store_relation(spark: SparkSession, index_path: str) -> DataFrame:
     an append touches its cell dir and invalidates. Partition pruning
     is unaffected — the probed-cell ``isin`` filter prunes from the
     cached file index at planning time."""
+    # Token from each cell dir's PART FILES (not the dir's own stat,
+    # which an in-place part overwrite does not change — the
+    # out-of-band-rewrite case catalog.file_freshness documents;
+    # ADVICE r11).
+    from columnar_database_project_spark.catalog import file_freshness
+
     real = os.path.realpath(index_path)
     token = []
     try:
         for name in sorted(os.listdir(real)):
             if name.startswith("cell="):
-                st = os.stat(os.path.join(real, name))
-                token.append((name, st.st_mtime_ns, st.st_size))
+                token.append(
+                    (name,) + file_freshness(os.path.join(real, name))
+                )
     except OSError:
         token.append(("missing", 0, 0))
     key = (id(spark), real, tuple(token))
