@@ -156,6 +156,18 @@ def bench_duckdb(
     return out
 
 
+# Adaptive run count for the pairwise sweeps (r12, VERDICT r11 #1):
+# best-of-N exists to reject scheduler/GC noise, which is an ABSOLUTE
+# ~0.1-0.5 s term — on a query whose single run is ≥ this threshold
+# the noise is relative rounding error and extra runs are pure budget
+# burn (the sf2.5 DuckDB side of dedup_embedding_cosine is ~100× the
+# Spark time; best-of-3 + warm made it pay 5 × ~45 s — half the whole
+# section). A slow query (per its own GLOBAL-warm-sweep duration,
+# max over the two engines so BOTH get the SAME count — no asymmetric
+# best-of-N bias) runs once, with the global sweep as its warm.
+SLOW_QUERY_SEC = 6.0
+
+
 def bench_pairwise(
     spark,
     sf_dir: str,
@@ -163,7 +175,7 @@ def bench_pairwise(
     runs: int = RUNS_PER_QUERY,
     warm_sweeps: int = WARM_SWEEPS,
     settle=None,
-) -> tuple[dict[str, float], dict[str, float]]:
+) -> tuple[dict[str, float], dict[str, float], dict]:
     """Interleave the engines at QUERY granularity: warm + time Spark
     on one query, then warm + time DuckDB on the same query, then move
     on. Engine-level phases (all of Spark, then all of DuckDB) let a
@@ -182,8 +194,12 @@ def bench_pairwise(
     sat exactly on theirs."""
     qs = entry_mod.queries()
     tune_for_scale(spark, sf_dir)
+    warm_s: dict[str, float] = {}
+    warm_d: dict[str, float] = {}
     for name in names:  # global JVM/JIT + page-cache warm
+        t0 = time.time()
         qs[name](spark, sf_dir).toPandas()
+        warm_s[name] = time.time() - t0
     oracles = entry_mod.oracle_sql()
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
@@ -194,11 +210,22 @@ def bench_pairwise(
             )
     for name in names:  # symmetric global warm
         if name in oracles:
+            t0 = time.time()
             con.execute(oracles[name]).df()
+            warm_d[name] = time.time() - t0
     con.close()
     st: dict[str, float] = {}
     dt: dict[str, float] = {}
+    adaptive: dict[str, int] = {}
     for name in names:
+        slow = (
+            max(warm_s.get(name, 0.0), warm_d.get(name, 0.0))
+            > SLOW_QUERY_SEC
+        )
+        q_runs = 1 if slow else runs
+        q_warm = 0 if slow else warm_sweeps
+        if slow:
+            adaptive[name] = q_runs
         if settle is not None:
             # drain GC debt accumulated by the PREVIOUS query outside
             # the next one's timed window (a long bench session
@@ -210,7 +237,7 @@ def bench_pairwise(
             except Exception:  # pragma: no cover - defensive
                 pass
         st.update(
-            bench_spark(spark, sf_dir, [name], runs=runs, warm_sweeps=warm_sweeps)
+            bench_spark(spark, sf_dir, [name], runs=q_runs, warm_sweeps=q_warm)
         )
         if settle is not None:
             # Symmetric settle BETWEEN the halves too: Spark's timed
@@ -222,9 +249,17 @@ def bench_pairwise(
             except Exception:  # pragma: no cover - defensive
                 pass
         dt.update(
-            bench_duckdb(sf_dir, [name], runs=runs, warm_sweeps=warm_sweeps)
+            bench_duckdb(sf_dir, [name], runs=q_runs, warm_sweeps=q_warm)
         )
-    return st, dt
+    meta = {
+        "slow_threshold_sec": SLOW_QUERY_SEC,
+        "adaptive_best_of_1": sorted(adaptive),
+        "warm_sweep_sec": {
+            n: [round(warm_s.get(n, 0.0), 3), round(warm_d.get(n, 0.0), 3)]
+            for n in names
+        },
+    }
+    return st, dt, meta
 
 
 def bench_engine_facade(spark, sf_dir: str, name: str = "q1_pricing_summary") -> dict:
@@ -1071,7 +1106,7 @@ def bench_orc_scan(spark, sf_dir: str) -> dict:
     return out
 
 
-def bench_prefetch_ab(spark, sf_dir: str) -> dict:
+def bench_prefetch_ab(spark, sf_dir: str, slow_store: bool = True) -> dict:
     """End-to-end value of the ML prefetch stack — the reference's
     entire thesis (reference README.md:5-9) finally carried as a
     number: the SAME synthetic mixed workload (sequential walks in hot
@@ -1376,6 +1411,12 @@ def bench_prefetch_ab(spark, sf_dir: str) -> dict:
     # the same way, must flip to issuing here with net_sec > 0 — the
     # flip threshold itself is pinned unit-side in
     # tests/test_round11.py::TestGateFlipThreshold.
+    if not slow_store:
+        # ~2.5 min of injected-latency replays — skippable under a
+        # short global budget (VERDICT r11 #1a); the flip threshold
+        # stays pinned unit-side in test_round11.py regardless.
+        out["slow_store"] = {"skipped": "budget"}
+        return out
     SLOW_DELAY = 0.2
     slow: dict = {
         "read_delay_ms": int(SLOW_DELAY * 1000),
@@ -1954,6 +1995,45 @@ HEALTH_END_PROBE_RATIO = 1.10
 HEALTH_END_PROBE_OVER_NOMINAL = 1.25
 _NOMINAL_SINGLE_MS = float("inf")  # best single_thread_ms seen this process
 
+# Global wall-clock budget (VERDICT r11 #1): the r11 driver run was
+# killed at the driver's timeout (rc 124, parsed: null) — the best
+# headline of any round recorded NOTHING because bench.py had stdout
+# durability (compact ≤1900-char last line) but no wall-clock
+# durability. Three rules now apply, all charged against ONE budget:
+#   1. every optional section checks the remaining budget before it
+#      starts and is skipped (recorded in budget.skipped_sections)
+#      when it cannot fit — the headline and the floor are never
+#      skipped;
+#   2. BENCH.json is rewritten (atomically) and the ≤1900-char compact
+#      line re-printed after EVERY completed section, so a kill at any
+#      point leaves the last stdout line parseable with whatever
+#      finished;
+#   3. quiesce waits and health retakes are budget-charged: total
+#      quiesce spend is capped at QUIESCE_BUDGET_FRACTION of the
+#      budget, and a contended take is ACCEPTED (flagged
+#      contended=true in its health metadata) rather than retaken when
+#      a retake cannot fit — a flagged take beats no artifact.
+BENCH_BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "1200"))
+QUIESCE_BUDGET_FRACTION = 0.20
+FINALIZE_RESERVE_SEC = 30.0
+# What the headline section (incl. its quiesce lead-in) costs on the
+# 32-core builder box — the denominator of the slow-box estimate
+# scaling in run_section (measured r12: 100.7 s quiet start, 196.6 s
+# with a dirty start's quiesce waits; 150 splits the difference so a
+# merely-dirty start does not over-skip while a genuinely slow box
+# still scales its estimates up).
+NOMINAL_HEADLINE_SEC = 150.0
+_BENCH_T0 = time.time()  # reset at main() entry
+_QUIESCE_SPEND = 0.0
+
+
+def _elapsed() -> float:
+    return time.time() - _BENCH_T0
+
+
+def _remaining() -> float:
+    return BENCH_BUDGET_SEC - _elapsed()
+
 
 def _observe_health() -> dict:
     global _NOMINAL_SINGLE_MS
@@ -1970,12 +2050,14 @@ def _quiesce(label: str, settle=None) -> dict:
     it as the take's start probe. ``settle`` (e.g. a JVM System.gc()
     nudge) runs once before the wait so the prior section's garbage
     is collected outside the timed window."""
+    global _QUIESCE_SPEND
     if settle is not None:
         try:
             settle()
         except Exception:  # pragma: no cover - defensive
             pass
     deadline = time.time() + QUIESCE_MAX_WAIT_SEC
+    quiesce_cap = QUIESCE_BUDGET_FRACTION * BENCH_BUDGET_SEC
     h = _observe_health()
     while time.time() < deadline:
         load1 = os.getloadavg()[0]
@@ -1985,14 +2067,28 @@ def _quiesce(label: str, settle=None) -> dict:
         )
         if load1 < QUIESCE_LOADAVG_1M and probe_ok:
             return h
+        # Budget charge (VERDICT r11 #1c): waiting for a quiet box is
+        # worth at most QUIESCE_BUDGET_FRACTION of the whole run — past
+        # that (or near the global deadline) proceed contended; the
+        # take's health metadata records the dirty start.
+        if _QUIESCE_SPEND >= quiesce_cap or _remaining() <= FINALIZE_RESERVE_SEC:
+            print(
+                f"WARN: {label} quiesce budget exhausted "
+                f"(spent {_QUIESCE_SPEND:.0f}s, cap {quiesce_cap:.0f}s, "
+                f"remaining {_remaining():.0f}s) — proceeding contended",
+                file=sys.stderr,
+            )
+            return h
         print(
             f"WARN: {label} waiting for quiesce (loadavg_1m {load1:.2f}, "
             f"probe {h['single_thread_ms']:.1f}ms vs nominal "
             f"{_NOMINAL_SINGLE_MS:.1f}ms)",
             file=sys.stderr,
         )
+        t_wait0 = time.time()
         time.sleep(15)
         h = _observe_health()
+        _QUIESCE_SPEND += time.time() - t_wait0
     return h
 
 
@@ -2008,14 +2104,17 @@ def health_gated(label: str, section, settle=None):
     so a reader can see whether the artifact is from a clean window."""
     takes = []
     out = None
-    for _ in range(HEALTH_MAX_TAKES):
+    clean = False
+    for attempt in range(HEALTH_MAX_TAKES):
         h0 = _quiesce(label, settle=settle)
         # Snapshot the nominal AT TAKE START: the end-of-section probe
         # may lower the process nominal, which would retroactively flag
         # a take that _quiesce released as clean — at sf2.5 a spurious
         # retake is a full multi-minute pairwise sweep.
         nominal_at_start = _NOMINAL_SINGLE_MS
+        t_take0 = time.time()
         out = section()
+        take_sec = time.time() - t_take0
         h1 = _observe_health()
         ratio = h1["single_thread_ms"] / max(h0["single_thread_ms"], 1e-9)
         start_degraded = (
@@ -2032,15 +2131,33 @@ def health_gated(label: str, section, settle=None):
                 "start": h0,
                 "end": h1,
                 "probe_ratio": round(ratio, 2),
+                "take_sec": round(take_sec, 1),
                 "start_degraded": start_degraded,
                 "end_degraded": end_degraded,
             }
         )
-        if (
+        clean = (
             ratio <= HEALTH_PROBE_MAX_RATIO
             and not start_degraded
             and not end_degraded
-        ):
+        )
+        if clean:
+            break
+        # Budget-charged retake (VERDICT r11 #1c): a retake costs
+        # about what the take just cost — only retake when that fits
+        # inside the remaining budget; otherwise accept the flagged
+        # take. contended=true in the returned metadata marks it.
+        can_retake = (
+            attempt + 1 < HEALTH_MAX_TAKES
+            and _remaining() > 1.2 * take_sec + FINALIZE_RESERVE_SEC
+        )
+        if not can_retake:
+            print(
+                f"WARN: {label} ran contended (probe ratio {ratio:.2f}) "
+                f"but budget ({_remaining():.0f}s left vs take "
+                f"{take_sec:.0f}s) forbids a retake — accepting flagged",
+                file=sys.stderr,
+            )
             break
         print(
             f"WARN: {label} ran contended (probe ratio {ratio:.2f}, "
@@ -2048,7 +2165,11 @@ def health_gated(label: str, section, settle=None):
             f"end_degraded={end_degraded}) — retaking",
             file=sys.stderr,
         )
-    return out, {"takes": takes, "accepted_take": len(takes)}
+    return out, {
+        "takes": takes,
+        "accepted_take": len(takes),
+        "contended": not clean,
+    }
 
 
 def build_compact(result: dict) -> str:
@@ -2063,7 +2184,9 @@ def build_compact(result: dict) -> str:
     ann = result.get("ann_operating_point", {})
     if not isinstance(overhead_floor, dict):
         overhead_floor = {}
-    headline_health = result["machine_health"]["headline"]
+    headline_health = result.get("machine_health", {}).get("headline") or {}
+    headline_takes = headline_health.get("takes") or [{}]
+    budget = result.get("budget", {})
     extras_r6 = result.get("extras_r6", {})
     streaming = result.get("streaming", {})
     prefetch_ab = result.get("prefetch_ab", {})
@@ -2090,6 +2213,16 @@ def build_compact(result: dict) -> str:
                 **(
                     {"ivf_recall_at_10": sec["ivf_recall"]["recall_at_10"]}
                     if "ivf_recall" in sec
+                    else {}
+                ),
+                **(
+                    {
+                        "ivf_store_vs_duckdb_exact": sec["ivf_recall"][
+                            "ivf_vs_duckdb_exact"
+                        ]
+                    }
+                    if isinstance(sec.get("ivf_recall"), dict)
+                    and "ivf_vs_duckdb_exact" in sec["ivf_recall"]
                     else {}
                 ),
                 **(
@@ -2157,13 +2290,24 @@ def build_compact(result: dict) -> str:
             if k in overhead_floor
         },
         "health": {
-            "headline_probe_ratio": headline_health["takes"][-1][
-                "probe_ratio"
-            ],
-            "headline_start_degraded": headline_health["takes"][-1].get(
+            "headline_probe_ratio": headline_takes[-1].get("probe_ratio"),
+            "headline_start_degraded": headline_takes[-1].get(
                 "start_degraded"
             ),
-            "takes": headline_health["accepted_take"],
+            "takes": headline_health.get("accepted_take"),
+            **(
+                {"headline_contended": True}
+                if headline_health.get("contended")
+                else {}
+            ),
+        },
+        # Wall-clock provenance (VERDICT r11 #1): what the budget was,
+        # how much of it this (possibly killed-after-this-line) run had
+        # spent, and which optional sections were dropped to fit.
+        "budget": {
+            "sec": budget.get("budget_sec"),
+            "spent": budget.get("spent_sec"),
+            "skipped": budget.get("skipped_sections", []),
         },
         "extras_r6": {
             "spark_total": round(sum(extras_r6["spark"].values()), 3),
@@ -2206,10 +2350,15 @@ def build_compact(result: dict) -> str:
         "cow_bytes_ratio",
         "ann",
         "health",
+        "budget",
         "floor",
         "baseline_duckdb",
         "scaling",
     ]
+    # Empty/None leaves carry no claim — drop them before spending the
+    # char budget on "{}" (an incremental emit early in the run would
+    # otherwise burn ~150 chars on placeholders).
+    compact = {k: v for k, v in compact.items() if v not in ({}, None)}
     line = json.dumps(compact)
     for key in DROP_ORDER:
         if len(line) <= 1900:
@@ -2232,7 +2381,22 @@ def build_compact(result: dict) -> str:
     return line
 
 
+def _ensure_replica(sf_dir: str, dst_dir: str, k: int) -> dict:
+    """Build (or confirm fresh) a k× key-offset replica of sf_dir.
+    Regenerated (not just created-if-absent) whenever the manifest says
+    the replica was built from a different source dir / k / source file
+    version — a stale replica would silently bench old data."""
+    from tools.make_scale_replica import manifest_matches, replicate
+
+    if not manifest_matches(sf_dir, dst_dir, k):
+        replicate(sf_dir, dst_dir, k, force=True)
+    return {"ok": True}
+
+
 def main() -> None:
+    global _BENCH_T0, _QUIESCE_SPEND
+    _BENCH_T0 = time.time()
+    _QUIESCE_SPEND = 0.0
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -2255,157 +2419,159 @@ def main() -> None:
     def _jvm_settle() -> None:
         spark.sparkContext._jvm.System.gc()
 
+    skipped: list[str] = []
+    sections_sec: dict[str, float] = {}
+    scaling: dict = {}
+    result: dict = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": None,
+        "unit": "sec",
+        "queries": {},
+        "sf": sf_val,
+        "baseline_duckdb": {},
+        "baseline_duckdb_total": None,
+        "scaling": scaling,
+        # sampled before the headline section; "end" is filled by the
+        # final emit only (the probe costs ~2 s — too much per-section).
+        # The gate-carrying sections are additionally health-GATED
+        # (retaken while contended and budget allows) — per-take probes
+        # under "headline" / scaling.sf2.5.health.
+        "machine_health": {
+            "start": health_start,
+            "end": None,
+            "headline": {},
+        },
+    }
+
+    def emit() -> None:
+        # Durable incremental emission (VERDICT r11 #1b): rewrite
+        # BENCH.json atomically and re-print the compact line after
+        # EVERY completed section, so a kill at any point leaves the
+        # last stdout line parseable with whatever finished — the
+        # stdout-size lesson of build_compact, applied to wall-clock.
+        result["budget"] = {
+            "budget_sec": BENCH_BUDGET_SEC,
+            "spent_sec": round(_elapsed(), 1),
+            "quiesce_spent_sec": round(_QUIESCE_SPEND, 1),
+            "skipped_sections": list(skipped),
+            "sections_sec": dict(sections_sec),
+        }
+        tmp = os.path.join(REPO, "BENCH.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(result, fh, indent=1)
+        os.replace(tmp, os.path.join(REPO, "BENCH.json"))
+        print(build_compact(result), flush=True)
+
+    def run_section(
+        name: str,
+        est_sec: float,
+        fn,
+        required: bool = False,
+        raise_on_error: bool = False,
+    ):
+        # Budget check BEFORE every optional section (VERDICT r11 #1a):
+        # sections run most-valuable-claims-first, so when the budget
+        # runs short it is the cheapest claims that get dropped.
+        # Section estimates were measured on the builder's 32-core box;
+        # the driver also runs at LOWER core counts, where every
+        # section stretches. Scale the estimates by how much slower
+        # the headline section ran than its 32-core nominal, so a slow
+        # box skips sections it cannot finish instead of starting them.
+        scale = max(
+            1.0,
+            sections_sec.get("headline", NOMINAL_HEADLINE_SEC)
+            / NOMINAL_HEADLINE_SEC,
+        )
+        need = est_sec * scale
+        if not required and _remaining() < need + FINALIZE_RESERVE_SEC:
+            print(
+                f"WARN: budget short ({_remaining():.0f}s left, "
+                f"{name} est {need:.0f}s) — skipping {name}",
+                file=sys.stderr,
+            )
+            skipped.append(name)
+            return None
+        t0 = time.time()
+        try:
+            out = fn()
+        except Exception as exc:
+            if raise_on_error:
+                raise
+            print(f"WARN: {name} failed ({exc!r})", file=sys.stderr)
+            out = {"error": repr(exc)}
+        sections_sec[name] = round(time.time() - t0, 1)
+        return out
+
+    # ---- 1. Headline (required, gate-carrying — never skipped). ----
     # Headline stays engine-phased: it is the FIRST section on a
     # freshly-quiesced box (the decaying-window skew pairwise exists
     # for cannot precede it), and the phase form's four cross-query
     # warm sweeps are what brings the JVM to steady state — pairwise
     # with fewer global sweeps timed the early codegen-bound queries
     # on a half-warm JVM, 2-4× their hot floor (runs c/d).
-    (spark_times, duck_times), headline_health = health_gated(
+    (spark_times, duck_times), headline_health = run_section(
         "headline",
-        lambda: (
-            bench_spark(spark, sf_dir, HEADLINE),
-            bench_duckdb(sf_dir, HEADLINE),
+        0,
+        lambda: health_gated(
+            "headline",
+            lambda: (
+                bench_spark(spark, sf_dir, HEADLINE),
+                bench_duckdb(sf_dir, HEADLINE),
+            ),
+            settle=_jvm_settle,
         ),
-        settle=_jvm_settle,
+        required=True,
+        raise_on_error=True,
     )
-    total = round(sum(spark_times.values()), 3)
+    result["value"] = round(sum(spark_times.values()), 3)
+    result["queries"] = spark_times
+    result["baseline_duckdb"] = duck_times
+    result["baseline_duckdb_total"] = round(sum(duck_times.values()), 3)
+    result["machine_health"]["headline"] = headline_health
+    emit()
+
+    # ---- 2. Overhead floor (required — the denominator narrative). ----
     # Health-gated like the ratios it explains: the floor is quoted as
     # the denominator narrative for at-scale ratios, so it must carry
     # the same clean-window provenance (ADVICE r9).
-    try:
-        overhead_floor, floor_health = health_gated(
+    floor_pair = run_section(
+        "overhead_floor",
+        35,
+        lambda: health_gated(
             "floor",
             lambda: bench_overhead_floor(spark, sf_dir),
             settle=_jvm_settle,
-        )
-        overhead_floor["health"] = floor_health
-    except Exception as exc:  # pragma: no cover - defensive
-        print(f"WARN: overhead_floor failed ({exc!r})", file=sys.stderr)
-        overhead_floor = {"error": repr(exc)}
-    try:
-        # Health-gated (r11): the r10 single-query probe curve was
-        # recorded in a contaminated window and read as a per-probe
-        # scaling problem; on a clean box the curve is flat.
-        ann_point, ann_health = health_gated(
-            "ann_operating_point",
-            lambda: bench_ann_operating_point(
-                spark,
-                sf_dir,
-                spark_times.get("sim_topk_bruteforce"),
-                duck_times.get("sim_topk_bruteforce"),
-            ),
-            settle=_jvm_settle,
-        )
-        ann_point["health"] = ann_health
-    except Exception as exc:  # pragma: no cover - defensive
-        print(f"WARN: ann_operating_point failed ({exc!r})", file=sys.stderr)
-        ann_point = {"error": repr(exc)}
-    facade = bench_engine_facade(spark, sf_dir)
-    hive_pruning = bench_hive_pruning(spark, sf_dir)
-    extras_r6 = bench_round6_extras(spark, sf_dir)
-    streaming = bench_streaming_throughput(spark, sf_dir)
-    # New r7 sections are individually guarded: a failure in one must
-    # not cost the round its whole bench artifact.
-    try:
-        prefetch_ab = bench_prefetch_ab(spark, sf_dir)
-    except Exception as exc:  # pragma: no cover - defensive
-        print(f"WARN: prefetch_ab failed ({exc!r})", file=sys.stderr)
-        prefetch_ab = {"error": repr(exc)}
-    try:
-        lsh_skew = bench_lsh_skew(spark, sf_dir)
-    except Exception as exc:  # pragma: no cover - defensive
-        print(f"WARN: lsh_skew failed ({exc!r})", file=sys.stderr)
-        lsh_skew = {"error": repr(exc)}
-    try:
-        orc_scan = bench_orc_scan(spark, sf_dir)
-    except Exception as exc:  # pragma: no cover - defensive
-        print(f"WARN: orc_vs_parquet failed ({exc!r})", file=sys.stderr)
-        orc_scan = {"error": repr(exc)}
-    try:
-        layout_pruning = bench_layout_pruning(spark, sf_dir)
-    except Exception as exc:  # pragma: no cover - defensive
-        print(f"WARN: layout_pruning failed ({exc!r})", file=sys.stderr)
-        layout_pruning = {"error": repr(exc)}
-    try:
-        bloom_pruning = bench_bloom_pruning(spark, sf_dir)
-    except Exception as exc:  # pragma: no cover - defensive
-        print(f"WARN: bloom_pruning failed ({exc!r})", file=sys.stderr)
-        bloom_pruning = {"error": repr(exc)}
-    try:
-        cow_dml = bench_cow_dml(spark, sf_dir)
-    except Exception as exc:  # pragma: no cover - defensive
-        print(f"WARN: cow_dml failed ({exc!r})", file=sys.stderr)
-        cow_dml = {"error": repr(exc)}
-    scaling = {}
-    sf2_dir = os.environ.get("SPARK_GRAFT_SF2_DIR", "/root/testdata/sf0.01")
-    # Third scaling point ABOVE the primary SF: a 5× key-offset replica
-    # of sf0.1 (tools/make_scale_replica.py), generated on first run.
-    # Three points (0.01 / 0.1 / 0.5) expose each engine's growth rate;
-    # the crossover analysis lives in PLANS.md.
-    sf3_dir = os.environ.get(
-        "SPARK_GRAFT_SF3_DIR", os.path.join(REPO, ".bench_data", "sf0.5")
+        ),
+        required=True,
     )
-    if sf3_dir:
-        # Regenerated (not just created-if-absent) whenever the manifest
-        # says the replica was built from a different source dir / k /
-        # source file version — a stale replica would silently bench
-        # old data. Failure warns instead of silently dropping the point.
-        try:
-            from tools.make_scale_replica import manifest_matches, replicate
+    if isinstance(floor_pair, tuple):
+        overhead_floor, floor_health = floor_pair
+        overhead_floor["health"] = floor_health
+    else:
+        overhead_floor = floor_pair or {"error": "floor returned None"}
+    result["overhead_floor"] = overhead_floor
+    emit()
 
-            if not manifest_matches(sf_dir, sf3_dir, 5):
-                replicate(sf_dir, sf3_dir, 5, force=True)
-        except Exception as exc:  # pragma: no cover - env-dependent
-            print(f"WARN: sf3 replica unavailable ({exc!r})", file=sys.stderr)
-            sf3_dir = ""
-    for extra_dir in (sf2_dir, sf3_dir):
-        if (
-            extra_dir
-            and os.path.isdir(extra_dir)
-            and os.path.realpath(extra_dir) != os.path.realpath(sf_dir)
-        ):
-            tag = os.path.basename(extra_dir.rstrip("/"))
-            scaling[tag] = {
-                "queries": bench_spark(
-                    spark,
-                    extra_dir,
-                    HEADLINE,
-                    runs=RUNS_PER_SCALING_QUERY,
-                    warm_sweeps=1,  # slope estimates tolerate JIT noise
-                ),
-                "baseline_duckdb": bench_duckdb(
-                    extra_dir, HEADLINE, runs=RUNS_PER_SCALING_QUERY, warm_sweeps=1
-                ),
-            }
-            if tag == "sf0.5":
-                scaling[tag]["capped_lsh_candidates"] = bench_capped_lsh(
-                    spark, extra_dir
-                )
-                scaling[tag]["forced_regime"] = bench_forced_regime(
-                    spark, extra_dir
-                )
-                scaling[tag]["ivf_recall"] = bench_ivf_recall(spark, extra_dir)
-    # Fourth point ABOVE the tuner's small-input threshold (25× sf0.1
-    # ≈ 395 MB > 256 MB): the at-scale branch — AQE on, volume-scaled
-    # shuffle partitions — engages ORGANICALLY here, so the regime the
-    # 100 TB story claims is demonstrated without forcing (the sf0.5
-    # forced_regime block remains the controlled A/B). Subset = the
-    # three micro-join/window queries whose toy-scale slopes the r5
-    # verdict questioned + the three heaviest pipeline operators;
-    # single timed run per engine (slope point, not a gate).
+    # ---- 3. The at-scale point (sf2.5) — the strongest claims run ----
+    # earliest so a short budget drops the cheapest claims, not these
+    # (VERDICT r11 #6: the sf2.5 ratio and the IVF-PQ store cells had
+    # never appeared in a driver-parsed artifact).
+    # 25× sf0.1 ≈ 395 MB > the tuner's 256 MB small-input threshold:
+    # the at-scale branch — AQE on, volume-scaled shuffle partitions —
+    # engages ORGANICALLY here, so the regime the 100 TB story claims
+    # is demonstrated without forcing (the sf0.5 forced_regime block
+    # remains the controlled A/B).
     sf4_dir = os.environ.get(
         "SPARK_GRAFT_SF4_DIR", os.path.join(REPO, ".bench_data", "sf2.5")
     )
     if sf4_dir:
-        try:
-            from tools.make_scale_replica import manifest_matches, replicate
-
-            if not manifest_matches(sf_dir, sf4_dir, 25):
-                replicate(sf_dir, sf4_dir, 25, force=True)
-        except Exception as exc:  # pragma: no cover - env-dependent
-            print(f"WARN: sf4 replica unavailable ({exc!r})", file=sys.stderr)
+        rep = run_section(
+            "sf2.5_replica", 90, lambda: _ensure_replica(sf_dir, sf4_dir, 25)
+        )
+        if not (isinstance(rep, dict) and rep.get("ok")):
             sf4_dir = ""
+    sf25_spark: dict = {}
+    sf25_duck: dict = {}
     if sf4_dir and os.path.isdir(sf4_dir):
         from columnar_database_project_spark.session import (
             SMALL_INPUT_BYTES,
@@ -2437,117 +2603,292 @@ def main() -> None:
         # minhash in r5 logs); symmetric per engine. Health-gated
         # like the headline section — the r8 sf2.5 numbers ran in a
         # contention window (loadavg 3 → 8).
-        (sf25_spark, sf25_duck), sf25_health = health_gated(
-            "sf2.5",
-            lambda: bench_pairwise(
-                spark,
-                sf4_dir,
-                AT_SCALE_SUBSET,
-                runs=3,
-                warm_sweeps=1,
+        pair = run_section(
+            "sf2.5_pairwise",
+            500,
+            lambda: health_gated(
+                "sf2.5",
+                lambda: bench_pairwise(
+                    spark,
+                    sf4_dir,
+                    AT_SCALE_SUBSET,
+                    runs=3,
+                    warm_sweeps=1,
+                    settle=_jvm_settle,
+                ),
                 settle=_jvm_settle,
+            ),
+        )
+        if isinstance(pair, tuple):
+            (sf25_spark, sf25_duck, sf25_meta), sf25_health = pair
+            scaling["sf2.5"] = {
+                "runs": 3,
+                "run_protocol": sf25_meta,
+                "queries": sf25_spark,
+                "baseline_duckdb": sf25_duck,
+                "health": sf25_health,
+                "at_scale_regime": bool(
+                    input_bytes(sf4_dir) >= SMALL_INPUT_BYTES
+                ),
+            }
+            emit()
+
+            def _ivf25_fn():
+                # health-gated (r11): the r10 single-query probe curve
+                # was recorded in a contaminated window and read as a
+                # per-probe scaling problem; on a clean box it is flat.
+                res, health = health_gated(
+                    "sf2.5 ann_operating_point",
+                    lambda: bench_ann_operating_point(
+                        spark,
+                        sf4_dir,
+                        sf25_spark.get("sim_topk_bruteforce"),
+                        sf25_duck.get("sim_topk_bruteforce"),
+                    ),
+                    settle=_jvm_settle,
+                )
+                res["health"] = health
+                return res
+
+            out = run_section("sf2.5_ivf_recall", 85, _ivf25_fn)
+            if out is not None:
+                scaling["sf2.5"]["ivf_recall"] = out
+                emit()
+            out = run_section(
+                "sf2.5_near_survivors_chain",
+                210,
+                lambda: bench_near_survivors_chain(spark, sf4_dir),
+            )
+            if out is not None:
+                scaling["sf2.5"]["near_survivors_chain"] = out
+                emit()
+
+            def _floor25_fn():
+                res, health = health_gated(
+                    "floor-sf2.5",
+                    lambda: bench_overhead_floor(spark, sf4_dir),
+                    settle=_jvm_settle,
+                )
+                res["health"] = health
+                return res
+
+            out = run_section("sf2.5_overhead_floor", 100, _floor25_fn)
+            if out is not None:
+                scaling["sf2.5"]["overhead_floor"] = out
+                emit()
+            out = run_section(
+                "sf2.5_scan_throughput",
+                10,
+                lambda: bench_scan_throughput(spark, sf4_dir),
+            )
+            if out is not None:
+                scaling["sf2.5"]["scan_throughput"] = out
+                emit()
+            def _bkt_fn():
+                # health-gated: sub-second layout deltas are pure box
+                # noise on a contended take (r10 ungated runs recorded
+                # q5 at 1.1–10.5 s across windows)
+                res, health = health_gated(
+                    "bucketed-sf2.5",
+                    lambda: bench_bucketed_headliners(
+                        spark, sf4_dir, sf25_spark, sf25_duck
+                    ),
+                    settle=_jvm_settle,
+                )
+                res["health"] = health
+                return res
+
+            out = run_section("sf2.5_bucketed", 180, _bkt_fn)
+            if out is not None:
+                scaling["sf2.5"]["bucketed_headliners"] = out
+                emit()
+
+
+    # ---- 4. Scaling slope points (sf0.01, then the 5× sf0.5). ----
+    sf2_dir = os.environ.get("SPARK_GRAFT_SF2_DIR", "/root/testdata/sf0.01")
+    if (
+        sf2_dir
+        and os.path.isdir(sf2_dir)
+        and os.path.realpath(sf2_dir) != os.path.realpath(sf_dir)
+    ):
+        tag2 = os.path.basename(sf2_dir.rstrip("/"))
+        out = run_section(
+            f"scaling_{tag2}",
+            30,
+            lambda: {
+                "queries": bench_spark(
+                    spark,
+                    sf2_dir,
+                    HEADLINE,
+                    runs=RUNS_PER_SCALING_QUERY,
+                    warm_sweeps=1,  # slope estimates tolerate JIT noise
+                ),
+                "baseline_duckdb": bench_duckdb(
+                    sf2_dir,
+                    HEADLINE,
+                    runs=RUNS_PER_SCALING_QUERY,
+                    warm_sweeps=1,
+                ),
+            },
+        )
+        if isinstance(out, dict) and "queries" in out:
+            scaling[tag2] = out
+            emit()
+    # Third scaling point ABOVE the primary SF: a 5× key-offset replica
+    # of sf0.1 (tools/make_scale_replica.py), generated on first run.
+    # Three points (0.01 / 0.1 / 0.5) expose each engine's growth rate;
+    # the crossover analysis lives in PLANS.md.
+    sf3_dir = os.environ.get(
+        "SPARK_GRAFT_SF3_DIR", os.path.join(REPO, ".bench_data", "sf0.5")
+    )
+    if sf3_dir:
+        rep = run_section(
+            "sf0.5_replica", 30, lambda: _ensure_replica(sf_dir, sf3_dir, 5)
+        )
+        if not (isinstance(rep, dict) and rep.get("ok")):
+            sf3_dir = ""
+    if (
+        sf3_dir
+        and os.path.isdir(sf3_dir)
+        and os.path.realpath(sf3_dir) != os.path.realpath(sf_dir)
+    ):
+        tag3 = os.path.basename(sf3_dir.rstrip("/"))
+        out = run_section(
+            f"scaling_{tag3}",
+            70,
+            lambda: {
+                "queries": bench_spark(
+                    spark,
+                    sf3_dir,
+                    HEADLINE,
+                    runs=RUNS_PER_SCALING_QUERY,
+                    warm_sweeps=1,
+                ),
+                "baseline_duckdb": bench_duckdb(
+                    sf3_dir,
+                    HEADLINE,
+                    runs=RUNS_PER_SCALING_QUERY,
+                    warm_sweeps=1,
+                ),
+            },
+        )
+        if isinstance(out, dict) and "queries" in out:
+            scaling[tag3] = out
+            emit()
+            out = run_section(
+                "sf0.5_capped_lsh",
+                20,
+                lambda: bench_capped_lsh(spark, sf3_dir),
+            )
+            if out is not None and not isinstance(out, dict):
+                scaling[tag3]["capped_lsh_candidates"] = out
+            out = run_section(
+                "sf0.5_forced_regime",
+                45,
+                lambda: bench_forced_regime(spark, sf3_dir),
+            )
+            if out is not None:
+                scaling[tag3]["forced_regime"] = out
+            out = run_section(
+                "sf0.5_ivf_recall",
+                60,
+                lambda: bench_ivf_recall(spark, sf3_dir),
+            )
+            if out is not None:
+                scaling[tag3]["ivf_recall"] = out
+            emit()
+
+    # ---- 5. Remaining sections, cheapest claims last. ----
+    def _ann_fn():
+        # Health-gated (r11): the r10 single-query probe curve was
+        # recorded in a contaminated window and read as a per-probe
+        # scaling problem; on a clean box the curve is flat.
+        res, health = health_gated(
+            "ann_operating_point",
+            lambda: bench_ann_operating_point(
+                spark,
+                sf_dir,
+                spark_times.get("sim_topk_bruteforce"),
+                duck_times.get("sim_topk_bruteforce"),
             ),
             settle=_jvm_settle,
         )
-        scaling["sf2.5"] = {
-            "runs": 3,
-            "queries": sf25_spark,
-            "baseline_duckdb": sf25_duck,
-            "health": sf25_health,
-            "at_scale_regime": bool(
-                input_bytes(sf4_dir) >= SMALL_INPUT_BYTES
-            ),
-        }
-        try:
-            _floor25, _floor25_health = health_gated(
-                "floor-sf2.5",
-                lambda: bench_overhead_floor(spark, sf4_dir),
-                settle=_jvm_settle,
-            )
-            _floor25["health"] = _floor25_health
-            scaling["sf2.5"]["overhead_floor"] = _floor25
-        except Exception as exc:  # pragma: no cover - defensive
-            print(f"WARN: overhead_floor failed ({exc!r})", file=sys.stderr)
-        try:
-            # health-gated: sub-second layout deltas are pure box noise
-            # on a contended take (r10 ungated runs recorded q5 at
-            # 1.1–10.5 s across windows)
-            _bkt, _bkt_health = health_gated(
-                "bucketed-sf2.5",
-                lambda: bench_bucketed_headliners(
-                    spark, sf4_dir, sf25_spark, sf25_duck
-                ),
-                settle=_jvm_settle,
-            )
-            _bkt["health"] = _bkt_health
-            scaling["sf2.5"]["bucketed_headliners"] = _bkt
-        except Exception as exc:  # pragma: no cover - defensive
-            print(f"WARN: bucketed_headliners failed ({exc!r})", file=sys.stderr)
-        try:
-            scaling["sf2.5"]["scan_throughput"] = bench_scan_throughput(
-                spark, sf4_dir
-            )
-        except Exception as exc:  # pragma: no cover - defensive
-            print(f"WARN: scan_throughput failed ({exc!r})", file=sys.stderr)
-        try:
-            _ivf25, _ivf25_health = health_gated(
-                "sf2.5 ann_operating_point",
-                lambda: bench_ann_operating_point(
-                    spark,
-                    sf4_dir,
-                    sf25_spark.get("sim_topk_bruteforce"),
-                    sf25_duck.get("sim_topk_bruteforce"),
-                ),
-                settle=_jvm_settle,
-            )
-            _ivf25["health"] = _ivf25_health
-            scaling["sf2.5"]["ivf_recall"] = _ivf25
-        except Exception as exc:  # pragma: no cover - defensive
-            print(f"WARN: sf2.5 ann failed ({exc!r})", file=sys.stderr)
-        try:
-            scaling["sf2.5"]["near_survivors_chain"] = (
-                bench_near_survivors_chain(spark, sf4_dir)
-            )
-        except Exception as exc:  # pragma: no cover - defensive
-            print(f"WARN: near_survivors_chain failed ({exc!r})", file=sys.stderr)
-    result = {
-        "metric": "headline_queries_total_wall_clock",
-        "value": total,
-        "unit": "sec",
-        "queries": spark_times,
-        "sf": sf_val,
-        "baseline_duckdb": duck_times,
-        "baseline_duckdb_total": round(sum(duck_times.values()), 3),
-        "engine_facade": facade,
-        "ann_operating_point": ann_point,
-        "overhead_floor": overhead_floor,
-        "hive_pruning": hive_pruning,
-        "extras_r6": extras_r6,
-        "streaming": streaming,
-        "prefetch_ab": prefetch_ab,
-        "lsh_skew": lsh_skew,
-        "orc_vs_parquet": orc_scan,
-        "layout_pruning": layout_pruning,
-        "bloom_pruning": bloom_pruning,
-        "cow_dml": cow_dml,
-        "scaling": scaling,
-        # sampled before the headline section and again after the
-        # at-scale section: a ballooned end-sample flags that the
-        # LATER (scaling) numbers ran in a contention window. The
-        # gate-carrying sections are additionally health-GATED
-        # (retaken while contended) — per-take probes under
-        # "headline" / scaling.sf2.5.health.
-        "machine_health": {
-            "start": health_start,
-            "end": machine_health(),
-            "headline": headline_health,
-        },
-    }
-    with open(os.path.join(REPO, "BENCH.json"), "w") as fh:
-        json.dump(result, fh, indent=1)
-    print(json.dumps(result))  # full copy; may scroll out of tail capture
-    # LAST line = compact headline — see build_compact.
-    print(build_compact(result))
+        res["health"] = health
+        return res
+
+    out = run_section("ann_operating_point", 75, _ann_fn)
+    if out is not None:
+        result["ann_operating_point"] = out
+        emit()
+    # The slow-store leg (~2.5 min of injected-latency replays) is only
+    # attempted when the budget can hold BOTH prefetch legs.
+    _slow_ok = _remaining() > 100 + 170 + FINALIZE_RESERVE_SEC
+    out = run_section(
+        "prefetch_ab",
+        100,
+        lambda: bench_prefetch_ab(spark, sf_dir, slow_store=_slow_ok),
+    )
+    if out is not None:
+        result["prefetch_ab"] = out
+        emit()
+    out = run_section(
+        "streaming", 10, lambda: bench_streaming_throughput(spark, sf_dir)
+    )
+    if out is not None:
+        result["streaming"] = out
+        emit()
+    out = run_section(
+        "extras_r6", 60, lambda: bench_round6_extras(spark, sf_dir)
+    )
+    if out is not None:
+        result["extras_r6"] = out
+        emit()
+    out = run_section("cow_dml", 55, lambda: bench_cow_dml(spark, sf_dir))
+    if out is not None:
+        result["cow_dml"] = out
+        emit()
+    out = run_section(
+        "engine_facade", 5, lambda: bench_engine_facade(spark, sf_dir)
+    )
+    if out is not None:
+        result["engine_facade"] = out
+        emit()
+    out = run_section(
+        "hive_pruning", 5, lambda: bench_hive_pruning(spark, sf_dir)
+    )
+    if out is not None:
+        result["hive_pruning"] = out
+        emit()
+    out = run_section("lsh_skew", 50, lambda: bench_lsh_skew(spark, sf_dir))
+    if out is not None:
+        result["lsh_skew"] = out
+        emit()
+    out = run_section(
+        "orc_vs_parquet", 35, lambda: bench_orc_scan(spark, sf_dir)
+    )
+    if out is not None:
+        result["orc_vs_parquet"] = out
+        emit()
+    out = run_section(
+        "layout_pruning", 35, lambda: bench_layout_pruning(spark, sf_dir)
+    )
+    if out is not None:
+        result["layout_pruning"] = out
+        emit()
+    out = run_section(
+        "bloom_pruning", 35, lambda: bench_bloom_pruning(spark, sf_dir)
+    )
+    if out is not None:
+        result["bloom_pruning"] = out
+        emit()
+
+    # ---- Final emission: end-health sample + the authoritative last
+    # line. (The full-result stdout copy of earlier rounds is gone —
+    # it only ever scrolled out of tail capture, and a kill landing
+    # mid-print could fill the driver's whole capture window with an
+    # unparseable fragment; BENCH.json carries the detail.)
+    result["machine_health"]["end"] = machine_health()
+    emit()
 
 
 if __name__ == "__main__":

@@ -193,3 +193,123 @@ class TestStoreRelationInPlaceOverwrite:
             os.remove(crc)
         n1 = _store_relation(spark, p).count()
         assert n1 == 5  # 3 rewritten rows in cell 0 + 2 in cell 1
+
+
+class TestBudgetedGate:
+    """r12 bench budget machinery (VERDICT r11 #1): quiesce waits and
+    retakes are charged against a global wall-clock budget; when the
+    budget cannot hold them the gate accepts a CONTENDED-flagged take
+    instead of burning time it does not have — a flagged take beats
+    the rc-124/parsed-null nothing the r11 driver run recorded."""
+
+    def _patch(self, monkeypatch, budget_sec, probe_ms=58.9, seed=37.0):
+        import bench
+
+        state = {"seeded": False}
+        clock = [0.0]
+
+        def fake_health():
+            if not state["seeded"]:
+                state["seeded"] = True
+                return {
+                    "single_thread_ms": seed,
+                    "parallel16_wall_over_single": 1.5,
+                    "loadavg_1m": 0.1,
+                    "loadavg_5m": 0.1,
+                }
+            return {
+                "single_thread_ms": probe_ms,  # degraded, never recovers
+                "parallel16_wall_over_single": 1.5,
+                "loadavg_1m": 0.1,
+                "loadavg_5m": 0.1,
+            }
+
+        monkeypatch.setattr(bench, "machine_health", fake_health)
+        monkeypatch.setattr(bench, "_NOMINAL_SINGLE_MS", float("inf"))
+        monkeypatch.setattr(bench, "BENCH_BUDGET_SEC", budget_sec)
+        monkeypatch.setattr(bench, "_QUIESCE_SPEND", 0.0)
+        monkeypatch.setattr(bench, "_BENCH_T0", 0.0)
+        monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.1, 0.1, 0.1))
+        monkeypatch.setattr(bench.time, "time", lambda: clock[0])
+        monkeypatch.setattr(
+            bench.time,
+            "sleep",
+            lambda s: clock.__setitem__(0, clock[0] + s),
+        )
+        bench._observe_health()  # seed nominal as main() does
+        return bench, clock
+
+    def test_quiesce_spend_capped_globally(self, monkeypatch):
+        """A probe that never recovers must not burn 3 × 300 s of
+        quiesce waits: total spend stops at 20% of the budget, later
+        takes start immediately, and the result is flagged contended."""
+        bench, clock = self._patch(monkeypatch, budget_sec=900.0)
+        calls = []
+        out, meta = bench.health_gated("t", lambda: calls.append(1) or "ok")
+        assert out == "ok"
+        assert meta["contended"] is True
+        assert meta["accepted_take"] == len(meta["takes"])
+        cap = bench.QUIESCE_BUDGET_FRACTION * 900.0
+        assert bench._QUIESCE_SPEND <= cap + 16.0  # one sleep granule over
+        # without the cap three degraded takes wait 3×300 s; with it the
+        # whole gate finishes inside ~cap of fake wall-clock
+        assert clock[0] <= cap + 60.0
+
+    def test_retake_forbidden_when_budget_short(self, monkeypatch):
+        """A contended take whose retake cannot fit in the remaining
+        budget is ACCEPTED (flagged) — one take, not HEALTH_MAX_TAKES."""
+        bench, clock = self._patch(monkeypatch, budget_sec=900.0)
+        calls = []
+
+        def section():
+            calls.append(1)
+            clock[0] += 400.0  # the section itself eats 400 fake secs
+            return "ok"
+
+        out, meta = bench.health_gated("t", section)
+        assert out == "ok"
+        assert len(calls) == 1, "retake must be forbidden on short budget"
+        assert meta["contended"] is True
+        assert meta["takes"][0]["take_sec"] >= 400.0
+
+    def test_compact_line_headline_only_result(self):
+        """The FIRST incremental emit (headline + nothing else) must
+        already produce a parseable ≤1900-char compact line carrying
+        the budget/skip provenance — a kill right after section 1 is
+        the scenario the incremental protocol exists for."""
+        import json
+
+        import bench
+
+        result = {
+            "metric": "headline_queries_total_wall_clock",
+            "value": 4.2,
+            "unit": "sec",
+            "queries": {"q1_pricing_summary": 0.4},
+            "sf": 0.1,
+            "baseline_duckdb": {"q1_pricing_summary": 0.2},
+            "baseline_duckdb_total": 0.2,
+            "scaling": {},
+            "machine_health": {
+                "start": {},
+                "end": None,
+                "headline": {
+                    "takes": [{"probe_ratio": 1.0, "start_degraded": False}],
+                    "accepted_take": 1,
+                    "contended": False,
+                },
+            },
+            "budget": {
+                "budget_sec": 900.0,
+                "spent_sec": 123.4,
+                "quiesce_spent_sec": 0.0,
+                "skipped_sections": ["bloom_pruning"],
+                "sections_sec": {"headline": 120.0},
+            },
+        }
+        line = bench.build_compact(result)
+        assert len(line) <= 1900
+        d = json.loads(line)
+        assert d["value"] == 4.2
+        assert d["budget"]["skipped"] == ["bloom_pruning"]
+        assert d["budget"]["sec"] == 900.0

@@ -297,6 +297,14 @@ class TestHealthGate:
 
         monkeypatch.setattr(bench, "machine_health", fake_health)
         monkeypatch.setattr(bench, "_NOMINAL_SINGLE_MS", float("inf"))
+        # r12: quiesce waits are charged against a global wall budget
+        # (cap = 20% of it). These scenarios predate that and need the
+        # full 300 s per-take wait available — give them a budget whose
+        # cap exceeds it, and a clean spend/epoch. The budget-exhausted
+        # path is pinned separately in TestBudgetedGate.
+        monkeypatch.setattr(bench, "BENCH_BUDGET_SEC", 10_000.0)
+        monkeypatch.setattr(bench, "_QUIESCE_SPEND", 0.0)
+        monkeypatch.setattr(bench, "_BENCH_T0", 0.0)
         monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.1, 0.1, 0.1))
         # fake clock so the quiesce wait-cap can expire without real
         # sleeping (bench.time is the stdlib module; patch is
@@ -417,4 +425,8 @@ class TestCompactLine:
         r["cow_dml"] = {"error": "boom"}
         r["extras_r6"] = {"error": "boom"}
         d = json.loads(bench.build_compact(r))
-        assert d["floor"] == {} and d["extras_r6"] == {}
+        # r12: empty/None leaves are dropped outright (char budget goes
+        # to claims, not "{}" placeholders) — error-shaped sections must
+        # simply be absent, never crash the line builder.
+        assert "floor" not in d and "extras_r6" not in d
+        assert d["value"] == 4.5
