@@ -8,19 +8,25 @@ wall-clock per query) to the BASELINE.md §B protocol:
   3. (verification) Spark scan metrics prove pushdown happened.
 
 Output protocol (the driver's tail-capture buffer is ~2000 chars, and
-round 4's single giant JSON line outgrew it — the round's numbers were
-recorded unparseable):
-  1. the FULL result JSON is written to ``BENCH.json`` in the repo root
-     (the durable artifact),
-  2. a full single-line copy is printed first (scrolls away harmlessly),
-  3. the LAST printed line is a compact headline, ENFORCED ≤1900 chars
-     (r9: the r8 compact line had regrown past 2 KB and the driver
-     recorded parsed:null again — the budget is now applied by dropping
-     optional keys, never per-query spark times) so a tail-capture of
-     any sane size always contains one complete parseable JSON line.
+round 4's single giant JSON line outgrew it; the r11 driver run was
+additionally KILLED at its wall-clock timeout with nothing printed —
+both size and time are now bounded):
+  1. after EVERY completed section the full result-so-far is rewritten
+     atomically to ``BENCH.json`` (the durable artifact) and a compact
+     headline line is printed, ENFORCED ≤1900 chars (r9: the r8 compact
+     line had regrown past 2 KB and the driver recorded parsed:null —
+     the budget is applied by dropping optional keys, never per-query
+     spark times). A kill at ANY point leaves the last stdout line as
+     one complete parseable JSON with whatever finished.
+  2. the whole run works against a wall-clock budget
+     (SPARK_GRAFT_BENCH_BUDGET_SEC, default 1200 s): optional sections
+     run most-valuable-claims-first and are skipped (recorded in
+     budget.skipped_sections) when they cannot fit; quiesce waits and
+     health retakes are charged against the same budget.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_BENCH_BUDGET_SEC (default 1200) — global wall budget,
      SPARK_GRAFT_SF2_DIR (default /root/testdata/sf0.01) — secondary
      scale for the per-query scaling slope ("scaling" key): Spark's
      fixed ~0.3-1 s per-query overhead dominates sub-second baselines,
