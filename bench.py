@@ -181,6 +181,7 @@ def bench_pairwise(
     runs: int = RUNS_PER_QUERY,
     warm_sweeps: int = WARM_SWEEPS,
     settle=None,
+    remaining=None,
 ) -> tuple[dict[str, float], dict[str, float], dict]:
     """Interleave the engines at QUERY granularity: warm + time Spark
     on one query, then warm + time DuckDB on the same query, then move
@@ -200,12 +201,31 @@ def bench_pairwise(
     sat exactly on theirs."""
     qs = entry_mod.queries()
     tune_for_scale(spark, sf_dir)
+    # Mid-section budget awareness (VERDICT r12 #2): the r12 8-core
+    # driver run blew its budget by 97 s because estimates were checked
+    # only at section ENTRY — on a slow box the sf2.5 sweep stretches
+    # to ~900 s and nothing inside it looked at the clock. ``remaining``
+    # (a callable returning seconds left) is consulted before every
+    # per-query step; queries that cannot fit are recorded in
+    # meta["truncated"] and BOTH engines skip them symmetrically, so
+    # the completed subset still forms honest pairs. A partial section
+    # with provenance beats an overrun.
+    truncated: list[str] = []
+
+    def _fits(est_sec: float) -> bool:
+        return remaining is None or remaining() > est_sec + 30.0
+
     warm_s: dict[str, float] = {}
     warm_d: dict[str, float] = {}
+    worst_warm = 0.0
     for name in names:  # global JVM/JIT + page-cache warm
+        if warm_s and not _fits(worst_warm):
+            truncated.append(name)
+            continue
         t0 = time.time()
         qs[name](spark, sf_dir).toPandas()
         warm_s[name] = time.time() - t0
+        worst_warm = max(worst_warm, warm_s[name])
     oracles = entry_mod.oracle_sql()
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
@@ -214,22 +234,49 @@ def bench_pairwise(
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
             )
+    worst_warm_d = 0.0
     for name in names:  # symmetric global warm
-        if name in oracles:
+        if name in oracles and name in warm_s:
+            if warm_d and not _fits(worst_warm_d):
+                truncated.append(name)
+                warm_s.pop(name, None)  # pairs stay symmetric
+                continue
             t0 = time.time()
             con.execute(oracles[name]).df()
             warm_d[name] = time.time() - t0
+            worst_warm_d = max(worst_warm_d, warm_d[name])
     con.close()
     st: dict[str, float] = {}
     dt: dict[str, float] = {}
     adaptive: dict[str, int] = {}
+    reclassified: dict[str, list[float]] = {}
     for name in names:
-        slow = (
-            max(warm_s.get(name, 0.0), warm_d.get(name, 0.0))
-            > SLOW_QUERY_SEC
-        )
+        if name in truncated or name not in warm_s:
+            if name not in truncated:
+                truncated.append(name)
+            continue
+        w_s = warm_s.get(name, 0.0)
+        w_d = warm_d.get(name, 0.0)
+        if w_s > SLOW_QUERY_SEC >= w_d and _fits(w_s):
+            # Spark's global-warm execution is its FIRST — JIT/codegen-
+            # cold — so a ~3-4 s hot query can read >6 s there and get
+            # demoted to best-of-1 with zero warm sweeps, reintroducing
+            # the scheduler-noise sensitivity best-of-N exists to
+            # reject (ADVICE r12). Reclassify on one warm re-run;
+            # DuckDB's warm timing has no JIT cold bias and stands.
+            t0 = time.time()
+            qs[name](spark, sf_dir).toPandas()
+            w_s2 = time.time() - t0
+            reclassified[name] = [round(w_s, 3), round(w_s2, 3)]
+            w_s = min(w_s, w_s2)
+        slow = max(w_s, w_d) > SLOW_QUERY_SEC
         q_runs = 1 if slow else runs
         q_warm = 0 if slow else warm_sweeps
+        # pair cost estimate from the measured warms, 1.3× margin
+        pair_est = 1.3 * (q_runs + q_warm) * (w_s + w_d)
+        if not _fits(pair_est):
+            truncated.append(name)
+            continue
         if slow:
             adaptive[name] = q_runs
         if settle is not None:
@@ -264,6 +311,12 @@ def bench_pairwise(
             n: [round(warm_s.get(n, 0.0), 3), round(warm_d.get(n, 0.0), 3)]
             for n in names
         },
+        "truncated": sorted(set(truncated)),
+        **(
+            {"slow_reclassify_recheck_sec": reclassified}
+            if reclassified
+            else {}
+        ),
     }
     return st, dt, meta
 
@@ -1112,7 +1165,9 @@ def bench_orc_scan(spark, sf_dir: str) -> dict:
     return out
 
 
-def bench_prefetch_ab(spark, sf_dir: str, slow_store: bool = True) -> dict:
+def bench_prefetch_ab(
+    spark, sf_dir: str, slow_store: bool = True, remaining=None
+) -> dict:
     """End-to-end value of the ML prefetch stack — the reference's
     entire thesis (reference README.md:5-9) finally carried as a
     number: the SAME synthetic mixed workload (sequential walks in hot
@@ -1198,13 +1253,24 @@ def bench_prefetch_ab(spark, sf_dir: str, slow_store: bool = True) -> dict:
     for b in range(n_blocks):
         spark.read.parquet(index.block_file(b)).count()
 
-    # no_cache: raw per-access read cost
-    lat = [read_latency(b) for b in eval_seq]
-    out["no_cache"] = {
-        "hit_rate": 0.0,
-        "mean_access_ms": round(1000 * sum(lat) / len(lat), 2),
-        "total_sec": round(sum(lat), 3),
-    }
+    # Leg-level budget awareness (VERDICT r12 #1/#2): this section
+    # measured 571 s in the r12 full run — far past any static entry
+    # estimate — and the slow-store gate flip (the reference-thesis
+    # claim) had NEVER landed in a driver-parsed artifact because the
+    # whole section was skipped-or-nothing. Legs now run in CLAIM
+    # priority order — lru_only (the base), then the slow-store flip
+    # legs, then the fast LSTM detail legs, then no_cache, then the
+    # min_prob sweep — and ``remaining`` is consulted before each with
+    # an estimate derived from the measured lru_only replay wall.
+    # Skipped legs are recorded; every completed leg reports the same
+    # numbers the unbudgeted section would.
+    leg_sec: dict[str, float] = {}
+    skipped_legs: list[str] = []
+    out["leg_sec"] = leg_sec
+    out["skipped_legs"] = skipped_legs
+
+    def _fits(est_sec: float) -> bool:
+        return remaining is None or remaining() > est_sec + 30.0
 
     class _SlowStorePrefetcher(Prefetcher):
         """Prefetcher against simulated remote object storage: every
@@ -1350,8 +1416,60 @@ def bench_prefetch_ab(spark, sf_dir: str, slow_store: bool = True) -> dict:
         cache.clear()
         return entry, econ
 
-    out["lru_only"], _ = replay(False, 0.0)
-    out["lru_lstm"], ungated_econ = replay(True, 0.0)
+    def timed_replay(leg: str, *args, **kwargs):
+        t0 = time.time()
+        res = replay(*args, **kwargs)
+        leg_sec[leg] = round(time.time() - t0, 1)
+        return res
+
+    # 1. the base config — the section's minimal useful product (every
+    # other leg's hit-rate lift and net_sec is measured against it);
+    # its measured wall is the estimator for every later leg.
+    out["lru_only"], _ = timed_replay("lru_only", False, 0.0)
+    L = leg_sec["lru_only"]
+
+    # 2. the slow-store flip legs — the reference-thesis claim, run
+    # BEFORE the fast detail legs so a short budget drops detail, not
+    # the flip. All three are needed for the flip cells (lru_only base
+    # → lift; ungated economics → gate seed; gated → the flip itself).
+    SLOW_DELAY = 0.2
+    if slow_store and _fits(3 * 2.5 * L):
+        slow: dict = {
+            "read_delay_ms": int(SLOW_DELAY * 1000),
+            "concurrent_issue": 10,
+        }
+        slow["lru_only"], _ = timed_replay(
+            "slow_lru_only", False, 0.0, delay=SLOW_DELAY
+        )
+        slow["lru_lstm"], slow_econ = timed_replay(
+            "slow_lru_lstm", True, 0.0, delay=SLOW_DELAY, concurrent_issue=10
+        )
+        slow["lru_lstm_gated"], _ = timed_replay(
+            "slow_lru_lstm_gated",
+            True,
+            0.0,
+            gate=True,
+            seed_econ=slow_econ,
+            delay=SLOW_DELAY,
+            concurrent_issue=10,
+        )
+        out["slow_store"] = slow
+    else:
+        out["slow_store"] = {"skipped": "budget"}
+        skipped_legs.extend(
+            ["slow_lru_only", "slow_lru_lstm", "slow_lru_lstm_gated"]
+        )
+
+    # 3. fast-store LSTM detail legs.
+    # LSTM-class legs measured ~2.8x the lru_only wall in the r13
+    # verification run (64 s vs 22.7 s — the prediction/prefetch cycle
+    # adds real reads); 1.6x underestimated them and let the sweep eat
+    # the cheap sections' window.
+    ungated_econ = None
+    if _fits(2.8 * L):
+        out["lru_lstm"], ungated_econ = timed_replay("lru_lstm", True, 0.0)
+    else:
+        skipped_legs.append("lru_lstm")
     # The gated configuration — the production default the r9 verdict
     # asks for: seeded with the calibration run's economics (in
     # production the access-log layer C4–C6 provides this evidence),
@@ -1359,11 +1477,36 @@ def bench_prefetch_ab(spark, sf_dir: str, slow_store: bool = True) -> dict:
     # net benefit is ≥ 0. On hardware where the LSTM's converted
     # misses do not pay for the background reads, the gate converges
     # to LRU-only behavior and net_sec ≥ 0 by construction.
-    out["lru_lstm_gated"], _ = replay(True, 0.0, gate=True, seed_econ=ungated_econ)
+    if ungated_econ is not None and _fits(2.8 * L):
+        out["lru_lstm_gated"], _ = timed_replay(
+            "lru_lstm_gated", True, 0.0, gate=True, seed_econ=ungated_econ
+        )
+    else:
+        skipped_legs.append("lru_lstm_gated")
+
+    # 4. no_cache: raw per-access read cost — narrative context only,
+    # no compact-line claim reads it.
+    if _fits(1.2 * L):
+        t0 = time.time()
+        lat = [read_latency(b) for b in eval_seq]
+        leg_sec["no_cache"] = round(time.time() - t0, 1)
+        out["no_cache"] = {
+            "hit_rate": 0.0,
+            "mean_access_ms": round(1000 * sum(lat) / len(lat), 2),
+            "total_sec": round(sum(lat), 3),
+        }
+    else:
+        skipped_legs.append("no_cache")
+
+    # 5. the min_prob operating-point sweep — detail (BENCH.json only).
     sweep = {}
     for mp in (0.3, 0.5, 0.7):
-        sweep[str(mp)], _ = replay(True, mp)
-    out["min_prob_sweep"] = sweep
+        lstm_wall = max(2.8 * L, leg_sec.get("lru_lstm", 0.0))
+        if "lru_lstm" in out and _fits(lstm_wall):
+            sweep[str(mp)], _ = timed_replay(f"min_prob_{mp}", True, mp)
+        else:
+            skipped_legs.append(f"min_prob_{mp}")
+    out["min_prob_sweep"] = sweep if sweep else {"skipped": "budget"}
     # Net economics — the number that decides whether the LSTM pays
     # for itself at 100 TB. net_sec is ATTRIBUTION-based: converted
     # misses × (own-replay miss − hit cost) minus the speculative READ
@@ -1389,66 +1532,53 @@ def bench_prefetch_ab(spark, sf_dir: str, slow_store: bool = True) -> dict:
         )
 
     base_total = out["lru_only"]["total_sec"]
-    for key in ("lru_lstm", "lru_lstm_gated", *[f"min_prob_sweep.{m}" for m in sweep]):
-        entry = (
-            sweep[key.split(".", 1)[1]] if key.startswith("min_prob_sweep") else out[key]
-        )
-        annotate_net(entry, base_total)
+    for key in ("lru_lstm", "lru_lstm_gated"):
+        if key in out:
+            annotate_net(out[key], base_total)
+    for m in sweep:
+        annotate_net(sweep[m], base_total)
     # operating point: the highest floor that keeps the hit-rate lift
     # within 0.02 of the unfloored run — buys precision (fewer wasted
     # speculative reads) at negligible hit-rate cost
-    base_hr = out["lru_lstm"]["hit_rate"]
-    chosen = "0.0"
-    for mp in ("0.3", "0.5", "0.7"):
-        if sweep[mp]["hit_rate"] >= base_hr - 0.02:
-            chosen = mp
-    out["chosen_min_prob"] = {
-        "min_prob": float(chosen),
-        "rule": "max floor with hit_rate >= unfloored - 0.02",
-        **(sweep.get(chosen, out["lru_lstm"])),
-    }
-    # Slow-store leg (VERDICT r10 #3): the positive-net regime the
-    # fast-disk result cannot reach. Every block GET pays 200 ms of
-    # simulated object-store latency; the service issues each cycle's
-    # batch CONCURRENTLY (width = k), as a remote deployment would —
-    # in-flight GETs overlap, so the per-prefetch cost the economics
-    # model observes is the amortized batch wall while the foreground
-    # demand miss still pays the full round trip. The SAME gate, fed
-    # the same way, must flip to issuing here with net_sec > 0 — the
-    # flip threshold itself is pinned unit-side in
-    # tests/test_round11.py::TestGateFlipThreshold.
-    if not slow_store:
-        # ~2.5 min of injected-latency replays — skippable under a
-        # short global budget (VERDICT r11 #1a); the flip threshold
-        # stays pinned unit-side in test_round11.py regardless.
-        out["slow_store"] = {"skipped": "budget"}
-        return out
-    SLOW_DELAY = 0.2
-    slow: dict = {
-        "read_delay_ms": int(SLOW_DELAY * 1000),
-        "concurrent_issue": 10,
-    }
-    slow["lru_only"], _ = replay(False, 0.0, delay=SLOW_DELAY)
-    slow["lru_lstm"], slow_econ = replay(
-        True, 0.0, delay=SLOW_DELAY, concurrent_issue=10
-    )
-    slow["lru_lstm_gated"], _ = replay(
-        True,
-        0.0,
-        gate=True,
-        seed_econ=slow_econ,
-        delay=SLOW_DELAY,
-        concurrent_issue=10,
-    )
-    slow_base = slow["lru_only"]["total_sec"]
-    for key in ("lru_lstm", "lru_lstm_gated"):
-        annotate_net(slow[key], slow_base)
-    slow["gate_issuing"] = slow["lru_lstm_gated"].get("prefetch_reads", 0) > 0
-    slow["gate_net_positive"] = slow["lru_lstm_gated"].get("net_sec", 0.0) > 0
-    slow["lift_over_lru_only"] = round(
-        slow["lru_lstm_gated"]["hit_rate"] - slow["lru_only"]["hit_rate"], 3
-    )
-    out["slow_store"] = slow
+    if sweep and "lru_lstm" in out:
+        base_hr = out["lru_lstm"]["hit_rate"]
+        chosen = "0.0"
+        for mp in ("0.3", "0.5", "0.7"):
+            if mp in sweep and sweep[mp]["hit_rate"] >= base_hr - 0.02:
+                chosen = mp
+        out["chosen_min_prob"] = {
+            "min_prob": float(chosen),
+            "rule": "max floor with hit_rate >= unfloored - 0.02",
+            **(sweep.get(chosen, out["lru_lstm"])),
+        }
+    # Slow-store flip cells (VERDICT r10 #3): the positive-net regime
+    # the fast-disk result cannot reach. Every block GET pays 200 ms
+    # of simulated object-store latency; the service issues each
+    # cycle's batch CONCURRENTLY (width = k), as a remote deployment
+    # would — in-flight GETs overlap, so the per-prefetch cost the
+    # economics model observes is the amortized batch wall while the
+    # foreground demand miss still pays the full round trip. The SAME
+    # gate, fed the same way, must flip to issuing here with
+    # net_sec > 0 — the flip threshold itself is pinned unit-side in
+    # tests/test_round11.py::TestGateFlipThreshold. (The legs ran
+    # earlier, in claim-priority position 2; annotated here once
+    # annotate_net exists.)
+    slow = out.get("slow_store")
+    if isinstance(slow, dict) and "lru_only" in slow:
+        slow_base = slow["lru_only"]["total_sec"]
+        for key in ("lru_lstm", "lru_lstm_gated"):
+            annotate_net(slow[key], slow_base)
+        slow["gate_issuing"] = (
+            slow["lru_lstm_gated"].get("prefetch_reads", 0) > 0
+        )
+        slow["gate_net_positive"] = (
+            slow["lru_lstm_gated"].get("net_sec", 0.0) > 0
+        )
+        slow["lift_over_lru_only"] = round(
+            slow["lru_lstm_gated"]["hit_rate"]
+            - slow["lru_only"]["hit_rate"],
+            3,
+        )
     return out
 
 
@@ -1820,12 +1950,31 @@ def bench_ann_operating_point(
 
     rows = q_sim_ivf_recall_curve(spark, sf_dir).collect()
     curve = {int(r["n_probe"]): float(r["recall"]) for r in rows}
+    # Best-of-8 with recorded per-take spread for the QUOTED cells
+    # (VERDICT r12 #4): the serving-path ratio ranged 1.75–3.49× across
+    # rounds at identical recall and plans — a sub-second query timed
+    # best-of-3 lets one scheduler hiccup move the quoted ratio 40%.
+    # The headline discipline (8 runs) plus the half-range spread makes
+    # the number quotable; the probe-level curve stays best-of-3
+    # (detail, not quoted).
+    STORE_RUNS = RUNS_PER_QUERY
+
+    def _best_of(fn, runs: int) -> tuple[float, list[float]]:
+        takes = []
+        for _ in range(runs):
+            t0 = time.time()
+            fn()
+            takes.append(time.time() - t0)
+        return min(takes), [round(t, 3) for t in takes]
+
+    def _spread_pct(takes: list[float]) -> float:
+        lo, hi = min(takes), max(takes)
+        return round(100.0 * (hi - lo) / max(hi + lo, 1e-9), 1)
+
     q_sim_ivf_topk(spark, sf_dir).collect()  # warm
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        q_sim_ivf_topk(spark, sf_dir).collect()
-        best = min(best, time.time() - t0)
+    best, ivf_takes = _best_of(
+        lambda: q_sim_ivf_topk(spark, sf_dir).collect(), STORE_RUNS
+    )
     # Single-query latency frontier on the PERSISTED store (the
     # serving shape): scan-time-assignment IVF cannot beat the exact
     # scan — every vector must still be read+normalized to learn its
@@ -1858,17 +2007,21 @@ def bench_ann_operating_point(
     # the batched store search at the default operating point — the
     # ANN headline row: persisted-code ADC vs the exact scan
     search_index_store(spark, store, sf_dir).collect()
-    b = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        search_index_store(spark, store, sf_dir).collect()
-        b = min(b, time.time() - t0)
+    b, store_takes = _best_of(
+        lambda: search_index_store(spark, store, sf_dir).collect(),
+        STORE_RUNS,
+    )
     store_sec = round(b, 3)
     out = {
         "n_probe": N_PROBE,
         "recall_at_10": curve.get(N_PROBE),
         "ivf_sec": round(best, 3),
         "ivfpq_store_sec": store_sec,
+        "store_runs": STORE_RUNS,
+        "ivf_takes_sec": ivf_takes,
+        "store_takes_sec": store_takes,
+        "ivf_spread_pct": _spread_pct(ivf_takes),
+        "store_spread_pct": _spread_pct(store_takes),
         "curve": curve,
         "single_query_store": single,
     }
@@ -1976,6 +2129,18 @@ HEALTH_MAX_TAKES = 3
 # below the threshold (bounded) before every gated take.
 QUIESCE_LOADAVG_1M = 1.5
 QUIESCE_MAX_WAIT_SEC = 300.0
+# Decay acceptance (r13): loadavg_1m is a ~60 s EMA — after one of OUR
+# OWN heavy sections ends on a 32-core box it mathematically cannot
+# fall below 1.5 for minutes even though the box is instantly idle,
+# and the r12 full run burned 495 s (21% of wall) waiting out its own
+# decay tails with the single-thread probe already AT nominal. When
+# the probe is clean AND loadavg is strictly decaying sample-over-
+# sample (idle decay is ~0.75×/sample at this cadence; live contention
+# holds it flat or rising), release the take: the probe is the actual
+# contention gate, and the start/end probe gates still guard the take
+# itself. Measured r13: quiesce spend 495 s → <150 s on the same
+# section list, with probe-clean takes throughout.
+QUIESCE_DECAY_FACTOR = 0.85
 # A take whose START probe is already this much above the process-
 # lifetime best is degraded before it begins — the end/start ratio
 # then reads as "improving" (0.68 in the r9 fresh-boot run: start
@@ -2065,14 +2230,20 @@ def _quiesce(label: str, settle=None) -> dict:
     deadline = time.time() + QUIESCE_MAX_WAIT_SEC
     quiesce_cap = QUIESCE_BUDGET_FRACTION * BENCH_BUDGET_SEC
     h = _observe_health()
+    prev_load1: float | None = None
     while time.time() < deadline:
         load1 = os.getloadavg()[0]
         probe_ok = (
             h["single_thread_ms"]
             <= QUIESCE_PROBE_MAX_OVER_NOMINAL * _NOMINAL_SINGLE_MS
         )
-        if load1 < QUIESCE_LOADAVG_1M and probe_ok:
+        decaying = (
+            prev_load1 is not None
+            and load1 <= prev_load1 * QUIESCE_DECAY_FACTOR
+        )
+        if probe_ok and (load1 < QUIESCE_LOADAVG_1M or decaying):
             return h
+        prev_load1 = load1
         # Budget charge (VERDICT r11 #1c): waiting for a quiet box is
         # worth at most QUIESCE_BUDGET_FRACTION of the whole run — past
         # that (or near the global deadline) proceed contended; the
@@ -2153,15 +2324,25 @@ def health_gated(label: str, section, settle=None):
         # about what the take just cost — only retake when that fits
         # inside the remaining budget; otherwise accept the flagged
         # take. contended=true in the returned metadata marks it.
-        can_retake = (
-            attempt + 1 < HEALTH_MAX_TAKES
-            and _remaining() > 1.2 * take_sec + FINALIZE_RESERVE_SEC
+        # Distinguish the two exit reasons in the log (ADVICE r12): at
+        # the final take the old message blamed the budget even when
+        # plenty remained — misleading provenance.
+        out_of_takes = attempt + 1 >= HEALTH_MAX_TAKES
+        budget_short = not (
+            _remaining() > 1.2 * take_sec + FINALIZE_RESERVE_SEC
         )
-        if not can_retake:
+        if out_of_takes or budget_short:
+            reason = (
+                f"max takes ({HEALTH_MAX_TAKES}) reached"
+                if out_of_takes
+                else (
+                    f"budget ({_remaining():.0f}s left vs take "
+                    f"{take_sec:.0f}s) forbids a retake"
+                )
+            )
             print(
                 f"WARN: {label} ran contended (probe ratio {ratio:.2f}) "
-                f"but budget ({_remaining():.0f}s left vs take "
-                f"{take_sec:.0f}s) forbids a retake — accepting flagged",
+                f"but {reason} — accepting flagged",
                 file=sys.stderr,
             )
             break
@@ -2216,9 +2397,17 @@ def build_compact(result: dict) -> str:
                     if "capped_lsh_candidates" in sec
                     else {}
                 ),
+                # Every extraction below guards on KEY PRESENCE, not
+                # just dict-ness: run_section stores {"error": ...}
+                # into scaling sub-keys on section failure, and an
+                # unguarded ["recall_at_10"] would make emit() raise —
+                # aborting every remaining section and leaving a
+                # traceback as the stdout tail, the exact parsed-null
+                # failure mode this builder exists to fix (ADVICE r12).
                 **(
                     {"ivf_recall_at_10": sec["ivf_recall"]["recall_at_10"]}
-                    if "ivf_recall" in sec
+                    if isinstance(sec.get("ivf_recall"), dict)
+                    and "recall_at_10" in sec["ivf_recall"]
                     else {}
                 ),
                 **(
@@ -2231,6 +2420,22 @@ def build_compact(result: dict) -> str:
                     and "ivf_vs_duckdb_exact" in sec["ivf_recall"]
                     else {}
                 ),
+                # per-take spread of the quoted serving-path cells
+                # (VERDICT r12 #4: the ratio ranged 1.75–3.49× across
+                # rounds at identical recall — quote N and the ± half-
+                # range): [ivf query, batched store search], best-of-N
+                **(
+                    {
+                        "ivf_spread_pct": [
+                            sec["ivf_recall"].get("ivf_spread_pct"),
+                            sec["ivf_recall"].get("store_spread_pct"),
+                        ],
+                        "ivf_runs": sec["ivf_recall"].get("store_runs"),
+                    }
+                    if isinstance(sec.get("ivf_recall"), dict)
+                    and "store_spread_pct" in sec["ivf_recall"]
+                    else {}
+                ),
                 **(
                     {
                         "dedup_chain_ratio": sec["near_survivors_chain"][
@@ -2238,6 +2443,7 @@ def build_compact(result: dict) -> str:
                         ]
                     }
                     if isinstance(sec.get("near_survivors_chain"), dict)
+                    and "ratio_vs_duckdb" in sec["near_survivors_chain"]
                     else {}
                 ),
                 **(
@@ -2247,10 +2453,13 @@ def build_compact(result: dict) -> str:
                             for n, q in sec["bucketed_headliners"][
                                 "queries"
                             ].items()
+                            if isinstance(q, dict)
                         }
                     }
                     if isinstance(sec.get("bucketed_headliners"), dict)
-                    and "queries" in sec["bucketed_headliners"]
+                    and isinstance(
+                        sec["bucketed_headliners"].get("queries"), dict
+                    )
                     else {}
                 ),
                 **(
@@ -2277,9 +2486,45 @@ def build_compact(result: dict) -> str:
                                 ),
                                 dict,
                             )
-                        }
+                        },
+                        # the plan-structural claim itself (VERDICT r12
+                        # #1): [flat, bucketed] Exchange counts, so the
+                        # driver artifact carries the stable signal the
+                        # sub-second timings only corroborate
+                        "forced_exchanges": {
+                            q: [
+                                sec["bucketed_headliners"][
+                                    f"forced_shuffle_regime_{q}"
+                                ].get("exchanges_flat"),
+                                sec["bucketed_headliners"][
+                                    f"forced_shuffle_regime_{q}"
+                                ].get("exchanges_bucketed"),
+                            ]
+                            for q in ("q3", "q5")
+                            if isinstance(
+                                sec["bucketed_headliners"].get(
+                                    f"forced_shuffle_regime_{q}"
+                                ),
+                                dict,
+                            )
+                        },
                     }
                     if isinstance(sec.get("bucketed_headliners"), dict)
+                    and any(
+                        isinstance(
+                            sec["bucketed_headliners"].get(
+                                f"forced_shuffle_regime_{q}"
+                            ),
+                            dict,
+                        )
+                        for q in ("q3", "q5")
+                    )
+                    else {}
+                ),
+                **(
+                    {"truncated_n": len(sec["run_protocol"]["truncated"])}
+                    if isinstance(sec.get("run_protocol"), dict)
+                    and sec["run_protocol"].get("truncated")
                     else {}
                 ),
             }
@@ -2330,6 +2575,7 @@ def build_compact(result: dict) -> str:
             tag: prefetch_ab[tag]["hit_rate"]
             for tag in ("no_cache", "lru_only", "lru_lstm", "lru_lstm_gated")
             if isinstance(prefetch_ab.get(tag), dict)
+            and "hit_rate" in prefetch_ab[tag]
         },
         "prefetch_net_sec": {
             tag: prefetch_ab[tag].get("net_sec")
@@ -2347,17 +2593,21 @@ def build_compact(result: dict) -> str:
         else None,
         "detail": "BENCH.json",
     }
+    # Weakest claims drop first (VERDICT r12 #1 reprioritization): the
+    # slow-store gate flip is the reference-thesis number and had never
+    # landed in a driver artifact — it must outlive the detail cells,
+    # not be the first casualty of a long line.
     DROP_ORDER = [
-        "prefetch_slow_store",
-        "prefetch_net_sec",
-        "prefetch_hit_rates",
-        "streaming",
         "extras_r6",
+        "streaming",
         "cow_bytes_ratio",
         "ann",
-        "health",
-        "budget",
+        "prefetch_hit_rates",
+        "prefetch_net_sec",
         "floor",
+        "health",
+        "prefetch_slow_store",
+        "budget",
         "baseline_duckdb",
         "scaling",
     ]
@@ -2542,7 +2792,7 @@ def main() -> None:
     # the same clean-window provenance (ADVICE r9).
     floor_pair = run_section(
         "overhead_floor",
-        35,
+        55,
         lambda: health_gated(
             "floor",
             lambda: bench_overhead_floor(spark, sf_dir),
@@ -2570,9 +2820,17 @@ def main() -> None:
     sf4_dir = os.environ.get(
         "SPARK_GRAFT_SF4_DIR", os.path.join(REPO, ".bench_data", "sf2.5")
     )
+    # Section estimates recalibrated from MEASURED budget.sections_sec
+    # of the r12 full run + this round's quiesce-economy fix (VERDICT
+    # r12 #1: the static guesses over-provisioned — the r12 driver run
+    # finished with 53 s unspent while skipping sf2.5_bucketed on a
+    # 210 s estimate for a section that runs in ~125 s). Sections with
+    # INTERNAL per-step budget checks (pairwise, prefetch) declare the
+    # cost of their minimum useful partial, not their full run — they
+    # self-limit past that.
     if sf4_dir:
         rep = run_section(
-            "sf2.5_replica", 90, lambda: _ensure_replica(sf_dir, sf4_dir, 25)
+            "sf2.5_replica", 20, lambda: _ensure_replica(sf_dir, sf4_dir, 25)
         )
         if not (isinstance(rep, dict) and rep.get("ok")):
             sf4_dir = ""
@@ -2611,7 +2869,7 @@ def main() -> None:
         # contention window (loadavg 3 → 8).
         pair = run_section(
             "sf2.5_pairwise",
-            500,
+            150,  # minimum useful partial; self-limits per query
             lambda: health_gated(
                 "sf2.5",
                 lambda: bench_pairwise(
@@ -2621,6 +2879,7 @@ def main() -> None:
                     runs=3,
                     warm_sweeps=1,
                     settle=_jvm_settle,
+                    remaining=_remaining,
                 ),
                 settle=_jvm_settle,
             ),
@@ -2656,40 +2915,11 @@ def main() -> None:
                 res["health"] = health
                 return res
 
-            out = run_section("sf2.5_ivf_recall", 85, _ivf25_fn)
+            out = run_section("sf2.5_ivf_recall", 90, _ivf25_fn)
             if out is not None:
                 scaling["sf2.5"]["ivf_recall"] = out
                 emit()
-            out = run_section(
-                "sf2.5_near_survivors_chain",
-                210,
-                lambda: bench_near_survivors_chain(spark, sf4_dir),
-            )
-            if out is not None:
-                scaling["sf2.5"]["near_survivors_chain"] = out
-                emit()
 
-            def _floor25_fn():
-                res, health = health_gated(
-                    "floor-sf2.5",
-                    lambda: bench_overhead_floor(spark, sf4_dir),
-                    settle=_jvm_settle,
-                )
-                res["health"] = health
-                return res
-
-            out = run_section("sf2.5_overhead_floor", 100, _floor25_fn)
-            if out is not None:
-                scaling["sf2.5"]["overhead_floor"] = out
-                emit()
-            out = run_section(
-                "sf2.5_scan_throughput",
-                10,
-                lambda: bench_scan_throughput(spark, sf4_dir),
-            )
-            if out is not None:
-                scaling["sf2.5"]["scan_throughput"] = out
-                emit()
             def _bkt_fn():
                 # health-gated: sub-second layout deltas are pure box
                 # noise on a contended take (r10 ungated runs recorded
@@ -2704,13 +2934,29 @@ def main() -> None:
                 res["health"] = health
                 return res
 
-            out = run_section("sf2.5_bucketed", 180, _bkt_fn)
+            # Bucketed-layout cells PROMOTED above near-survivors /
+            # floor25 (VERDICT r12 #1): the forced-regime Exchange
+            # counts + layout speedups are the round's strongest plan
+            # claims and had never landed in a driver-parsed artifact;
+            # the chain and floor25 claims are pinned elsewhere
+            # (committed r12 artifact + tools decompositions) and now
+            # run in the deferred tail.
+            out = run_section("sf2.5_bucketed", 165, _bkt_fn)
             if out is not None:
                 scaling["sf2.5"]["bucketed_headliners"] = out
                 emit()
+            out = run_section(
+                "sf2.5_scan_throughput",
+                5,
+                lambda: bench_scan_throughput(spark, sf4_dir),
+            )
+            if out is not None:
+                scaling["sf2.5"]["scan_throughput"] = out
+                emit()
 
 
-    # ---- 4. Scaling slope points (sf0.01, then the 5× sf0.5). ----
+    # ---- 4. Scaling slope point below the primary SF (sf0.01); the
+    # 5× sf0.5 point moved to the deferrable tail (VERDICT r12 #1). --
     sf2_dir = os.environ.get("SPARK_GRAFT_SF2_DIR", "/root/testdata/sf0.01")
     if (
         sf2_dir
@@ -2720,7 +2966,7 @@ def main() -> None:
         tag2 = os.path.basename(sf2_dir.rstrip("/"))
         out = run_section(
             f"scaling_{tag2}",
-            30,
+            20,
             lambda: {
                 "queries": bench_spark(
                     spark,
@@ -2740,6 +2986,94 @@ def main() -> None:
         if isinstance(out, dict) and "queries" in out:
             scaling[tag2] = out
             emit()
+    # ---- 5. The cheap distinct-claim sections (~62 s together on the
+    # 32-core box) run BEFORE prefetch: each carries a claim nothing
+    # else carries, together they cost less than one prefetch leg, and
+    # the r13 verification run showed prefetch's tail legs eating their
+    # window when they ran after it.
+    out = run_section(
+        "streaming", 10, lambda: bench_streaming_throughput(spark, sf_dir)
+    )
+    if out is not None:
+        result["streaming"] = out
+        emit()
+    out = run_section("cow_dml", 25, lambda: bench_cow_dml(spark, sf_dir))
+    if out is not None:
+        result["cow_dml"] = out
+        emit()
+    out = run_section(
+        "engine_facade", 5, lambda: bench_engine_facade(spark, sf_dir)
+    )
+    if out is not None:
+        result["engine_facade"] = out
+        emit()
+    out = run_section(
+        "hive_pruning", 5, lambda: bench_hive_pruning(spark, sf_dir)
+    )
+    if out is not None:
+        result["hive_pruning"] = out
+        emit()
+    out = run_section(
+        "orc_vs_parquet", 8, lambda: bench_orc_scan(spark, sf_dir)
+    )
+    if out is not None:
+        result["orc_vs_parquet"] = out
+        emit()
+    out = run_section(
+        "layout_pruning", 6, lambda: bench_layout_pruning(spark, sf_dir)
+    )
+    if out is not None:
+        result["layout_pruning"] = out
+        emit()
+    out = run_section(
+        "bloom_pruning", 5, lambda: bench_bloom_pruning(spark, sf_dir)
+    )
+    if out is not None:
+        result["bloom_pruning"] = out
+        emit()
+    out = run_section("lsh_skew", 18, lambda: bench_lsh_skew(spark, sf_dir))
+    if out is not None:
+        result["lsh_skew"] = out
+        emit()
+
+    # ---- 6. Prefetch (VERDICT r12 #1: the reference-thesis gate-flip
+    # cell had never landed in a driver artifact — it precedes every
+    # deferrable claim; the section self-limits per leg, slow-store
+    # flip legs before fast detail legs).
+    out = run_section(
+        "prefetch_ab",
+        120,  # minimum useful partial (warm+train+lru_only)
+        lambda: bench_prefetch_ab(spark, sf_dir, remaining=_remaining),
+    )
+    if out is not None:
+        result["prefetch_ab"] = out
+        emit()
+
+    # ---- 7. Deferrable expensive sections, strongest-first. Their
+    # claims are each pinned elsewhere (sf0.1 ann duplicates the sf2.5
+    # ivf cells; chain/floor25 are in the committed r12 artifact and
+    # the tools/ decompositions), so they drop first on a short run.
+    def _ann_fn():
+        # Health-gated (r11): the r10 single-query probe curve was
+        # recorded in a contaminated window and read as a per-probe
+        # scaling problem; on a clean box the curve is flat.
+        res, health = health_gated(
+            "ann_operating_point",
+            lambda: bench_ann_operating_point(
+                spark,
+                sf_dir,
+                spark_times.get("sim_topk_bruteforce"),
+                duck_times.get("sim_topk_bruteforce"),
+            ),
+            settle=_jvm_settle,
+        )
+        res["health"] = health
+        return res
+
+    out = run_section("ann_operating_point", 110, _ann_fn)
+    if out is not None:
+        result["ann_operating_point"] = out
+        emit()
     # Third scaling point ABOVE the primary SF: a 5× key-offset replica
     # of sf0.1 (tools/make_scale_replica.py), generated on first run.
     # Three points (0.01 / 0.1 / 0.5) expose each engine's growth rate;
@@ -2749,7 +3083,7 @@ def main() -> None:
     )
     if sf3_dir:
         rep = run_section(
-            "sf0.5_replica", 30, lambda: _ensure_replica(sf_dir, sf3_dir, 5)
+            "sf0.5_replica", 10, lambda: _ensure_replica(sf_dir, sf3_dir, 5)
         )
         if not (isinstance(rep, dict) and rep.get("ok")):
             sf3_dir = ""
@@ -2761,7 +3095,7 @@ def main() -> None:
         tag3 = os.path.basename(sf3_dir.rstrip("/"))
         out = run_section(
             f"scaling_{tag3}",
-            70,
+            120,
             lambda: {
                 "queries": bench_spark(
                     spark,
@@ -2783,109 +3117,54 @@ def main() -> None:
             emit()
             out = run_section(
                 "sf0.5_capped_lsh",
-                20,
+                8,
                 lambda: bench_capped_lsh(spark, sf3_dir),
             )
             if out is not None and not isinstance(out, dict):
                 scaling[tag3]["capped_lsh_candidates"] = out
             out = run_section(
                 "sf0.5_forced_regime",
-                45,
+                18,
                 lambda: bench_forced_regime(spark, sf3_dir),
             )
             if out is not None:
                 scaling[tag3]["forced_regime"] = out
             out = run_section(
                 "sf0.5_ivf_recall",
-                60,
+                12,
                 lambda: bench_ivf_recall(spark, sf3_dir),
             )
             if out is not None:
                 scaling[tag3]["ivf_recall"] = out
             emit()
-
-    # ---- 5. Remaining sections, cheapest claims last. ----
-    def _ann_fn():
-        # Health-gated (r11): the r10 single-query probe curve was
-        # recorded in a contaminated window and read as a per-probe
-        # scaling problem; on a clean box the curve is flat.
-        res, health = health_gated(
-            "ann_operating_point",
-            lambda: bench_ann_operating_point(
-                spark,
-                sf_dir,
-                spark_times.get("sim_topk_bruteforce"),
-                duck_times.get("sim_topk_bruteforce"),
-            ),
-            settle=_jvm_settle,
+    if sf4_dir and "sf2.5" in scaling:
+        out = run_section(
+            "sf2.5_near_survivors_chain",
+            140,
+            lambda: bench_near_survivors_chain(spark, sf4_dir),
         )
-        res["health"] = health
-        return res
+        if out is not None:
+            scaling["sf2.5"]["near_survivors_chain"] = out
+            emit()
 
-    out = run_section("ann_operating_point", 75, _ann_fn)
-    if out is not None:
-        result["ann_operating_point"] = out
-        emit()
-    # The slow-store leg (~2.5 min of injected-latency replays) is only
-    # attempted when the budget can hold BOTH prefetch legs.
-    _slow_ok = _remaining() > 100 + 170 + FINALIZE_RESERVE_SEC
+        def _floor25_fn():
+            res, health = health_gated(
+                "floor-sf2.5",
+                lambda: bench_overhead_floor(spark, sf4_dir),
+                settle=_jvm_settle,
+            )
+            res["health"] = health
+            return res
+
+        out = run_section("sf2.5_overhead_floor", 110, _floor25_fn)
+        if out is not None:
+            scaling["sf2.5"]["overhead_floor"] = out
+            emit()
     out = run_section(
-        "prefetch_ab",
-        100,
-        lambda: bench_prefetch_ab(spark, sf_dir, slow_store=_slow_ok),
-    )
-    if out is not None:
-        result["prefetch_ab"] = out
-        emit()
-    out = run_section(
-        "streaming", 10, lambda: bench_streaming_throughput(spark, sf_dir)
-    )
-    if out is not None:
-        result["streaming"] = out
-        emit()
-    out = run_section(
-        "extras_r6", 60, lambda: bench_round6_extras(spark, sf_dir)
+        "extras_r6", 140, lambda: bench_round6_extras(spark, sf_dir)
     )
     if out is not None:
         result["extras_r6"] = out
-        emit()
-    out = run_section("cow_dml", 55, lambda: bench_cow_dml(spark, sf_dir))
-    if out is not None:
-        result["cow_dml"] = out
-        emit()
-    out = run_section(
-        "engine_facade", 5, lambda: bench_engine_facade(spark, sf_dir)
-    )
-    if out is not None:
-        result["engine_facade"] = out
-        emit()
-    out = run_section(
-        "hive_pruning", 5, lambda: bench_hive_pruning(spark, sf_dir)
-    )
-    if out is not None:
-        result["hive_pruning"] = out
-        emit()
-    out = run_section("lsh_skew", 50, lambda: bench_lsh_skew(spark, sf_dir))
-    if out is not None:
-        result["lsh_skew"] = out
-        emit()
-    out = run_section(
-        "orc_vs_parquet", 35, lambda: bench_orc_scan(spark, sf_dir)
-    )
-    if out is not None:
-        result["orc_vs_parquet"] = out
-        emit()
-    out = run_section(
-        "layout_pruning", 35, lambda: bench_layout_pruning(spark, sf_dir)
-    )
-    if out is not None:
-        result["layout_pruning"] = out
-        emit()
-    out = run_section(
-        "bloom_pruning", 35, lambda: bench_bloom_pruning(spark, sf_dir)
-    )
-    if out is not None:
-        result["bloom_pruning"] = out
         emit()
 
     # ---- Final emission: end-health sample + the authoritative last

@@ -204,11 +204,17 @@ class TestFactLayoutDefault:
             bkt_sec = best_of(3)
             assert bkt_rows == flat_rows
             # The GATE is the plan property — strictly fewer Exchanges
-            # is deterministic. Wall-clock at suite scale is
-            # scheduling-dominated and load-sensitive (ADVICE r11:
-            # flaky-by-design), so the timing check is a generous-
-            # margin sanity bound (not pathologically slower), with
-            # the real ordering claim left to the gated bench A/B.
+            # is deterministic (VERDICT r12 #5: this assert was
+            # accidentally demoted alongside the timing one; restored).
+            # Wall-clock at suite scale is scheduling-dominated and
+            # load-sensitive (ADVICE r11: flaky-by-design), so the
+            # timing check is a generous-margin sanity bound (not
+            # pathologically slower), with the real ordering claim
+            # left to the gated bench A/B.
+            assert bkt_shuffles < flat_shuffles, (
+                f"bucketed q3 planned {bkt_shuffles} Exchanges, flat "
+                f"{flat_shuffles} — the forced-regime layout win is gone"
+            )
             print(
                 f"forced-regime q3: bucketed {bkt_sec:.3f}s "
                 f"({bkt_shuffles} Exchanges) vs flat {flat_sec:.3f}s "
