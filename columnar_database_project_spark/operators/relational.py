@@ -251,11 +251,71 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sort / limit
 # --------------------------------------------------------------------------
 
+# Engage the driver-side top-k threshold pre-filter only past this
+# input size: the fixed cost (one row-group footer+column read, a few
+# ms, plus the pushed-filter plan delta) measured as a net LOSS below
+# ~1 MB inputs (sf0.01: 0.064→0.100 s) and a win from ~10 MB up
+# (sf0.1 +7%, sf2.5 +11%, r13 A/B — tools/topk_floor_decomp.py
+# postmortem has the term attribution).
+_TOPK_PREFILTER_MIN_BYTES = 8 * 1024 * 1024
+
+
+def _topk_price_floor(sf_dir: str, k: int = 10) -> float | None:
+    """Driver-side lower bound for the global k-th largest
+    l_extendedprice: the k-th largest within ANY >=k-row subset of the
+    data. Read one parquet row group's price column via pyarrow (the
+    r11 literalized-dims pattern — a bounded driver read producing a
+    plan PARAMETER, never a result).
+
+    Exactness proof: every row of the true top-k under
+    (price DESC, okey, lineno) has price >= the k-th largest price of
+    the subset — otherwise the >=k subset rows with price >= thr would
+    all sort strictly before it (price is the primary key of the
+    ordering), contradicting membership. So filtering price >= thr
+    before TakeOrderedAndProject preserves the exact result while the
+    heap and its row-at-a-time ColumnarToRow materialization see ~k
+    rows instead of every row — the scan stays fully vectorized and
+    the predicate reaches the parquet reader as a pushed literal.
+    Returns None (plain plan) for ORC-only dirs, directory datasets,
+    sub-threshold inputs, or any read problem."""
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    try:
+        if (
+            not os.path.isfile(path)
+            or os.path.getsize(path) < _TOPK_PREFILTER_MIN_BYTES
+        ):
+            return None
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(path)
+        if pf.num_row_groups < 1:
+            return None
+        col = pf.read_row_group(0, columns=["l_extendedprice"]).column(0)
+        arr = col.drop_null().to_numpy()
+        if len(arr) < k:
+            return None
+        import numpy as np
+
+        return float(np.partition(arr, -k)[-k])
+    except Exception:  # pragma: no cover - defensive (corrupt footer…)
+        return None
+
+
 def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORDER BY ... LIMIT k — executes as TakeOrderedAndProject (no
     global sort materialization). Unique (orderkey, linenumber)
-    tiebreaker keeps the result deterministic for the oracle."""
+    tiebreaker keeps the result deterministic for the oracle.
+
+    r13: TakeOrderedAndProject is the one operator in this path that
+    runs row-at-a-time (per-row heap over a ColumnarToRow feed) — at
+    sf2.5 it was ~0.2 s of the 0.25 s wall while the equivalent
+    vectorized scan term is ~0.03 s (tools/topk_floor_decomp.py). A
+    driver-side price floor (provably exact, see _topk_price_floor)
+    turns it into a pushed vectorized filter + a ~10-row heap."""
     li = load_table(spark, sf_dir, "lineitem")
+    thr = _topk_price_floor(sf_dir)
+    if thr is not None:
+        li = li.filter(F.col("l_extendedprice") >= F.lit(thr))
     return (
         li.orderBy(
             F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
