@@ -15,6 +15,19 @@ r12 record at sf2.5 (best-of-5 warmed, parity=True everywhere):
   aqe    : current 0.568 (1 Exchange) | intkey 0.612 (2) | preagg 0.737 (3)
   forced : current 0.672 (3)          | intkey 0.683 (4) | preagg 0.931 (4)
 
+r13 adds `preagg_fold` (VERDICT r12 #7: fold the 25-group agg into the
+supplier attach — one reduce before ONE broadcast attach carrying
+n_name, one final agg). Sequential best-of-5 record at sf2.5:
+  aqe    : current 0.556 (1) | intkey 0.484 (2) | preagg 0.556 (3) | fold 0.596 (2)
+  forced : current 0.753 (3) | intkey 0.678 (4) | preagg 0.645 (4) | fold 0.616 (3)
+The sequential intkey "win" did not survive an INTERLEAVED 12-round
+A/B (window drift becomes within-pair): current med 0.515 / best
+0.447 < intkey 0.558/0.476 < fold 0.792/0.678. Verdict: honest
+negative again in the AQE regime the bench runs — current stays the
+registry shape. The fold IS the fastest forced-regime shape (0.616 vs
+current 0.753, 1.22x) — like preagg, it is the shape to re-A/B on a
+real cluster where no side broadcasts; recorded, not shipped.
+
 Honest negative, both regimes: at proxy scale the extra stage
 barriers (~0.1 s each) cost more than the shuffled-byte savings (the
 whole detail shuffle is ~4M narrow rows). At true fact scale the
@@ -96,6 +109,22 @@ def variant_preagg():
     return (agg.withColumn("n_name", name_map[F.col("s_nationkey")])
             .groupBy("n_name").agg(F.round(F.sum("r"), 4).alias("revenue")))
 
+def variant_preagg_fold():
+    # VERDICT r12 #7: fold the 25-group agg INTO the supplier attach —
+    # partial-reduce (l_suppkey, c_nationkey) once, then ONE broadcast
+    # attach carrying n_name in the build side (like current) and ONE
+    # final n_name agg. vs `preagg`: the intkey re-group detour is gone
+    # (2 Exchanges, not 3); vs `current`: the attach probes ~|supplier|
+    # ×|nations| reduced rows instead of every detail row, at the cost
+    # of one extra reduce Exchange before it.
+    supp_named = (supp_int()
+                  .withColumn("n_name", name_map[F.col("s_nationkey")]))
+    j = li().join(leg(), F.col("l_orderkey") == F.col("o_orderkey"))
+    pre = j.groupBy("l_suppkey", "c_nationkey").agg(F.sum("rev").alias("r"))
+    j2 = pre.join(supp_named, (F.col("l_suppkey") == F.col("s_suppkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+    return j2.groupBy("n_name").agg(F.round(F.sum("r"), 4).alias("revenue"))
+
 def best5(mk):
     mk().toPandas(); mk().toPandas()
     b = float("inf")
@@ -104,7 +133,7 @@ def best5(mk):
     return round(b, 3)
 
 ref = variant_current().toPandas().sort_values("n_name").reset_index(drop=True)
-for tag, mk in (("current", variant_current), ("intkey", variant_intkey), ("preagg", variant_preagg)):
+for tag, mk in (("current", variant_current), ("intkey", variant_intkey), ("preagg", variant_preagg), ("preagg_fold", variant_preagg_fold)):
     got = mk().toPandas()[["n_name","revenue"]].sort_values("n_name").reset_index(drop=True)
     parity = got.equals(ref[["n_name","revenue"]])
     print(f"{tag:8s} exch={count_shuffles(mk())} best5={best5(mk)} parity={parity}")
